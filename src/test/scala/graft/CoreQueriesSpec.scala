@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Smoke + exact-value checks for the correctness-gate queries at
+  * sf0.001. Deep differential checks run against the DuckDB oracle via
+  * tools/check_oracle.py (and the driver's own gate at sf0.01). */
+class CoreQueriesSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has a matching oracle or is explicitly oracle-free") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // oracle-free queries are allowed (rows-only check) but must be rare;
+    // for now all core queries carry oracles.
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("entry() flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01_agg_basic matches hand-computed row count and logs total") {
+    val df = SparkEntry.queries("q01_agg_basic")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus
+    val totalLogs = rows.map(_.getAs[Long]("logs")).sum
+    val liCount = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(totalLogs == liCount)
+  }
+
+  test("q16_wordcount top word is consistent with direct computation") {
+    val df = SparkEntry.queries("q16_wordcount")(spark, sf)
+    val top = df.collect().head
+    import org.apache.spark.sql.functions._
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).count()
+      .orderBy(col("count").desc, col("w"))
+      .collect().head
+    assert(top.getAs[String]("word") == direct.getAs[String]("w"))
+    assert(top.getAs[Long]("cnt") == direct.getAs[Long]("count"))
+  }
+}
