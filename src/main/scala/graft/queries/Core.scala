@@ -277,8 +277,8 @@ object Core {
         .orderBy(col("lang"))
     }, Some("""
       SELECT lang, count(*) AS logs,
-             SUM(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) AS join_hits,
-             SUM(CASE WHEN text LIKE '%scan%' THEN 1 ELSE 0 END) AS scan_hits
+             CAST(SUM(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) AS BIGINT) AS join_hits,
+             CAST(SUM(CASE WHEN text LIKE '%scan%' THEN 1 ELSE 0 END) AS BIGINT) AS scan_hits
       FROM documents GROUP BY 1 ORDER BY 1""")),
 
     // ---- Metis demo apps as one-liners (SURVEY §2.10) ----
@@ -366,7 +366,7 @@ object Core {
         .orderBy(col("lang"))
     }, Some("""
       SELECT lang, count(*) AS logs,
-             SUM(length(list_filter(string_split(text, ' '), x -> x <> ''))) AS sum_tokens,
+             CAST(SUM(length(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_tokens,
              CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
       FROM documents GROUP BY 1 ORDER BY 1""")),
 
