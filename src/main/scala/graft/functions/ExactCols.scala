@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Exact-arithmetic Column helpers shared by the dedup / similarity /
+  * text-analysis operators.
+  *
+  * Everything here is engineered so that a DuckDB oracle can reproduce
+  * results BIT-IDENTICALLY, and so results are independent of
+  * partitioning and merge order — which is also precisely what makes
+  * them safe at cluster scale:
+  *
+  *  - Hashing goes through md5 (identical bytes everywhere) folded to a
+  *    60-bit integer, not engine-native hash functions.
+  *  - Vector math int-scales float32 embeddings to int64 (×1e6) first;
+  *    integer dot products / norms are exact and order-independent,
+  *    unlike float summation which drifts with partial-aggregation
+  *    order. The final divisions are deterministic IEEE double ops on
+  *    exact integers.
+  *
+  * All helpers are pure Column expressions (codegen-friendly where
+  * Spark supports it; higher-order functions evaluate per-row without
+  * shuffles).
+  */
+object ExactCols {
+
+  /** Modulus for hash folding: 1e9+7 (prime). Products with small
+    * coefficients stay far below 2^63. */
+  val P = 1000000007L
+
+  /** 60-bit integer from the first 15 hex chars of md5 —
+    * reproducible in any engine that has md5. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** h60 folded into [0, P). */
+  def hmod(c: Column): Column = h60(c) % P
+
+  /** Whitespace tokens, empties dropped (same as the wordcount path). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Word n-gram shingles (space-joined), optionally distinct.
+    * Guarded: fewer than n tokens → empty array (sequence(1,0) would
+    * count DOWN in Spark). */
+  def shingles(toks: Column, n: Int, distinct: Boolean): Column = {
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    val g = if (distinct) array_distinct(grams) else grams
+    when(size(toks) >= n, g).otherwise(array().cast("array<string>"))
+  }
+
+  /** float32 vector → int64 vector, scaled by 1e6 with HALF_UP
+    * rounding (DuckDB: list_transform(v, x -> CAST(round(CAST(x AS
+    * DOUBLE)*1000000) AS BIGINT))). */
+  def iscale(vec: Column): Column =
+    transform(vec, x => round(x.cast(DoubleType) * 1000000d).cast(LongType))
+
+  /** Exact integer dot product of two int64 vectors. */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Euclidean norm of an int64 vector (double, from an exact int). */
+  def inorm(v: Column): Column = sqrt(idot(v, v).cast(DoubleType))
+
+  /** Cosine similarity of two int64-scaled vectors: deterministic
+    * double division of exact integers. */
+  def icosine(av: Column, bv: Column, anorm: Column, bnorm: Column): Column =
+    idot(av, bv).cast(DoubleType) / (anorm * bnorm)
+
+  /** SQL fragment mirrors (DuckDB dialect) — kept beside the Column
+    * versions so each side of an oracle pair is maintained together. */
+  object sql {
+    def h60(e: String): String = s"('0x'||substring(md5($e),1,15))::BIGINT"
+    def hmod(e: String): String = s"${h60(e)} % ${P}"
+    def tokens(e: String): String =
+      s"list_filter(string_split($e,' '), x->x<>'')"
+    val iscale: String =
+      "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
+  }
+}

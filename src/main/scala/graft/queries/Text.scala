@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables._
+import graft.functions.ExactCols._
+
+/** Text-analysis operators for a training-data pipeline: language
+  * identification (marker-token scoring), quality scoring, token
+  * counting (regex "BPE-ish" estimate), and document fingerprinting
+  * (position-weighted rolling hash).
+  *
+  * Every operator is a pure per-row expression followed by a single
+  * keyed aggregation — the cheapest possible distributed shape: the
+  * scoring pipelines inside the scan stage, and the only shuffle is
+  * the final small groupBy. Ratios are derived from exact integer
+  * sums AFTER aggregation (never averaged as floats), so results are
+  * partition-order-independent.
+  */
+object Text {
+
+  /** Marker vocabularies for the language-ID heuristic. On real
+    * corpora these are per-language stopwords; scoring = marker-hit
+    * count with multiplicity, argmax with alphabetical tiebreak. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("join", "customer", "column"),
+    "en" -> Seq("hash", "order", "window"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "query"),
+    "zh" -> Seq("small", "the", "row"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _))).cast(LongType)
+
+  val entries: Vector[Q] = Vector(
+
+    // language-ID: marker scoring, argmax with alphabetical tiebreak,
+    // reported as an actual×predicted confusion matrix
+    Q("q30_lang_id", (s, d) => {
+      val toks = tokens(col("text"))
+      val scored = t(s, d, "documents")
+        .select(col("lang") +:
+          markers.map { case (l, ws) => hitCount(toks, ws).as(s"s_$l") }: _*)
+      val langs = markers.map(_._1)
+      val predicted = langs.foldRight(lit(langs.last)) { (l, els) =>
+        val ge = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(els)
+      }
+      scored.select(col("lang"), predicted.as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy(col("lang"), col("predicted"))
+    }, Some {
+      val scores = markers.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(tk, t -> list_contains($set, t))) AS BIGINT) s_$l"
+      }.mkString(", ")
+      val langs = markers.map(_._1)
+      val cases = langs.map { l =>
+        val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ")
+      s"""
+      WITH tk AS (
+        SELECT lang, list_filter(string_split(text,' '), x->x<>'') tk FROM documents),
+      sc AS (SELECT lang, $scores FROM tk)
+      SELECT lang, CASE $cases ELSE '${langs.last}' END AS predicted,
+             count(*) AS docs
+      FROM sc GROUP BY 1, 2 ORDER BY 1, 2"""
+    }),
+
+    // quality scoring: per-doc integer metrics, bucketed stopword
+    // ratio, ratios derived from int sums post-aggregation
+    Q("q31_quality_score", (s, d) => {
+      val toks = tokens(col("text"))
+      val perDoc = t(s, d, "documents")
+        .select(col("lang"),
+          size(toks).cast(LongType).as("ntok"),
+          hitCount(toks, stopwords).as("nstop"),
+          length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast(LongType).as("nalpha"),
+          length(col("text")).cast(LongType).as("nch"))
+        .withColumn("q_bucket",
+          when(col("ntok") === 0, lit(-1L))
+            .otherwise(floor(lit(10) * col("nstop") / col("ntok")).cast(LongType)))
+      perDoc.groupBy(col("lang"), col("q_bucket"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("ntok")).as("sum_tokens"),
+          sum(col("nstop")).as("sum_stop"),
+          sum(col("nalpha")).as("sum_alpha"),
+          sum(col("nch")).as("sum_chars"))
+        .withColumn("stop_ratio",
+          col("sum_stop").cast(DoubleType) / col("sum_tokens"))
+        .withColumn("alpha_ratio",
+          col("sum_alpha").cast(DoubleType) / col("sum_chars"))
+        .orderBy(col("lang"), col("q_bucket"))
+    }, Some {
+      val stopSet = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""
+      WITH pd AS (
+        SELECT lang,
+          CAST(len(tk) AS BIGINT) ntok,
+          CAST(len(list_filter(tk, t -> list_contains($stopSet, t))) AS BIGINT) nstop,
+          CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) nalpha,
+          CAST(length(text) AS BIGINT) nch
+        FROM (SELECT lang, text, list_filter(string_split(text,' '), x->x<>'') tk
+              FROM documents)),
+      pb AS (
+        SELECT *, CASE WHEN ntok = 0 THEN -1
+                       ELSE CAST(floor(10 * nstop / ntok) AS BIGINT) END q_bucket
+        FROM pd)
+      SELECT lang, q_bucket, count(*) AS docs,
+             CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+             CAST(SUM(nstop) AS BIGINT) AS sum_stop,
+             CAST(SUM(nalpha) AS BIGINT) AS sum_alpha,
+             CAST(SUM(nch) AS BIGINT) AS sum_chars,
+             CAST(SUM(nstop) AS DOUBLE) / SUM(ntok) AS stop_ratio,
+             CAST(SUM(nalpha) AS DOUBLE) / SUM(nch) AS alpha_ratio
+      FROM pb GROUP BY 1, 2 ORDER BY 1, 2"""
+    }),
+
+    // token counting: regex word/punct tokens + a BPE-ish piece
+    // estimate (ceil(len/4) pieces per whitespace token)
+    Q("q32_token_bpe", (s, d) => {
+      val toks = tokens(col("text"))
+      val pieces = aggregate(
+        transform(toks, tk => floor((length(tk) + lit(3)) / lit(4)).cast(LongType)),
+        lit(0L), (acc, x) => acc + x)
+      t(s, d, "documents")
+        .select(col("lang"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast(LongType).as("rtok"),
+          pieces.as("pieces"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("rtok")).as("regex_tokens"),
+          sum(col("pieces")).as("bpe_pieces"))
+        .orderBy(col("lang"))
+    }, Some("""
+      SELECT lang, count(*) AS docs,
+        CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+          AS regex_tokens,
+        CAST(SUM(CAST(COALESCE(list_sum(
+          list_transform(list_filter(string_split(text,' '), x->x<>''),
+                         t -> (length(t)+3)//4)), 0) AS BIGINT)) AS BIGINT) AS bpe_pieces
+      FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // document fingerprint: position-weighted rolling hash over
+    // md5-hashed tokens (cycle-16 positional weights), mod P
+    Q("q33_fingerprint", (s, d) => {
+      val toks = tokens(col("text"))
+      val terms = zip_with(col("tk"), sequence(lit(1), size(col("tk"))),
+        (tk, i) => hmod(tk) * (((i - 1) % 16) + 1))
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"),
+          when(size(col("tk")) > 0,
+            aggregate(terms, lit(0L), (acc, x) => acc + x) % P)
+            .otherwise(lit(0L)).as("fp"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id,
+        CAST(COALESCE(list_sum(list_transform(generate_series(1, len(tk)),
+          i -> (('0x'||substring(md5(tk[i]),1,15))::BIGINT % $P) * (((i-1)%16)+1))), 0)
+          AS BIGINT) % $P AS fp
+      FROM (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+            FROM documents)
+      ORDER BY doc_id"""))
+  )
+}

@@ -31,7 +31,9 @@ class MiwGoldenSpec extends AnyFunSuite {
     val rows = run(fmt, data).collect()
     assert(rows.length == 1)
     val r = rows.head
-    assert(r.getAs[String]("id") == "1")
+    // a declared field named "id" overwrites the key in the output
+    // record (reference JSON assembly order) — here it's the int field
+    assert(r.getAs[Long]("id") == 1L)
     assert(r.getAs[Long]("logs") == 6L)
     assert(r.getAs[Long]("v1") == 16L)
     assert(r.getAs[Double]("v2") == 17.0)
@@ -188,9 +190,9 @@ class MiwGoldenSpec extends AnyFunSuite {
     val data = Seq("a,x", "a,y", "a,x", "a,z", "b,q")
     val rows = run(fmt, data).collect().sortBy(_.getAs[String]("id"))
     val a = rows(0)
-    assert(a.getAs[Seq[String]]("u") == Seq("x", "y", "z"))
-    assert(a.getAs[Seq[String]]("uc") == Seq("x", "y", "z"))
-    assert(a.getAs[Seq[Long]]("uc_count") == Seq(2L, 1L, 1L))
+    assert(a.getAs[scala.collection.Seq[String]]("u").toSeq == Seq("x", "y", "z"))
+    assert(a.getAs[scala.collection.Seq[String]]("uc").toSeq == Seq("x", "y", "z"))
+    assert(a.getAs[scala.collection.Seq[Long]]("uc_count").toSeq == Seq(2L, 1L, 1L))
   }
 
   // ---- url normalization ----
