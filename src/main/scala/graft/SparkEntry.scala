@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Core, Dedup, Q, Similarity, Text}
+import graft.queries.{Apps, Core, Dedup, MiwGate, Q, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{Core, Dedup, Q, Similarity, Text}
 object SparkEntry {
 
   private def modules: Vector[Q] =
-    Core.entries ++ Dedup.entries ++ Similarity.entries ++ Text.entries
+    Core.entries ++ Dedup.entries ++ Similarity.entries ++ Text.entries ++
+      MiwGate.entries ++ Apps.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

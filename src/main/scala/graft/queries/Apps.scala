@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables._
+import graft.functions.ExactCols._
+
+/** The remaining Metis demo applications (SURVEY §2.10) as declarative
+  * Spark plans over the embeddings table: k-means assignment, PCA
+  * covariance, and hash-based string matching. (wordcount, histogram,
+  * linear regression live in Core as q16–q19.)
+  *
+  * k-means here is ONE assign+recenter step with fixed deterministic
+  * seeds (the reference's app/kmeans.cc loop is driver-side iteration
+  * of exactly this step — each iteration is a broadcast join + one
+  * shuffle of partial sums, the canonical distributed shape). PCA is
+  * the covariance matrix over leading dimensions, computed from
+  * exact integer sufficient statistics in one pass (the reference
+  * uses two MR passes; one suffices with the Σx·Σy form).
+  */
+object Apps {
+
+  private val ivCte =
+    """iv AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) v
+      FROM embeddings)"""
+
+  val entries: Vector[Q] = Vector(
+
+    // k-means: one assignment step, centroids = vectors 0..3
+    Q("q39_kmeans_assign", (s, d) => {
+      val iv = t(s, d, "embeddings")
+        .select(col("vec_id"), iscale(col("embedding")).as("v"))
+      val cents = iv.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // exact integer squared distance; argmin via struct-min (dist
+      // asc, cid asc) — no window, one partial+final aggregate
+      val dist = aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      iv.crossJoin(broadcast(cents))
+        .select(col("vec_id"), struct(dist.as("dist"), col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("best"))
+        .select(col("best.cid").as("cluster_id"), col("best.dist").as("dist"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("dist")).cast(DoubleType) / count(lit(1))).as("avg_dist"))
+        .orderBy(col("cluster_id"))
+    }, Some(s"""
+      WITH $ivCte,
+      c AS (SELECT vec_id cid, v cv FROM iv WHERE vec_id < 4),
+      assign AS (
+        SELECT vec_id, cid cluster_id, dist mdist FROM (
+          SELECT vec_id, cid, dist,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+          FROM (
+            SELECT iv.vec_id, c.cid,
+              CAST(list_sum(list_transform(generate_series(1, len(v)),
+                i -> (v[i]-cv[i]) * (v[i]-cv[i]))) AS BIGINT) dist
+            FROM iv, c) dd)
+        WHERE rn = 1)
+      SELECT cluster_id, count(*) AS n,
+             CAST(SUM(mdist) AS DOUBLE) / count(*) AS avg_dist
+      FROM assign GROUP BY 1 ORDER BY 1""")),
+
+    // PCA: covariance of the first 4 dimensions, single pass over
+    // exact integer sufficient statistics
+    Q("q40_pca_covariance", (s, d) => {
+      val iv = t(s, d, "embeddings")
+        .select((1 to 4).map(i => element_at(iscale(col("embedding")), i).as(s"x$i")): _*)
+      val n = count(lit(1)).cast(DoubleType)
+      val sums = (1 to 4).map(i => sum(col(s"x$i")).as(s"s$i"))
+      val prods = for { i <- 1 to 4; j <- i to 4 }
+        yield sum(col(s"x$i") * col(s"x$j")).as(s"p${i}$j")
+      val agged = iv.agg(n.as("n"), (sums ++ prods): _*)
+      val covs = for { i <- 1 to 4; j <- i to 4 } yield
+        ((col(s"p${i}$j").cast(DoubleType) -
+          (col(s"s$i").cast(DoubleType) * col(s"s$j").cast(DoubleType)) / col("n")) /
+          (col("n") - 1)).as(s"cov${i}$j")
+      agged.select(covs: _*)
+    }, Some {
+      val covs = (for { i <- 1 to 4; j <- i to 4 } yield
+        s"""(CAST(SUM(x$i*x$j) AS DOUBLE)
+             - (CAST(SUM(x$i) AS DOUBLE) * CAST(SUM(x$j) AS DOUBLE))
+               / CAST(COUNT(*) AS DOUBLE))
+            / (CAST(COUNT(*) AS DOUBLE) - 1) AS cov${i}$j""").mkString(", ")
+      s"""
+      WITH $ivCte
+      SELECT $covs
+      FROM (SELECT v[1] x1, v[2] x2, v[3] x3, v[4] x4 FROM iv)"""
+    }),
+
+    // string match via hash compare (app/string_match.cc: count lines
+    // whose hashed value equals hashed needles)
+    Q("q41_string_match_hash", (s, d) => {
+      val needles = Seq("{\"k\": 7}", "{\"k\": 1}", "{\"k\": 3}")
+      val hashes = needles.map { n =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(n.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      t(s, d, "events")
+        .withColumn("h", md5(col("props")))
+        .filter(col("h").isin(hashes: _*))
+        .groupBy(col("props"))
+        .agg(count(lit(1)).as("logs"))
+        .orderBy(col("props"))
+    }, Some("""
+      SELECT props, count(*) AS logs FROM events
+      WHERE md5(props) IN (md5('{"k": 7}'), md5('{"k": 1}'), md5('{"k": 3}'))
+      GROUP BY 1 ORDER BY 1"""))
+  )
+}
