@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The multimodal pipeline's Spark-side plumbing: schema, batch
+  * shape, determinism, distribution. The decode kernels are stubs
+  * (no codecs in this environment) but everything these tests pin
+  * down is what survives a real-decoder swap. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("ingest produces typed media records with byte payloads") {
+    val ds = Multimodal.ingest(docs, "doc_id", "text", "audio")
+    val n = docs.count()
+    assert(ds.count() == n)
+    val r = ds.filter(_.media_id == 0).head()
+    assert(r.meta.kind == "audio")
+    assert(r.payload.nonEmpty)
+    // payload is exactly the UTF-8 bytes of the source text
+    val txt = docs.filter("doc_id = 0").select("text").head().getString(0)
+    assert(java.util.Arrays.equals(r.payload, txt.getBytes("UTF-8")))
+  }
+
+  test("feature extraction: per-partition batches, fixed dim, L1-normalized, deterministic") {
+    val ds = Multimodal.ingest(docs, "doc_id", "text", "image").repartition(7)
+    val f1 = Multimodal.extractFeatures(ds, 16).collect().sortBy(_.media_id)
+    assert(f1.length == docs.count())
+    assert(f1.forall(_.features.length == 16))
+    // stub decoder L1-normalizes the histogram
+    assert(f1.forall(f => math.abs(f.features.sum - 1f) < 1e-3))
+    // deterministic across runs and partitionings
+    val f2 = Multimodal.extractFeatures(ds.repartition(3), 16).collect().sortBy(_.media_id)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  }
+
+  test("frame sampling: window count and content") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val frames = Multimodal.sampleFrames(payload, frameSize = 32, stride = 16)
+    assert(frames.length == (100 - 32) / 16 + 1)
+    assert(frames.head.toSeq == payload.slice(0, 32).toSeq)
+    assert(frames(1).toSeq == payload.slice(16, 48).toSeq)
+    // shorter than one frame -> no frames
+    assert(Multimodal.sampleFrames(new Array[Byte](10), 32, 16).isEmpty)
+  }
+
+  test("explodeFrames distributes one row per frame") {
+    val ds = Multimodal.ingest(docs.limit(20), "doc_id", "text", "video")
+    val expected = ds.collect()
+      .map(r => Multimodal.sampleFrames(r.payload, 64, 64).length).sum
+    assert(Multimodal.explodeFrames(ds, 64, 64).count() == expected)
+  }
+
+  test("resize truncates or zero-pads") {
+    val p = Array[Byte](1, 2, 3)
+    assert(Multimodal.resizePayload(p, 2).toSeq == Seq[Byte](1, 2))
+    assert(Multimodal.resizePayload(p, 5).toSeq == Seq[Byte](1, 2, 3, 0, 0))
+  }
+}

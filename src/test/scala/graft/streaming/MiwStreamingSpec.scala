@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.miw.LogFormat
+
+/** Incremental (streaming) aggregation = the reference's
+  * -merge_results loop (miw/job.cc:197-226): state carries across
+  * batches and per-key aggregates are re-merged as new lines arrive. */
+class MiwStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sumFmt = LogFormat.parse(
+    """{"format_name":"t","delims":",","fields":[
+        {"name":"k","pos":0,"type":"string","key":true},
+        {"name":"v","pos":1,"type":"int","aggregated":true,"aggregation":"sum"}]}""")
+
+  test("keyed aggregation state merges across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val q = MiwStreaming.aggregateStream(sumFmt, in.toDF())
+      .writeStream.format("memory").queryName("miw_inc")
+      .outputMode("complete").start()
+    try {
+      in.addData("a,1", "a,2", "b,10")
+      q.processAllAvailable()
+      val r1 = spark.table("miw_inc").collect()
+        .map(r => r.getAs[String]("id") -> r.getAs[Long]("v")).toMap
+      assert(r1 == Map("a" -> 3L, "b" -> 10L))
+
+      // second file/chunk arrives: previous state is re-merged, not reset
+      in.addData("a,4", "c,7")
+      q.processAllAvailable()
+      val r2 = spark.table("miw_inc").collect()
+        .map(r => r.getAs[String]("id") -> r.getAs[Long]("v")).toMap
+      assert(r2 == Map("a" -> 7L, "b" -> 10L, "c" -> 7L))
+      val logs = spark.table("miw_inc").collect()
+        .map(r => r.getAs[String]("id") -> r.getAs[Long]("logs")).toMap
+      assert(logs == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    } finally q.stop()
+  }
+
+  test("event-time tumbling window with watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val fmt = LogFormat.parse(
+      """{"format_name":"t","delims":",","fields":[
+          {"name":"ts","pos":0,"type":"string"},
+          {"name":"k","pos":1,"type":"string","key":true}]}""")
+    val in = MemoryStream[String]
+    val q = MiwStreaming.windowedAggregateStream(fmt, in.toDF(),
+        tsField = "ts", window = "10 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("miw_win")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        "2024-01-01 10:03:00,a", "2024-01-01 10:07:00,a",
+        "2024-01-01 10:13:00,a", "2024-01-01 10:04:00,b")
+      q.processAllAvailable()
+      val rows = spark.table("miw_win").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString.take(16),
+          r.getAs[String]("id")) -> r.getAs[Long]("logs")).toMap
+      assert(rows == Map(
+        ("2024-01-01 10:00", "a") -> 2L,
+        ("2024-01-01 10:10", "a") -> 1L,
+        ("2024-01-01 10:00", "b") -> 1L))
+    } finally q.stop()
+  }
+}
