@@ -42,15 +42,11 @@ object ExactCols {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  /** Word n-gram shingles (space-joined), optionally distinct.
-    * Guarded: fewer than n tokens → empty array (sequence(1,0) would
-    * count DOWN in Spark). */
-  def shingles(toks: Column, n: Int, distinct: Boolean): Column = {
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => array_join(slice(toks, i, lit(n)), " "))
-    val g = if (distinct) array_distinct(grams) else grams
-    when(size(toks) >= n, g).otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles (space-joined), optionally distinct —
+    * native single-pass expression (NGramExpr.WordNGrams); fewer than
+    * n tokens → empty array. */
+  def shingles(toks: Column, n: Int, distinct: Boolean): Column =
+    NGramExpr.wordNGrams(toks, n, distinct)
 
   /** float32 vector → int64 vector, scaled by 1e6 with HALF_UP
     * rounding (DuckDB: list_transform(v, x -> CAST(round(CAST(x AS
@@ -58,9 +54,12 @@ object ExactCols {
   def iscale(vec: Column): Column =
     transform(vec, x => round(x.cast(DoubleType) * 1000000d).cast(LongType))
 
-  /** Exact integer dot product of two int64 vectors. */
-  def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two int64 vectors — a native
+    * codegen Expression (VectorExprs.LongDot); the declarative
+    * zip_with+aggregate form is semantically identical but evaluates
+    * one interpreted closure per element, which dominates pair-join
+    * runtimes. */
+  def idot(a: Column, b: Column): Column = VectorExprs.longDot(a, b)
 
   /** Euclidean norm of an int64 vector (double, from an exact int). */
   def inorm(v: Column): Column = sqrt(idot(v, v).cast(DoubleType))

