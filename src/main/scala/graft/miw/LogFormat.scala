@@ -55,7 +55,12 @@ final case class LogFormat(
     quotechar: String,
     commentchar: String,
     appname: String,
-    fields: Vector[FieldSpec]) {
+    fields: Vector[FieldSpec],
+    /** Directory the format JSON was loaded from; match_file paths
+      * resolve against it (and its ancestors — the reference resolves
+      * them against the invoking binary's cwd, so shipped formats use
+      * paths like "../data/tests/x.txt"). */
+    sourceDir: Option[String] = None) {
 
   /** Fields with positions resolved exactly like the reference parse loop
     * (log_format.cc:247-257): `-1` takes previous-auto + 1; explicit
@@ -143,4 +148,18 @@ object LogFormat {
   def parseFile(path: String): LogFormat =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
+      .copy(sourceDir = Option(new java.io.File(path).getAbsoluteFile.getParent))
+
+  /** Resolve a match_file dictionary path: as given, else relative to
+    * the format's directory and each of its ancestors. */
+  def resolveDict(path: String, sourceDir: Option[String]): String = {
+    if (new java.io.File(path).exists()) return path
+    sourceDir.flatMap { dir =>
+      Iterator.iterate(new java.io.File(dir))(_.getParentFile)
+        .takeWhile(_ != null)
+        .map(a => new java.io.File(a, path))
+        .find(_.exists())
+        .map(_.getPath)
+    }.getOrElse(path)
+  }
 }

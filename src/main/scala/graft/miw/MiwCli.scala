@@ -1,0 +1,139 @@
+package graft.miw
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flag-compatible batch driver: the Spark rebuild of the `miw` CLI
+  * (app/miw.cc → miw/job.cc).
+  *
+  * Supported flags (gflags style, `-flag value` / `-flag=value` /
+  * `--flag`): -fnames, -format_name, -appname, -output_format
+  * (json|csv|plain|mem), -ofname, -ndisp, -skip_header,
+  * -store_content, -merge_results, -quiet, and accepted-but-
+  * redundant tuning flags (-nprocs, -map_tasks, -reduce_tasks,
+  * -autosplit, -memory_factor, -compressed, -tmp_save, -nchunks_split)
+  * — input splitting, task counts, spilling, and compression are
+  * Spark's job (AQE + shuffle + parquet codecs), so those flags are
+  * no-ops by design, not omissions.
+  *
+  * Semantics: each input file is an independent job (separate output,
+  * reference default); `-merge_results` unions all files into ONE
+  * aggregation — the distributed equivalent of the reference's
+  * incremental re-emit loop (miw/job.cc:197-226), with identical
+  * results by the monoid-merge property.
+  *
+  * Output lands at `<ofname>` as a single file for CLI parity
+  * (coalesce(1) — fine for grouped results, which are small relative
+  * to input; drop the coalesce to write a sharded directory at
+  * cluster scale).
+  */
+object MiwCli {
+
+  final case class Args(
+      fnames: Seq[String] = Nil,
+      formatName: String = "",
+      appname: String = "",
+      outputFormat: String = "json",
+      ofname: String = "",
+      ndisp: Int = 5,
+      skipHeader: Boolean = false,
+      storeContent: Boolean = false,
+      mergeResults: Boolean = false,
+      quiet: Boolean = true)
+
+  def parseArgs(argv: Array[String]): Args = {
+    var a = Args()
+    var i = 0
+    def boolVal(v: Option[String]): Boolean =
+      v.forall(s => s == "true" || s == "1" || s == "yes")
+    while (i < argv.length) {
+      val raw = argv(i).dropWhile(_ == '-')
+      val (flag, inline) = raw.indexOf('=') match {
+        case -1 => (raw, None)
+        case k  => (raw.substring(0, k), Some(raw.substring(k + 1)))
+      }
+      def value(): String = inline.getOrElse { i += 1; argv(i) }
+      flag match {
+        case "fnames"        => a = a.copy(fnames = value().split(",").filter(_.nonEmpty).toSeq)
+        case "format_name"   => a = a.copy(formatName = value())
+        case "appname"       => a = a.copy(appname = value())
+        case "output_format" => a = a.copy(outputFormat = value())
+        case "ofname"        => a = a.copy(ofname = value())
+        case "ndisp"         => a = a.copy(ndisp = value().toInt)
+        case "skip_header"   => a = a.copy(skipHeader = boolVal(inline))
+        case "store_content" => a = a.copy(storeContent = boolVal(inline))
+        case "merge_results" => a = a.copy(mergeResults = boolVal(inline))
+        case "quiet"         => a = a.copy(quiet = boolVal(inline))
+        case "nprocs" | "map_tasks" | "reduce_tasks" | "memory_factor" |
+             "nchunks_split" => if (inline.isEmpty) i += 1 // consumed, no-op
+        case "autosplit" | "compressed" | "tmp_save" => () // boolean no-ops
+        case other => System.err.println(s"[miw] ignoring unknown flag -$other")
+      }
+      i += 1
+    }
+    a
+  }
+
+  /** Run one aggregation over `paths`, format-driven. */
+  def runJob(spark: SparkSession, fmt: LogFormat, paths: Seq[String], a: Args): DataFrame =
+    MiwEngine.run(spark, fmt, paths,
+      MiwEngine.Options(skipHeader = a.skipHeader, storeContent = a.storeContent))
+
+  private def writeOut(df: DataFrame, a: Args, suffix: String): Unit = {
+    val lines = a.outputFormat match {
+      case "csv"            => Output.csvLines(df)
+      case "plain" | "text" => Output.textLines(df)
+      case _                => Output.jsonLines(df)
+    }
+    if (a.ofname.nonEmpty) {
+      val target = if (suffix.isEmpty) a.ofname else s"${a.ofname}.$suffix"
+      val header = if (a.outputFormat == "csv") Seq(Output.csvHeader(df)) else Nil
+      val body = lines.collect().toSeq // grouped result: small by construction
+      val out = new java.io.PrintWriter(target)
+      try (header ++ body).foreach(out.println) finally out.close()
+    } else lines.collect().foreach(println)
+  }
+
+  private def printTop(df: DataFrame, ndisp: Int): Unit = {
+    val agg = df.agg(count(lit(1)), sum(col("logs"))).head()
+    val keys = agg.getLong(0)
+    val logs = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    println(f"%nlogs preprocessing: results (TOP $ndisp from $keys keys, $logs logs):")
+    MiwEngine.topK(df, ndisp).collect().foreach { r =>
+      println(f"${r.getAs[Any]("id")}%45s - ${r.getAs[Long]("logs")}")
+    }
+    println()
+  }
+
+  def execute(spark: SparkSession, argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    require(a.fnames.nonEmpty, "-fnames is required")
+    require(a.formatName.nonEmpty, "-format_name is required")
+    val base = LogFormat.parseFile(a.formatName)
+    val fmt = if (a.appname.nonEmpty) base.copy(appname = a.appname) else base
+    if (a.mergeResults || a.fnames.size == 1) {
+      val df = runJob(spark, fmt, a.fnames, a)
+      if (!a.quiet) printTop(df, a.ndisp)
+      if (a.outputFormat != "mem") writeOut(df, a, "")
+    } else {
+      // reference default: one independent job + output per file
+      a.fnames.zipWithIndex.foreach { case (f, idx) =>
+        val df = runJob(spark, fmt, Seq(f), a)
+        if (!a.quiet) printTop(df, a.ndisp)
+        if (a.outputFormat != "mem") writeOut(df, a, if (idx == 0) "" else idx.toString)
+      }
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try execute(spark, argv) finally spark.stop()
+  }
+}

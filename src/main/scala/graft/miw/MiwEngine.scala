@@ -36,6 +36,10 @@ object MiwEngine {
       skipHeader: Boolean = false,
       storeContent: Boolean = false)
 
+  /** Backtick-quoted column ref: format field names may contain dots
+    * ("H.323 message") or other chars col() would parse. */
+  private def fcol(name: String): Column = col("`" + name + "`")
+
   /** Internal working column names (never collide with format fields). */
   private val KEY = "__miw_key"
   private val TOKENS = "__miw_tokens"
@@ -102,7 +106,8 @@ object MiwEngine {
           // dictionary loaded once at plan build; small sets inline into
           // the predicate (broadcast with the plan), mirroring the
           // reference's share-across-threads cache (log_format.cc:283-311)
-          scala.io.Source.fromFile(path).mkString.split("\\s+").filter(_.nonEmpty).toSeq
+          scala.io.Source.fromFile(LogFormat.resolveDict(path, fmt.sourceDir))
+            .mkString.split("\\s+").filter(_.nonEmpty).toSeq
         case None => m.matchStr.toSeq
       }
       if (terms.nonEmpty) {
@@ -193,7 +198,7 @@ object MiwEngine {
       .flatMap(f => Seq(f.numerator, f.denominator)).filter(_ != "logs").toSet
 
     for (f <- fields if f.aggregation != "ratio") {
-      val c = col(f.name)
+      val c = fcol(f.name)
       if (f.filterType == "contain") {
         // non-aggregated filter_contain indicators force sum
         // (log_record.cc:296-299)
@@ -231,9 +236,11 @@ object MiwEngine {
         case _ => aggs += min(c).as(f.name)
       }
       if (f.preprocessing == "evtxcsv" || f.preprocessing == "evtxcsv2")
-        aggs += min(col(f.name + "_kv")).as(f.name + "_kv")
+        // maps are not orderable: deterministic pick via min_by on the
+        // source string value (reference keeps a thread-race "first")
+        aggs += min_by(fcol(f.name + "_kv"), c).as(f.name + "_kv")
       if (f.preprocessing == "microsoftdnslogs")
-        aggs += min(col(f.name + "_dns")).as(f.name + "_dns")
+        aggs += min(fcol(f.name + "_dns")).as(f.name + "_dns")
     }
     if (opts.storeContent)
       aggs += collect_list(col("__miw_content")).as("content")
@@ -248,7 +255,7 @@ object MiwEngine {
     // union_count maps → parallel sorted value/count arrays
     // (emitted as <name> + <name>_count, log_record.cc:611-615)
     for (f <- fields if f.aggregation == "union_count" && f.aggregated) {
-      val m = col("__uc_" + f.name)
+      val m = fcol("__uc_" + f.name)
       val keys = array_sort(map_keys(m))
       out = out
         .withColumn(f.name, keys)
@@ -267,7 +274,7 @@ object MiwEngine {
           val base = src match {
             case Some(s) if s.aggregation == "mean" || s.aggregation == "variance" =>
               col("__sum_" + name)
-            case _ => col(name)
+            case _ => fcol(name)
           }
           base.cast(FloatType)
         }
@@ -286,9 +293,9 @@ object MiwEngine {
     // value + last time-kind value, joined with T…Z
     val dateFields = fields.filter(f => f.ftype == "date")
     val timeFields = fields.filter(f => f.ftype == "time")
-    val dateVal = dateFields.lastOption.map(f => col(f.name).cast("string"))
+    val dateVal = dateFields.lastOption.map(f => fcol(f.name).cast("string"))
       .getOrElse(lit("0000-00-00"))
-    val timeVal = timeFields.lastOption.map(f => col(f.name).cast("string"))
+    val timeVal = timeFields.lastOption.map(f => fcol(f.name).cast("string"))
       .getOrElse(lit("00:00:00"))
     out = out
       .withColumn("format_name", lit(fmt.formatName))

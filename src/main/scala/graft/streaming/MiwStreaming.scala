@@ -34,7 +34,7 @@ object MiwStreaming {
     val aggs = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
     aggs += count(lit(1)).as("logs")
     for (f <- fmt.resolvedFields if f.aggregation != "ratio") {
-      val c = col(f.name)
+      val c = col("`" + f.name + "`")
       if (f.filterType == "contain") aggs += sum(c).as(f.name)
       else if (!f.aggregated || f.aggregation.isEmpty) aggs += min(c).as(f.name)
       else f.aggregation match {

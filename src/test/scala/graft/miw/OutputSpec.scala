@@ -1,0 +1,116 @@
+package graft.miw
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Sink formatting contracts: jsoncpp %.17g doubles, alphabetical
+  * keys, reference CSV array rendering, `key - n` text. */
+class OutputSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def run(formatJson: String, lines: Seq[String]) =
+    MiwEngine.runOnLines(spark, LogFormat.parse(formatJson), lines)
+
+  test("formatG matches C %.17g / %g on the golden values") {
+    assert(Output.formatG(1.8666666666666671, 17) == "1.8666666666666671")
+    assert(Output.formatG(2.6666666666666665, 17) == "2.6666666666666665")
+    assert(Output.formatG(17.0, 17) == "17.000000000000000".toDouble.toInt.toString
+      || Output.formatG(17.0, 17) == "17")
+    assert(Output.formatG(0.5714285969734192, 17) == "0.57142859697341919")
+    assert(Output.formatG(16.0, 17) == "16")
+    assert(Output.formatG(0.25, 6) == "0.25")
+    assert(Output.formatG(1234567.0, 6) == "1.23457e+06")
+  }
+
+  test("jsonLines: golden sum fixture values and alphabetical keys") {
+    val fmt = """{"format_name":"t","delims":",","fields":[
+        {"name":"k","pos":0,"type":"string","key":true},
+        {"name":"v1","pos":1,"type":"int","aggregated":true,"aggregation":"sum"},
+        {"name":"v2","pos":2,"type":"float","aggregated":true,"aggregation":"sum"}]}"""
+    val data = Seq("1,3,3.5", "1,1,1.0", "1,5,5.0", "1,3,3.5", "1,2,2.0", "1,2,2.0")
+    val line = Output.jsonLines(run(fmt, data)).collect().head
+    assert(line.contains("\"v1\":16"))
+    assert(line.contains("\"v2\":17"))
+    assert(line.contains("\"logs\":6"))
+    assert(line.contains("\"id\":\"1\""))
+    // alphabetical key order (jsoncpp std::map)
+    val keys = "\"([a-z_0-9]+)\":".r.findAllMatchIn(line).map(_.group(1)).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("jsonLines: variance prints 17 significant digits") {
+    val fmt = """{"format_name":"t","delims":",","fields":[
+        {"name":"k","pos":0,"type":"string","key":true},
+        {"name":"var","pos":1,"type":"float","aggregated":true,"aggregation":"variance"}]}"""
+    val data = Seq("1,3", "1,1", "1,5", "1,3", "1,2", "1,2")
+    val line = Output.jsonLines(run(fmt, data)).collect().head
+    assert(line.contains("\"var\":1.8666666666666671"))
+  }
+
+  test("csvLines: strings quoted, arrays rendered [a,b] with separators stripped") {
+    val fmt = """{"format_name":"t","delims":";","fields":[
+        {"name":"k","pos":0,"type":"string","key":true},
+        {"name":"u","pos":1,"type":"string","aggregated":true,"aggregation":"union"}]}"""
+    val data = Seq("a;x,1", "a;y", "b;q")
+    val df = run(fmt, data)
+    val lines = Output.csvLines(df).collect().sorted
+    val header = Output.csvHeader(df)
+    assert(header == df.schema.fieldNames.sorted.mkString(","))
+    // value "x,1" keeps membership but loses the comma inside the array
+    val aLine = lines.find(_.contains("\"a\"")).get
+    assert(aLine.contains("\"[x1,y]\""))
+  }
+
+  test("textLines: key - count") {
+    val fmt = """{"format_name":"t","delims":",","fields":[
+        {"name":"k","pos":0,"type":"string","key":true}]}"""
+    val lines = Output.textLines(run(fmt, Seq("a", "a", "b"))).collect().sorted
+    assert(lines.toSeq == Seq("a - 2", "b - 1"))
+  }
+
+  test("cli: end-to-end json job over temp files, merge_results") {
+    val dir = java.nio.file.Files.createTempDirectory("miwcli").toFile
+    val f1 = new java.io.File(dir, "a.log"); val f2 = new java.io.File(dir, "b.log")
+    val fmtFile = new java.io.File(dir, "fmt.json")
+    def write(f: java.io.File, s: String): Unit = {
+      val w = new java.io.PrintWriter(f); try w.print(s) finally w.close()
+    }
+    write(f1, "x,1\nx,2\n"); write(f2, "x,4\ny,10\n")
+    write(fmtFile, """{"format_name":"t","delims":",","fields":[
+        {"name":"k","pos":0,"type":"string","key":true},
+        {"name":"v","pos":1,"type":"int","aggregated":true,"aggregation":"sum"}]}""")
+    val out = new java.io.File(dir, "out.json")
+    MiwCli.execute(spark, Array(
+      "-fnames", s"${f1.getPath},${f2.getPath}",
+      "-format_name", fmtFile.getPath,
+      "-output_format", "json", "-ofname", out.getPath,
+      "-merge_results", "-quiet"))
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(lines.size == 2)
+    val x = lines.find(_.contains("\"id\":\"x\"")).get
+    assert(x.contains("\"v\":7") && x.contains("\"logs\":3"))
+    val y = lines.find(_.contains("\"id\":\"y\"")).get
+    assert(y.contains("\"v\":10") && y.contains("\"logs\":1"))
+  }
+
+  test("cli: per-file independent outputs by default") {
+    val dir = java.nio.file.Files.createTempDirectory("miwcli2").toFile
+    val f1 = new java.io.File(dir, "a.log"); val f2 = new java.io.File(dir, "b.log")
+    val fmtFile = new java.io.File(dir, "fmt.json")
+    def write(f: java.io.File, s: String): Unit = {
+      val w = new java.io.PrintWriter(f); try w.print(s) finally w.close()
+    }
+    write(f1, "x\nx\n"); write(f2, "x\n")
+    write(fmtFile, """{"format_name":"t","delims":",","fields":[
+        {"name":"k","pos":0,"type":"string","key":true}]}""")
+    val out = new java.io.File(dir, "out.txt")
+    MiwCli.execute(spark, Array(
+      "-fnames", s"${f1.getPath},${f2.getPath}",
+      "-format_name", fmtFile.getPath,
+      "-output_format", "plain", "-ofname", out.getPath, "-quiet"))
+    assert(scala.io.Source.fromFile(out).getLines().toSeq == Seq("x - 2"))
+    assert(scala.io.Source.fromFile(new java.io.File(dir, "out.txt.1"))
+      .getLines().toSeq == Seq("x - 1"))
+  }
+}
