@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native kernels through the SQL registration surface, plus
+  * direct-eval/codegen agreement. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("registered SQL functions evaluate the native kernels") {
+    GraftExtensions.registerOn(spark)
+    val r = spark.sql(
+      """SELECT long_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d,
+                long_sq_dist(array(1L,2L), array(4L,6L)) AS s,
+                word_ngrams(array('a','b','c','d'), 2, false) AS g,
+                word_ngrams(array('a','b','a','b'), 2, true) AS gd""").head()
+    assert(r.getAs[Long]("d") == 32L)
+    assert(r.getAs[Long]("s") == 25L)
+    assert(r.getAs[scala.collection.Seq[String]]("g").toSeq ==
+      Seq("a b", "b c", "c d"))
+    assert(r.getAs[scala.collection.Seq[String]]("gd").toSeq ==
+      Seq("a b", "b a"))
+  }
+
+  test("extension injector exposes the same function set") {
+    val names = GraftExtensions.functions.map(_._1)
+    assert(names == Seq("long_dot", "long_sq_dist", "word_ngrams"))
+    // constructing the injector must not throw
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("kernel eval matches the declarative zip_with/aggregate forms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(100).select(
+      transform(sequence(lit(1), lit(64)), i => i * (col("id") + 1)).as("a"),
+      transform(sequence(lit(1), lit(64)), i => i + col("id")).as("b"))
+    val both = df.select(
+      graft.functions.VectorExprs.longDot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+}

@@ -237,4 +237,20 @@ class MiwGoldenSpec extends AnyFunSuite {
     val r = run(fmt, data).collect().head
     assert(r.getAs[String]("std_date_dt") == "2014-1-7T09Z")
   }
+
+  // ---- production format over the shipped sample: proxy=2 groups
+  //      (the disabled integration test, ut-mr-parsing.cc:37-49; the
+  //      shipped file holds 4 data lines — 2 per user — despite its
+  //      name, so 2 groups × 2 logs) ----
+  test("proxy_format over web_proxy_10lines.log yields the 2 reference groups") {
+    val fmtFile = "/root/reference/miw/formats/proxy_format.json"
+    val dataFile = "/root/reference/data/web_proxy_10lines.log"
+    assume(new java.io.File(fmtFile).exists() && new java.io.File(dataFile).exists())
+    val fmt = LogFormat.parseFile(fmtFile)
+    val rows = MiwEngine.run(spark, fmt, Seq(dataFile)).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("logs")).sorted.toSeq == Seq(2L, 2L))
+    // day-bucketed unpadded date is part of each composite key
+    assert(rows.forall(_.getAs[String]("id").contains("2012-11-30")))
+  }
 }
