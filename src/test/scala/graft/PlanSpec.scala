@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that make these
+  * queries survive a 100×–1000× scale-up are pinned here so a
+  * refactor can't silently regress them (a query that still returns
+  * correct rows but full-scans or cross-joins would pass the value
+  * gate and fail at cluster scale).
+  */
+class PlanSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.toString
+
+  test("q01: column pruning reaches the lineitem scan") {
+    val p = plan("q01_agg_basic")
+    // scan must read only the 4 referenced columns, not all 16
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("l_returnflag"))
+    assert(!scan.contains("l_shipdate"), s"unpruned scan: $scan")
+  }
+
+  test("q03: predicate pushdown reaches the events scan") {
+    val p = plan("q03_match_exact_in")
+    assert(p.contains("PushedFilters: [In(event_type"), p)
+  }
+
+  test("q06/q08: dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan("q06_semi_join").contains("BroadcastHashJoin"))
+    val p8 = plan("q08_join_broadcast")
+    assert(p8.contains("BroadcastHashJoin") && !p8.contains("SortMergeJoin"), p8)
+  }
+
+  test("q09: star join keeps small dims broadcast") {
+    val p = plan("q09_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q24/q26: LSH candidate joins are equi-joins, never cartesian") {
+    for (q <- Seq("q24_dedup_minhash_lsh", "q26_dedup_simhash_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q cartesian fallback: $p")
+    }
+  }
+
+  test("q27 is the documented brute-force baseline (nested-loop by design)") {
+    assert(plan("q27_dedup_embedding").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q29: LSH bucket join is an equi hash join") {
+    val p = plan("q29_ann_lsh_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregations run partial+final (map-side combine before shuffle)") {
+    for (q <- Seq("q01_agg_basic", "q16_wordcount", "q23_minhash_sig")) {
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q lacks partial agg: $p")
+    }
+  }
+
+  test("core agg query stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q01_agg_basic")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators fused into whole-stage codegen
+    assert(p.contains("*("), p)
+  }
+}
