@@ -111,6 +111,76 @@ object Similarity {
                  q(vec_id, qv, qn, qb),
                b n
           WHERE n.bucket = q.qb AND n.vec_id <> q.vec_id))
+      WHERE rk <= 3 ORDER BY query_id, rk""")),
+
+    // IVF-style ANN: coarse quantizer = 8 fixed centroids (vectors
+    // 0..7); every vector is assigned to its nearest centroid (exact
+    // int L2 via the LongSqDist kernel), queries probe their 2 nearest
+    // cells, exact cosine re-ranks within the probed cells. The
+    // inverted-file shape: one broadcast of K centroids, one shuffle
+    // on cell id, compare count |Q|·(2/K of n) — the standard recall/
+    // cost dial (nprobe) without any index structure Spark lacks.
+    Q("q45_ann_ivf_topk", (s, d) => {
+      import graft.functions.VectorExprs.longSqDist
+      val iv = t(s, d, "embeddings")
+        .select(col("vec_id"), iscale(col("embedding")).as("v"))
+        .withColumn("nrm", inorm(col("v")))
+      val cents = iv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // cell assignment: argmin over centroids (struct-min, exact ints)
+      val assigned = iv.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          struct(longSqDist(col("v"), col("cv")).as("d"), col("cid")).as("dc"))
+        .groupBy(col("vec_id"), col("v"), col("nrm"))
+        .agg(min(col("dc")).as("best"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("best.cid").as("cell"))
+      // queries probe their 2 nearest cells
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cd"), col("pcell"))
+      val probes = iv.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"), col("qv"), col("qn"),
+          longSqDist(col("qv"), col("cv")).as("cd"), col("cid").as("pcell"))
+        .withColumn("pr", row_number().over(w2))
+        .filter(col("pr") <= 2)
+        .select(col("query_id"), col("qv"), col("qn"), col("pcell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+      assigned.join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", icosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("query_id"), col("rk"))
+    }, Some(s"""
+      WITH $ivCte,
+      c AS (SELECT vec_id cid, v cv FROM iv WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, v, nrm, cid cell FROM (
+          SELECT n.vec_id, n.v, n.nrm, c.cid,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              CAST(list_sum(list_transform(generate_series(1,len(n.v)),
+                i -> (n.v[i]-c.cv[i])*(n.v[i]-c.cv[i]))) AS BIGINT), c.cid) rn
+          FROM n, c) WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qv, qn, pcell FROM (
+          SELECT q.vec_id query_id, q.v qv, q.nrm qn, c.cid pcell,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              CAST(list_sum(list_transform(generate_series(1,len(q.v)),
+                i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) AS BIGINT), c.cid) pr
+          FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q, c) WHERE pr <= 2)
+      SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) rk
+        FROM (
+          SELECT q.query_id, n.vec_id neighbor_id,
+            CAST(list_sum(list_transform(generate_series(1,len(q.qv)),
+              i -> q.qv[i]*n.v[i])) AS DOUBLE)/(q.qn*n.nrm) cosine
+          FROM probes q, assigned n
+          WHERE n.cell = q.pcell AND n.vec_id <> q.query_id))
       WHERE rk <= 3 ORDER BY query_id, rk"""))
   )
 }
