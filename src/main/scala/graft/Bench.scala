@@ -12,11 +12,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM/codegen/parquet-footer init paid outside the timings
     // (otherwise the first query measured absorbs ~5 s of session setup)
-    try SparkEntry.queries("q01_agg_basic")(spark, sfDir).count()
+    try SparkEntry.queries("q01_agg_basic")(spark, sfDir).foreach(_ => ())
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // foreach forces FULL evaluation of every output column —
+      // count() would let Catalyst prune the per-row compute of
+      // projection-only queries and overstate throughput
+      try { fn(spark, sfDir).foreach(_ => ()) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
