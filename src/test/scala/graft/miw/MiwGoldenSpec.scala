@@ -238,6 +238,31 @@ class MiwGoldenSpec extends AnyFunSuite {
     assert(r.getAs[String]("std_date_dt") == "2014-1-7T09Z")
   }
 
+  // ---- evtx preprocessing through the full engine pipeline ----
+  test("evtxcsv preprocessing emits the parsed kv map beside the raw field") {
+    val fmtSemi = """{"format_name":"t","delims":";","fields":[
+         {"name":"k","pos":0,"type":"string","key":true},
+         {"name":"blob","pos":1,"type":"string","preprocessing":"evtxcsv"}]}"""
+    val data = Seq("a;x -> k1 = v1 k2 = v2", "a;x -> k1 = v1 k2 = v2")
+    val r = MiwEngine.runOnLines(spark, LogFormat.parse(fmtSemi), data).collect().head
+    val kv = r.getAs[Map[String, String]]("blob_kv")
+    assert(kv == Map("k1" -> "v1", "k2" -> "v2"))
+    assert(r.getAs[Long]("logs") == 2L)
+  }
+
+  // ---- store_content retains raw lines per group ----
+  test("store_content collects the group's raw lines") {
+    val fmt = LogFormat.parse(
+      """{"format_name":"t","delims":",","fields":[
+          {"name":"k","pos":0,"type":"string","key":true}]}""")
+    val rows = MiwEngine.runOnLines(spark, fmt, Seq("a,1", "a,2", "b,9"),
+      MiwEngine.Options(storeContent = true)).collect()
+    val a = rows.find(_.getAs[String]("id") == "a").get
+    assert(a.getAs[scala.collection.Seq[String]]("content").sorted == Seq("a,1", "a,2"))
+    val b = rows.find(_.getAs[String]("id") == "b").get
+    assert(b.getAs[scala.collection.Seq[String]]("content").toSeq == Seq("b,9"))
+  }
+
   // ---- production format over the shipped sample: proxy=2 groups
   //      (the disabled integration test, ut-mr-parsing.cc:37-49; the
   //      shipped file holds 4 data lines — 2 per user — despite its
