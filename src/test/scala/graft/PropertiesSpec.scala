@@ -1,0 +1,85 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.UnionCount
+import graft.miw.{Output, Tokenizer}
+
+/** Property-based invariants. The merge laws are what make the
+  * distributed engine correct: Spark may split, reorder, and regroup
+  * partial aggregates arbitrarily, so every custom merge must be a
+  * commutative monoid — checked here over random data rather than
+  * hand-picked examples. */
+class PropertiesSpec extends AnyFunSuite {
+
+  /** Deterministic mini-forAll: 200 seeded samples per property (the
+    * scalatest-scalacheck bridge isn't in the offline dep set). */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until 200).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2))(t => f(t._1, t._2))
+  private def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(g1, g2, g3))(t => f(t._1, t._2, t._3))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  test("UnionCount merge is commutative, associative, with identity zero") {
+    val mapGen = Gen.mapOf(Gen.zip(word, Gen.choose(1L, 100L)))
+    forAll(mapGen, mapGen, mapGen) { (a, b, c) =>
+      assert(UnionCount.merge(a, b) == UnionCount.merge(b, a))
+      assert(UnionCount.merge(UnionCount.merge(a, b), c) ==
+        UnionCount.merge(a, UnionCount.merge(b, c)))
+      assert(UnionCount.merge(a, UnionCount.zero) == a)
+    }
+  }
+
+  test("UnionCount reduce-then-merge equals any split of the input") {
+    forAll(Gen.listOf(word), Gen.choose(0, 50)) { (vals, cut0) =>
+      val cut = if (vals.isEmpty) 0 else cut0 % (vals.length + 1)
+      val (l, r) = vals.splitAt(cut)
+      val whole = vals.foldLeft(UnionCount.zero)(UnionCount.reduce)
+      val split = UnionCount.merge(
+        l.foldLeft(UnionCount.zero)(UnionCount.reduce),
+        r.foldLeft(UnionCount.zero)(UnionCount.reduce))
+      assert(whole == split)
+    }
+  }
+
+  test("simpleSplit: tokens contain no delimiters, no empties, and preserve content") {
+    val delims = ",;"
+    val lineGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', ';')))
+      .map(_.mkString)
+    forAll(lineGen) { line =>
+      val toks = Tokenizer.simpleSplit(line, delims)
+      assert(toks.forall(t => t.nonEmpty && !t.exists(delims.contains(_))))
+      assert(toks.mkString == line.filterNot(delims.contains(_)))
+    }
+  }
+
+  test("quotedSplit equals simpleSplit on quote-free input") {
+    val lineGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(','))).map(_.mkString)
+    forAll(lineGen) { line =>
+      assert(Tokenizer.quotedSplit(line, ",", '"') == Tokenizer.simpleSplit(line, ","))
+    }
+  }
+
+  test("formatG round-trips: parsing the output recovers the double at 17 sig digits") {
+    forAll(Gen.chooseNum(-1e18, 1e18)) { d =>
+      val s = Output.formatG(d, 17)
+      // 17 significant decimal digits uniquely identify a double
+      assert(java.lang.Double.parseDouble(s) == d, s"$d -> $s")
+    }
+  }
+
+  test("formatG(_, 6) matches C %g on representative values") {
+    // spot contract (full C comparison lives in OutputSpec goldens)
+    assert(Output.formatG(0.0001, 6) == "0.0001")
+    assert(Output.formatG(0.00001, 6) == "1e-05")
+    assert(Output.formatG(123456789.0, 6) == "1.23457e+08")
+    assert(Output.formatG(-2.5, 6) == "-2.5")
+  }
+}
