@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** General-analytics coverage beyond the reference's single
+  * hard-grouping: exact percentiles, running window frames,
+  * ROLLUP grouping sets, and pivot — all still one-shuffle plans.
+  *
+  * Percentiles use an integer source column at dyadic fractions
+  * (.25/.5/.75): linear interpolation then lands on exactly-
+  * representable doubles, so Spark's `percentile` and DuckDB's
+  * `quantile_cont` agree bitwise regardless of their interpolation
+  * formula order. (Exact percentile is a sort-based aggregate — fine
+  * per group; the 100 TB path for global quantiles is
+  * approx_percentile/t-digest, which has no cross-engine oracle.)
+  */
+object Analytics {
+
+  val entries: Vector[Q] = Vector(
+
+    // exact quartiles of an integer column per group
+    Q("q46_percentiles", (s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("logs"),
+          expr("percentile(user_id, 0.25)").as("p25"),
+          expr("percentile(user_id, 0.5)").as("p50"),
+          expr("percentile(user_id, 0.75)").as("p75"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, count(*) AS logs,
+             quantile_cont(user_id, 0.25) AS p25,
+             quantile_cont(user_id, 0.5)  AS p50,
+             quantile_cont(user_id, 0.75) AS p75
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // running cumulative frame + lag over per-day aggregates
+    Q("q47_running_window", (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("logs"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("running",
+          sum(col("logs")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("delta",
+          col("logs") - coalesce(lag(col("logs"), 1).over(w), lit(0L)))
+        .orderBy(col("event_type"), col("day"))
+    }, Some("""
+      SELECT event_type, day, logs,
+             CAST(SUM(logs) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running,
+             logs - COALESCE(lag(logs, 1) OVER (PARTITION BY event_type ORDER BY day), 0)
+               AS delta
+      FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS logs
+            FROM events GROUP BY 1, 2)
+      ORDER BY event_type, day""")),
+
+    // ROLLUP: per-(flag,status), per-flag subtotals, grand total
+    Q("q48_rollup", (s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("logs"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS logs,
+             ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // pivot event types into columns (explicit value list: one
+    // aggregation, no second scan for value discovery)
+    Q("q49_pivot", (s, d) => {
+      t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))
+    }, Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(SUM(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(SUM(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY 1 ORDER BY 1"""))
+  )
+}
