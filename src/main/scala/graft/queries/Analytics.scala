@@ -89,6 +89,26 @@ object Analytics {
              CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
              CAST(SUM(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
              CAST(SUM(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
-      FROM events GROUP BY 1 ORDER BY 1"""))
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // the custom TopKPerKey physical operator (partial bounded-heap →
+    // shuffle → final bounded-heap; see graft.plans.TopKPerKey) —
+    // same semantics as q22's window formulation, no per-partition sort
+    Q("q50_topk_operator", (s, d) => {
+      val agg = t(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(dsum(col("value")).as("sum_value"))
+      graft.plans.TopK.perKey(agg,
+          keys = Seq(col("event_type")),
+          order = Seq(col("sum_value").desc, col("user_id").asc), k = 3)
+        .orderBy(col("event_type"), col("sum_value").desc, col("user_id"))
+    }, Some(s"""
+      SELECT event_type, user_id, sum_value FROM (
+        SELECT event_type, user_id, sum_value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY sum_value DESC, user_id ASC) AS rn
+        FROM (SELECT event_type, user_id, ${sqlDsum("value")} AS sum_value
+              FROM events GROUP BY 1, 2))
+      WHERE rn <= 3 ORDER BY event_type, sum_value DESC, user_id"""))
   )
 }

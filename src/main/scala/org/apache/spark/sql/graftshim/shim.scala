@@ -12,4 +12,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Like [[expression]], but eagerly converts every lazy
+    * ColumnNodeExpression wrapper to its catalyst form. The lazy
+    * wrapper holds the sql.internal column node, which is NOT
+    * java-serializable — an expression captured in a task closure
+    * (e.g. by a custom SparkPlan) must be fully converted first. */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.GraftClassicShim.eager(
+      ExpressionUtils.expression(c))
+
+  /** DataFrame from a logical plan (Dataset.ofRows is private[sql]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
