@@ -72,11 +72,15 @@ object Tokenizer {
     }
 
   /** Column of array&lt;string&gt; tokens for `line`. Codegen-friendly
-    * regex split when no quotechar; scanner UDF otherwise. */
+    * regex split when no quotechar; the native UTF8String scanner
+    * expression (graft.functions.QuotedTokenize — same semantics as
+    * [[quotedSplit]], no boxing) otherwise. */
   def tokensCol(line: Column, delims: String, quotechar: String): Column =
     if (quotechar.isEmpty) {
       val cls = "[" + escapeForCharClass(delims) + "]"
       filter(split(line, cls), t => t =!= lit(""))
+    } else if (delims.forall(_ < 0x80)) {
+      graft.functions.TokenizeExpr.quotedTokenize(line, delims, quotechar.charAt(0))
     } else {
       val q = quotechar.charAt(0)
       val f = udf((s: String) =>
