@@ -43,6 +43,28 @@ class MiwStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: files appearing in a directory feed the pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("miwstream").toFile
+    def writeFile(name: String, s: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      try w.print(s) finally w.close()
+    }
+    writeFile("f1.log", "a,1\na,2\n")
+    val q = MiwStreaming.runOnDirectory(spark, sumFmt, dir.getPath)
+      .writeStream.format("memory").queryName("miw_files")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("miw_files").collect()
+        .map(r => r.getAs[String]("id") -> r.getAs[Long]("v")).toMap == Map("a" -> 3L))
+      writeFile("f2.log", "a,10\nb,5\n")
+      q.processAllAvailable()
+      assert(spark.table("miw_files").collect()
+        .map(r => r.getAs[String]("id") -> r.getAs[Long]("v")).toMap ==
+        Map("a" -> 13L, "b" -> 5L))
+    } finally q.stop()
+  }
+
   test("event-time tumbling window with watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
