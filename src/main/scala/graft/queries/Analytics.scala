@@ -109,6 +109,45 @@ object Analytics {
                                   ORDER BY sum_value DESC, user_id ASC) AS rn
         FROM (SELECT event_type, user_id, ${sqlDsum("value")} AS sum_value
               FROM events GROUP BY 1, 2))
-      WHERE rn <= 3 ORDER BY event_type, sum_value DESC, user_id"""))
+      WHERE rn <= 3 ORDER BY event_type, sum_value DESC, user_id""")),
+
+    // set ops the reference lacks (SURVEY §2.7): INTERSECT / EXCEPT
+    Q("q51_intersect", (s, d) => {
+      val ev = t(s, d, "events")
+      def users(kind: String) =
+        ev.filter(col("event_type") === kind).select(col("user_id")).distinct()
+      users("signup").intersect(users("purchase"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT DISTINCT user_id FROM events WHERE event_type='signup'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+      ORDER BY user_id""")),
+
+    Q("q52_except", (s, d) => {
+      val ev = t(s, d, "events")
+      def buyers(minV: Int) = ev
+        .filter(col("event_type") === "purchase" && col("value") > minV)
+        .select(col("user_id")).distinct()
+      // mid-value buyers who never made a high-value purchase
+      buyers(100).except(buyers(300))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT DISTINCT user_id FROM events WHERE event_type='purchase' AND value > 100
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type='purchase' AND value > 300
+      ORDER BY user_id""")),
+
+    // CUBE: all grouping-set combinations
+    Q("q53_cube", (s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("logs"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }, Some("""
+      SELECT o_orderpriority, o_orderstatus, count(*) AS logs
+      FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
   )
 }
