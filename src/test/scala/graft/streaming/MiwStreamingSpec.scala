@@ -43,6 +43,39 @@ class MiwStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch snapshots partial state per batch (the -tmp_save analog)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val snapDir = java.nio.file.Files.createTempDirectory("miwsnap").toFile
+    val q = MiwStreaming.aggregateStream(sumFmt, in.toDF())
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        // timestamped CSV of the running state after each file/chunk
+        // (reference: mr_job.h:147-177), rendered by the reference-
+        // format CSV sink
+        val lines = graft.miw.Output.csvLines(batch.toDF()).collect()
+        val w = new java.io.PrintWriter(new java.io.File(snapDir, s"snap_$id.csv"))
+        try { w.println(graft.miw.Output.csvHeader(batch.toDF())); lines.foreach(w.println) }
+        finally w.close()
+      }
+      .start()
+    try {
+      in.addData("a,1", "a,2")
+      q.processAllAvailable()
+      in.addData("a,4")
+      q.processAllAvailable()
+      val snaps = snapDir.listFiles().map(_.getName).sorted
+      assert(snaps.length >= 2, snaps.mkString(","))
+      val last = scala.io.Source.fromFile(
+        new java.io.File(snapDir, snaps.last)).getLines().toSeq
+      assert(last.head == "id,k,logs,v")
+      assert(last.tail.contains("\"a\",\"a\",3,7"))
+    } finally q.stop()
+  }
+
   test("file-source stream: files appearing in a directory feed the pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("miwstream").toFile
     def writeFile(name: String, s: String): Unit = {
