@@ -18,14 +18,20 @@ object Bench {
       val t0 = System.nanoTime()
       // foreach forces FULL evaluation of every output column —
       // count() would let Catalyst prune the per-row compute of
-      // projection-only queries and overstate throughput
-      try { fn(spark, sfDir).foreach(_ => ()) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // projection-only queries and overstate throughput.
+      // A failed query reports -1, never its (near-zero) elapsed time.
+      val ok = try { fn(spark, sfDir).foreach(_ => ()); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+                 false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

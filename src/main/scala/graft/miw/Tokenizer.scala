@@ -79,7 +79,10 @@ object Tokenizer {
     if (quotechar.isEmpty) {
       val cls = "[" + escapeForCharClass(delims) + "]"
       filter(split(line, cls), t => t =!= lit(""))
-    } else if (delims.forall(_ < 0x80)) {
+    } else if (delims.forall(_ < 0x80) && quotechar.charAt(0) < 0x80) {
+      // the native scanner compares raw UTF-8 bytes; a non-ASCII delim
+      // or quotechar would truncate to a byte that can spuriously match
+      // UTF-8 continuation bytes — those take the UDF fallback below
       graft.functions.TokenizeExpr.quotedTokenize(line, delims, quotechar.charAt(0))
     } else {
       val q = quotechar.charAt(0)

@@ -80,8 +80,11 @@ object Sessionize {
     events.toDF()
       .withColumn("prev", lag(col("ts"), 1).over(w))
       .withColumn("newSession",
+        // millisecond precision to match the stateful path's
+        // Timestamp.getTime (cast("long") truncates to whole seconds,
+        // which can disagree on sub-second gaps near the threshold)
         when(col("prev").isNull ||
-          col("ts").cast("long") * 1000 - col("prev").cast("long") * 1000 > gapMs, 1L)
+          unix_millis(col("ts")) - unix_millis(col("prev")) > gapMs, 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("newSession")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))

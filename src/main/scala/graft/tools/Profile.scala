@@ -18,9 +18,12 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // aggregate over the hash itself (not count) — an aggregate that
+    // references no columns lets ColumnPruning drop the hash projection
+    // and all upstream per-row compute, understating stage costs
     def force(df: DataFrame): Long =
       df.select(xxhash64(struct(df.columns.map(col).toSeq: _*)).as("h"))
-        .agg(count(lit(1))).collect().head.getLong(0)
+        .agg(count(col("h")), max(col("h"))).collect().head.getLong(0)
     def time(name: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       val n = force(df)
