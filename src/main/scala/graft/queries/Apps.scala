@@ -109,6 +109,29 @@ object Apps {
     }, Some("""
       SELECT props, count(*) AS logs FROM events
       WHERE md5(props) IN (md5('{"k": 7}'), md5('{"k": 1}'), md5('{"k": 3}'))
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // matrix multiply (app/matrix_mult.cc:45-114): 8×8 int matrices
+    // built from the first 16 embedding vectors' leading 8 dims,
+    // multiplied via the SUMMA-style blocked operator (2×2 grid of
+    // 4×4 tiles) — exact int64 math, oracle = plain join matmul
+    Q("q54_matrix_mult", (s, d) => {
+      val iv = t(s, d, "embeddings")
+        .select(col("vec_id"), iscale(col("embedding")).as("v"))
+      def coords(lo: Int) = iv
+        .filter(col("vec_id") >= lo && col("vec_id") < lo + 8)
+        .select((col("vec_id") - lo).as("i"), posexplode(slice(col("v"), 1, 8)))
+        .select(col("i"), col("pos").cast(LongType).as("j"), col("col").as("v"))
+      graft.operators.MatMul.blocked(coords(0), coords(8), bs = 4, rows = 8, cols = 8)
+        .orderBy(col("i"), col("j"))
+    }, Some(s"""
+      WITH $ivCte,
+      a AS (SELECT vec_id i, k-1 j, v[k] val
+            FROM iv, generate_series(1,8) g(k) WHERE vec_id < 8),
+      b AS (SELECT vec_id-8 i, k-1 j, v[k] val
+            FROM iv, generate_series(1,8) g(k) WHERE vec_id >= 8 AND vec_id < 16)
+      SELECT a.i AS i, b.j AS j, CAST(SUM(a.val*b.val) AS BIGINT) AS c
+      FROM a JOIN b ON a.j = b.i
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
