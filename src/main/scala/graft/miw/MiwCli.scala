@@ -39,6 +39,7 @@ object MiwCli {
       skipHeader: Boolean = false,
       storeContent: Boolean = false,
       mergeResults: Boolean = false,
+      caseInsensitiveKeys: Boolean = false,
       quiet: Boolean = true)
 
   def parseArgs(argv: Array[String]): Args = {
@@ -63,6 +64,8 @@ object MiwCli {
         case "skip_header"   => a = a.copy(skipHeader = boolVal(inline))
         case "store_content" => a = a.copy(storeContent = boolVal(inline))
         case "merge_results" => a = a.copy(mergeResults = boolVal(inline))
+        // reference behavior (strcasecmp btree) as an opt-in flag
+        case "case_insensitive_keys" => a = a.copy(caseInsensitiveKeys = boolVal(inline))
         case "quiet"         => a = a.copy(quiet = boolVal(inline))
         case "nprocs" | "map_tasks" | "reduce_tasks" | "memory_factor" |
              "nchunks_split" => if (inline.isEmpty) i += 1 // consumed, no-op
@@ -77,7 +80,8 @@ object MiwCli {
   /** Run one aggregation over `paths`, format-driven. */
   def runJob(spark: SparkSession, fmt: LogFormat, paths: Seq[String], a: Args): DataFrame =
     MiwEngine.run(spark, fmt, paths,
-      MiwEngine.Options(skipHeader = a.skipHeader, storeContent = a.storeContent))
+      MiwEngine.Options(skipHeader = a.skipHeader, storeContent = a.storeContent,
+        caseInsensitiveKeys = a.caseInsensitiveKeys))
 
   private def writeOut(df: DataFrame, a: Args, suffix: String): Unit = {
     val lines = a.outputFormat match {

@@ -26,15 +26,21 @@ import graft.functions.UnionCount
   * union arrays are canonically sorted (reference: nondeterministic
   * first-seen order); `max` is computed correctly (reference loses
   * merged maxima to a copy bug, log_record.cc:177-185); grouping is
-  * case-sensitive (reference's strcasecmp btree merges keys
-  * case-insensitively as a side effect); non-aggregated fields keep a
-  * deterministic `min` instead of thread-race "first".
+  * case-sensitive by default (reference's strcasecmp btree merges keys
+  * case-insensitively as a side effect — opt in via
+  * [[Options.caseInsensitiveKeys]] for exact migration); non-aggregated
+  * fields keep a deterministic `min` instead of thread-race "first".
   */
 object MiwEngine {
 
   final case class Options(
       skipHeader: Boolean = false,
-      storeContent: Boolean = false)
+      storeContent: Boolean = false,
+      /** Merge keys differing only in ASCII case, like the reference's
+        * strcasecmp btree does as a side effect (miw/mr_job.h:93-95).
+        * Off by default: the Spark-native default is exact grouping;
+        * turn on for exact migration of formats that relied on it. */
+      caseInsensitiveKeys: Boolean = false)
 
   /** Backtick-quoted column ref: format field names may contain dots
     * ("H.323 message") or other chars col() would parse. */
@@ -44,6 +50,83 @@ object MiwEngine {
   private val KEY = "__miw_key"
   private val TOKENS = "__miw_tokens"
   private val LINE = "__miw_line"
+
+  /** Dictionaries above this size no longer inline into an isin
+    * predicate (which would bloat the plan and its broadcast): exact
+    * AND-matches become broadcast semi/anti joins instead — the
+    * distributed analog of the reference's per-thread dict cache
+    * (log_format.cc:283-311). */
+  private[miw] val DictInlineLimit = 1000
+
+  /** A big-dictionary exact match deferred to a broadcast semi/anti
+    * join on the processed token. */
+  private final case class DictJoin(tok: Column, terms: Seq[String], anti: Boolean)
+
+  /** match_file dictionary, loaded once at plan build (and closed —
+    * the terms travel with the serialized plan or a broadcast). */
+  private def loadDict(path: String, sourceDir: Option[String]): Seq[String] =
+    scala.util.Using.resource(
+      scala.io.Source.fromFile(LogFormat.resolveDict(path, sourceDir))) { src =>
+      src.mkString.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+
+  /** Match predicates (log_format.cc:327-399; semantics per the golden
+    * tests, SURVEY §7.4 hazard 8): "and"/key matches must all hold;
+    * "or" matches are collected and at least one must fire. Exact
+    * AND-matches over dictionaries larger than [[DictInlineLimit]]
+    * come back as [[DictJoin]]s rather than predicates. */
+  private def matchFilters(fmt: LogFormat, processed: FieldSpec => Column)
+      : (Option[Column], Seq[DictJoin]) = {
+    val orConds = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val andConds = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val joins = scala.collection.mutable.ArrayBuffer.empty[DictJoin]
+    for (f <- fmt.resolvedFields if f.matchSpec.isDefined && f.aggregation != "ratio"
+         && f.filterType != "contain") {
+      val m = f.matchSpec.get
+      val tok = processed(f)
+      val terms: Seq[String] = m.matchFile match {
+        case Some(path) => loadDict(path, fmt.sourceDir)
+        case None => m.matchStr.toSeq
+      }
+      val isOr = m.logic == "or" && !f.key
+      if (terms.nonEmpty) {
+        if (terms.size > DictInlineLimit && m.exact && !isOr)
+          joins += DictJoin(tok, terms, anti = m.negative)
+        else {
+          // balanced combination: a linear reduce over a large dict
+          // builds an expression tree deep enough to overflow the
+          // analyzer's recursion
+          def bal(cs: Seq[Column])(op: (Column, Column) => Column): Column =
+            if (cs.size == 1) cs.head
+            else { val (l, r) = cs.splitAt(cs.size / 2); op(bal(l)(op), bal(r)(op)) }
+          val inSet = tok.isin(terms: _*)
+          val containsAll = bal(terms.map(t => tok.contains(t)))(_ && _)
+          val containsAny = bal(terms.map(t => tok.contains(t)))(_ || _)
+          (m.negative, m.exact, isOr) match {
+            case (false, true, false)  => andConds += inSet
+            case (false, false, false) => andConds += containsAll
+            case (false, true, true)   => orConds += inSet
+            case (false, false, true)  => orConds += containsAny
+            case (true, true, _)       => andConds += !inSet
+            case (true, false, _)      => andConds += !(inSet || containsAny)
+          }
+        }
+      }
+    }
+    val keep = (andConds.toSeq ++
+      (if (orConds.nonEmpty) Seq(orConds.reduce(_ || _)) else Nil))
+      .reduceOption(_ && _)
+    (keep, joins.toSeq)
+  }
+
+  private def applyDictJoins(df: DataFrame, joins: Seq[DictJoin]): DataFrame =
+    joins.zipWithIndex.foldLeft(df) { case (cur, (j, idx)) =>
+      val spark = cur.sparkSession
+      import spark.implicits._
+      val dcol = s"__miw_dict_$idx"
+      val dict = broadcast(j.terms.toDF(dcol))
+      cur.join(dict, j.tok === col(dcol), if (j.anti) "left_anti" else "left_semi")
+    }
 
   // ------------------------------------------------------------ parse
 
@@ -92,42 +175,7 @@ object MiwEngine {
       } else tok
     }
 
-    // ---- match predicates (log_format.cc:327-399; semantics per the
-    // golden tests, SURVEY §7.4 hazard 8). "and"/key matches must all
-    // hold; "or" matches are collected and at least one must fire.
-    val orConds = scala.collection.mutable.ArrayBuffer.empty[Column]
-    val andConds = scala.collection.mutable.ArrayBuffer.empty[Column]
-    for (f <- fields if f.matchSpec.isDefined && f.aggregation != "ratio"
-         && f.filterType != "contain") {
-      val m = f.matchSpec.get
-      val tok = processedToken(f)
-      val terms: Seq[String] = m.matchFile match {
-        case Some(path) =>
-          // dictionary loaded once at plan build; small sets inline into
-          // the predicate (broadcast with the plan), mirroring the
-          // reference's share-across-threads cache (log_format.cc:283-311)
-          scala.io.Source.fromFile(LogFormat.resolveDict(path, fmt.sourceDir))
-            .mkString.split("\\s+").filter(_.nonEmpty).toSeq
-        case None => m.matchStr.toSeq
-      }
-      if (terms.nonEmpty) {
-        val inSet = tok.isin(terms: _*)
-        val containsAll = terms.map(t => tok.contains(t)).reduce(_ && _)
-        val containsAny = terms.map(t => tok.contains(t)).reduce(_ || _)
-        val isOr = m.logic == "or" && !f.key
-        (m.negative, m.exact, isOr) match {
-          case (false, true, false)  => andConds += inSet
-          case (false, false, false) => andConds += containsAll
-          case (false, true, true)   => orConds += inSet
-          case (false, false, true)  => orConds += containsAny
-          case (true, true, _)       => andConds += !inSet
-          case (true, false, _)      => andConds += !(inSet || containsAny)
-        }
-      }
-    }
-    val keep = (andConds.toSeq ++
-      (if (orConds.nonEmpty) Seq(orConds.reduce(_ || _)) else Nil))
-      .reduceOption(_ && _)
+    val (keep, dictJoins) = matchFilters(fmt, processedToken)
 
     // ---- value columns
     val valueCols = scala.collection.mutable.ArrayBuffer.empty[Column]
@@ -177,7 +225,7 @@ object MiwEngine {
 
     val extra =
       if (opts.storeContent) Seq(col(LINE).as("__miw_content")) else Nil
-    val filtered = keep.map(df.filter).getOrElse(df)
+    val filtered = applyDictJoins(keep.map(df.filter).getOrElse(df), dictJoins)
     filtered.select((keyWithApp.as(KEY) +: valueCols.toSeq) ++ extra: _*)
   }
 
@@ -249,7 +297,16 @@ object MiwEngine {
     // field is itself named "id", which overwrites it in the reference's
     // JSON assembly (jrec["id"] is written first, fields after).
     val fieldNamedId = fields.exists(f => f.name == "id" && f.aggregation != "ratio")
-    var out = parsed.groupBy(col(KEY)).agg(aggs.head, aggs.tail.toSeq: _*)
+    var out =
+      if (opts.caseInsensitiveKeys) {
+        // group on the lowered key; display case is the deterministic
+        // min over merged originals (the reference keeps whichever
+        // casing a thread inserted first — a race we don't reproduce)
+        val all = min(col(KEY)).as(KEY) +: aggs.toSeq
+        parsed.groupBy(lower(col(KEY)).as("__miw_cikey"))
+          .agg(all.head, all.tail: _*)
+          .drop("__miw_cikey")
+      } else parsed.groupBy(col(KEY)).agg(aggs.head, aggs.tail.toSeq: _*)
     out = if (fieldNamedId) out.drop(KEY) else out.withColumnRenamed(KEY, "id")
 
     // union_count maps → parallel sorted value/count arrays
@@ -356,36 +413,7 @@ object MiwEngine {
       else tok
     }
     // match predicates — same semantics as parse()
-    val orConds = scala.collection.mutable.ArrayBuffer.empty[Column]
-    val andConds = scala.collection.mutable.ArrayBuffer.empty[Column]
-    for (f <- fields if f.matchSpec.isDefined && f.aggregation != "ratio"
-         && f.filterType != "contain") {
-      val m = f.matchSpec.get
-      val tok = processed(f)
-      val terms: Seq[String] = m.matchFile match {
-        case Some(path) =>
-          scala.io.Source.fromFile(LogFormat.resolveDict(path, fmt.sourceDir))
-            .mkString.split("\\s+").filter(_.nonEmpty).toSeq
-        case None => m.matchStr.toSeq
-      }
-      if (terms.nonEmpty) {
-        val inSet = tok.isin(terms: _*)
-        val containsAll = terms.map(t => tok.contains(t)).reduce(_ && _)
-        val containsAny = terms.map(t => tok.contains(t)).reduce(_ || _)
-        val isOr = m.logic == "or" && !f.key
-        (m.negative, m.exact, isOr) match {
-          case (false, true, false)  => andConds += inSet
-          case (false, false, false) => andConds += containsAll
-          case (false, true, true)   => orConds += inSet
-          case (false, false, true)  => orConds += containsAny
-          case (true, true, _)       => andConds += !inSet
-          case (true, false, _)      => andConds += !(inSet || containsAny)
-        }
-      }
-    }
-    val keep = (andConds.toSeq ++
-      (if (orConds.nonEmpty) Seq(orConds.reduce(_ || _)) else Nil))
-      .reduceOption(_ && _)
+    val (keep, dictJoins) = matchFilters(fmt, processed)
 
     val valueCols = scala.collection.mutable.ArrayBuffer.empty[Column]
     for (f <- fields if f.aggregation != "ratio") {
@@ -412,7 +440,7 @@ object MiwEngine {
     val keyCol = if (keyParts.isEmpty) lit("") else concat_ws("_", keyParts: _*)
     val keyWithApp =
       if (fmt.appname.nonEmpty) concat(keyCol, lit("_" + fmt.appname)) else keyCol
-    val filtered = keep.map(table.filter).getOrElse(table)
+    val filtered = applyDictJoins(keep.map(table.filter).getOrElse(table), dictJoins)
     val parsed = filtered.select(keyWithApp.as(KEY) +: valueCols.toSeq: _*)
     aggregate(fmt.copy(fields = fmt.fields.map(_.copy(preprocessing = ""))),
       parsed, opts.copy(storeContent = false))
