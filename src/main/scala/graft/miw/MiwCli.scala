@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   *
   * Supported flags (gflags style, `-flag value` / `-flag=value` /
   * `--flag`): -fnames, -format_name, -appname, -output_format
-  * (json|csv|plain|mem), -ofname, -ndisp, -skip_header,
+  * (json|csv|plain|mem|solr — solr POSTs JSON-array batches to
+  * -solr_url like app/solr_commit.cc), -solr_url, -solr_batch_size,
+  * -ofname, -ndisp, -skip_header,
   * -store_content, -merge_results, -quiet, and accepted-but-
   * redundant tuning flags (-nprocs, -map_tasks, -reduce_tasks,
   * -autosplit, -memory_factor, -compressed, -tmp_save, -nchunks_split)
@@ -40,7 +42,10 @@ object MiwCli {
       storeContent: Boolean = false,
       mergeResults: Boolean = false,
       caseInsensitiveKeys: Boolean = false,
-      quiet: Boolean = true)
+      quiet: Boolean = true,
+      // reference default endpoint (app/solr_commit.cc:57)
+      solrUrl: String = "http://localhost:8984/solr/update/json?commit=true",
+      solrBatchSize: Int = 1000)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -66,6 +71,8 @@ object MiwCli {
         case "merge_results" => a = a.copy(mergeResults = boolVal(inline))
         // reference behavior (strcasecmp btree) as an opt-in flag
         case "case_insensitive_keys" => a = a.copy(caseInsensitiveKeys = boolVal(inline))
+        case "solr_url"        => a = a.copy(solrUrl = value())
+        case "solr_batch_size" => a = a.copy(solrBatchSize = value().toInt)
         case "quiet"         => a = a.copy(quiet = boolVal(inline))
         case "nprocs" | "map_tasks" | "reduce_tasks" | "memory_factor" |
              "nchunks_split" => if (inline.isEmpty) i += 1 // consumed, no-op
@@ -84,6 +91,12 @@ object MiwCli {
         caseInsensitiveKeys = a.caseInsensitiveKeys))
 
   private def writeOut(df: DataFrame, a: Args, suffix: String): Unit = {
+    if (a.outputFormat == "solr") {
+      // HTTP push sink (app/solr_commit.cc): executors POST batches,
+      // the driver prints the reduced SUCCEED/FAILED counts
+      println(HttpSink.summary(HttpSink.push(df, a.solrUrl, a.solrBatchSize)))
+      return
+    }
     val lines = a.outputFormat match {
       case "csv"            => Output.csvLines(df)
       case "plain" | "text" => Output.textLines(df)
