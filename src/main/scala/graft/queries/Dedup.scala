@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -10,7 +11,13 @@ import graft.functions.ExactCols._
 /** Document deduplication operators for a training-data pipeline:
   * MinHash signatures, MinHash+LSH near-dup pairs, SimHash, SimHash
   * near-dup pairs (pigeonhole blocking), and embedding-cosine
-  * near-dup pairs.
+  * near-dup pairs — public front doors first, gate queries built on
+  * them below.
+  *
+  * Front doors route to the BUCKETED shapes by default; the O(n²)
+  * brute paths exist only behind `brute = true` (kept as recall
+  * baselines and for small corpora). The default plans contain no
+  * nested-loop/cartesian join — DedupApiSpec machine-checks that.
   *
   * Scale design (the point of each query, beyond correctness):
   *  - Signatures are computed as `explode(shingles) → hash once →
@@ -26,10 +33,22 @@ import graft.functions.ExactCols._
   *    document content: pairs materialize only within colliding
   *    buckets (classic LSH join), so cost tracks the number of true
   *    near-dups, not n².
+  *  - Skew guard: a degenerate bucket (e.g. thousands of identical or
+  *    near-empty docs sharing one band value) would go quadratic
+  *    inside the bucket. [[LshConfig.maxBucketSize]] deterministically
+  *    truncates each bucket to its first `cap` members (by doc id),
+  *    bounding per-bucket work at C(cap, 2). A mega-bucket means the
+  *    corpus needs exact dedup first (identical docs all share every
+  *    band) — pair enumeration inside it is quadratic OUTPUT, not an
+  *    algorithmic win, so capping is the honest behavior at 100 TB.
+  *  - [[LshConfig.persistSignatures]] materializes the (capped) band
+  *    table before the self-join: Spark recomputes a self-joined
+  *    subtree once per side, so at scale one persist halves signature
+  *    computation. Off by default (the gate queries measure the pure
+  *    plan); Profile demonstrates the effect at sf0.1.
   *  - Exact verification (jaccard / hamming) runs only on candidates.
-  *  - q27 is the brute-force O(n²) baseline kept deliberately — the
-  *    LSH-bucketed path (Similarity.q29) is the 100 TB answer; the
-  *    per-pair cosine runs through the native LongDot codegen kernel.
+  *  - q27 stays the brute-force O(n²) baseline — `cosinePairs` with
+  *    its default `brute = false` is the bucketed 100 TB path.
   *
   * All arithmetic is exact-integer (see ExactCols) so results are
   * independent of partitioning AND bit-reproducible by the DuckDB
@@ -49,41 +68,191 @@ object Dedup {
   private val BANDS = 4   // bands of 2 rows
   private val SIMBITS = 30
 
+  /** Tuning for the MinHash/SimHash near-dup pipelines. Defaults are
+    * the gate-calibrated parameters (see object scaladoc). */
+  final case class LshConfig(
+      numHashes: Int = NH,
+      bands: Int = BANDS,
+      shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.5,
+      simBits: Int = SIMBITS,
+      maxHamming: Int = 3,
+      /** Skew guard: keep at most this many members per band/block
+        * bucket (deterministic first-by-id). */
+      maxBucketSize: Int = 256,
+      /** Materialize the band table before the self-join (one
+        * signature computation instead of two). */
+      persistSignatures: Boolean = false)
+
   // ---- Spark-side building blocks (explode → codegen aggregate) ----
 
   /** doc_id + one row per shingle hash (md5 evaluated exactly once
     * per shingle). */
-  private def shingleHashes(docs: DataFrame, distinct: Boolean): DataFrame =
+  private def shingleHashes(docs: DataFrame, size: Int, distinct: Boolean): DataFrame =
     docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3, distinct)).as("sg"))
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), size, distinct)).as("sg"))
       .select(col("doc_id"), hmod(col("sg")).as("h"))
 
   /** Codegen'd min-aggregates: mh_j = min((2j+1)·h + j²+7 mod P). */
-  private def mhAggs: Seq[Column] =
-    (0 until NH).map { j =>
+  private def mhAggs(n: Int): Seq[Column] =
+    (0 until n).map { j =>
       min((lit(2L * j + 1) * col("h") + lit(j.toLong * j + 7)) % P).as(s"mh$j")
     }
 
-  /** doc_id → mh0..mh7 for docs with ≥1 shingle. */
-  private def minhashSigs(docs: DataFrame): DataFrame =
-    shingleHashes(docs, distinct = true)
-      .groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+  /** doc_id → mh0..mh{n−1} for docs with ≥1 shingle. */
+  def minhashSignatures(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+    val aggs = mhAggs(cfg.numHashes)
+    shingleHashes(docs, cfg.shingleSize, distinct = true)
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** doc_id → 30-bit simhash for ALL docs (empty-shingle docs → 0),
-    * bit-sums as plain codegen'd sum() aggregates. */
-  private def simhashSigs(docs: DataFrame): DataFrame = {
-    val bitSums = (0 until SIMBITS).map { k =>
+  /** doc_id → simBits-bit simhash for ALL docs (empty-shingle docs →
+    * 0), bit-sums as plain codegen'd sum() aggregates. */
+  def simhashSignatures(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+    val bitSums = (0 until cfg.simBits).map { k =>
       sum(shiftright(col("h"), k).bitwiseAND(lit(1L))).as(s"c$k")
     }
-    val bits = shingleHashes(docs, distinct = false)
+    val bits = shingleHashes(docs, cfg.shingleSize, distinct = false)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
     val sim = bits.select(col("doc_id"),
-      (0 until SIMBITS).map { k =>
+      (0 until cfg.simBits).map { k =>
         when(lit(2) * col(s"c$k") - col("n") > 0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _).as("simhash"))
     docs.select(col("doc_id")).join(sim, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
+  /** Skew guard: deterministically keep at most `cap` members per
+    * bucket (ordered by `idCol`), so a degenerate bucket bounds at
+    * C(cap, 2) candidate pairs instead of going quadratic. The window
+    * shuffles on the bucket key the self-join needs anyway, so the
+    * partitioning is reused — no extra exchange. */
+  private def capBuckets(df: DataFrame, keys: Seq[String], idCol: String,
+                         cap: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** One row per (doc, band): banded signature, oversized buckets
+    * truncated to cfg.maxBucketSize members. */
+  private def bandTable(sigs: DataFrame, cfg: LshConfig): DataFrame = {
+    val rpb = cfg.numHashes / cfg.bands
+    val bandStructs = (0 until cfg.bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_",
+          (0 until rpb).map(r => col(s"mh${b * rpb + r}").cast("string")): _*).as("sig"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    capBuckets(bands, Seq("band", "sig"), "doc_id", cfg.maxBucketSize)
+  }
+
+  /** Distinct candidate pairs from colliding band/block buckets. */
+  private def collidingPairs(buckets: DataFrame, keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+    buckets.as("a").join(buckets.as("b"), cond)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------ front doors
+
+  /** Near-duplicate document pairs with exact jaccard verification.
+    * DEFAULT ROUTE: MinHash+LSH — shuffles on band signature only,
+    * candidates materialize inside colliding (capped) buckets, exact
+    * jaccard runs on candidates. `brute = true` opts into the labeled
+    * O(n²) all-pairs baseline (recall audits, tiny corpora only);
+    * never the default, and never a nested-loop join otherwise. */
+  def nearDupPairs(docs: DataFrame, cfg: LshConfig = LshConfig(),
+                   brute: Boolean = false): DataFrame = {
+    val shTbl = docs
+      .select(col("doc_id"),
+        shingles(tokens(col("text")), cfg.shingleSize, distinct = true).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cand =
+      if (brute)
+        shTbl.select(col("doc_id").as("a_id"))
+          .join(shTbl.select(col("doc_id").as("b_id")), col("a_id") < col("b_id"))
+      else {
+        val bands = bandTable(minhashSignatures(docs, cfg), cfg)
+        collidingPairs(
+          if (cfg.persistSignatures) bands.persist() else bands,
+          Seq("band", "sig"))
+      }
+    cand
+      .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("ash")), "a_id")
+      .join(shTbl.select(col("doc_id").as("b_id"), col("sh").as("bsh")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("ash"), col("bsh"))).cast(DoubleType) /
+          size(array_union(col("ash"), col("bsh"))))
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ cfg.maxHamming via
+    * (maxHamming+1)-block pigeonhole — bucketed equi-join on block
+    * value (capped), never n² pairs. */
+  def simhashPairs(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+    val sim = simhashSignatures(docs, cfg)
+    val nb = cfg.maxHamming + 1
+    val w = (cfg.simBits + nb - 1) / nb // block width (last may be narrower)
+    val blockStructs = (0 until nb).map { bi =>
+      val width = math.min(w, cfg.simBits - bi * w)
+      val mask = (1L << width) - 1
+      struct(lit(bi).as("bi"),
+        shiftright(col("simhash"), bi * w).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val blocks = capBuckets(
+      sim.select(col("doc_id"), col("simhash"), explode(array(blockStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.bi").as("bi"), col("bk.bv").as("bv")),
+      Seq("bi", "bv"), "doc_id", cfg.maxBucketSize)
+    val mat = if (cfg.persistSignatures) blocks.persist() else blocks
+    val cond = col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+      col("a.doc_id") < col("b.doc_id")
+    mat.as("a").join(mat.as("b"), cond)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("ah"), col("b.simhash").as("bh"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ah").bitwiseXOR(col("bh"))).cast(LongType))
+      .filter(col("hamming") <= cfg.maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs. DEFAULT ROUTE: sign-LSH buckets
+    * (vectors agreeing on `signBitCount` axis signs) self-joined per
+    * bucket — compare count tracks E[bucket size], not n²; widen the
+    * signature as the corpus grows. Recall < 1 by construction (the
+    * standard LSH tradeoff; multi-probe composes unchanged).
+    * `brute = true` is the exhaustive O(n²) baseline (gate q27). */
+  def cosinePairs(vectors: DataFrame, threshold: Double,
+                  signBitCount: Int = 6, maxBucketSize: Int = 4096,
+                  brute: Boolean = false): DataFrame = {
+    val iv = vectors
+      .select(col("vec_id"), iscale(col("embedding")).as("v"))
+      .withColumn("nrm", inorm(col("v")))
+    if (brute) {
+      val a = iv.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+      val b = iv.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .withColumn("cosine", icosine(col("av"), col("bv"), col("an"), col("bn")))
+        .filter(col("cosine") >= threshold)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+    } else {
+      val bucketed = capBuckets(
+        iv.withColumn("bucket", Similarity.signBucket(col("v"), signBitCount)),
+        Seq("bucket"), "vec_id", maxBucketSize)
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine",
+          icosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+        .filter(col("cosine") >= threshold)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cosine"))
+    }
   }
 
   // ---- shared oracle CTEs (DuckDB dialect) ----
@@ -127,7 +296,7 @@ object Dedup {
     Q("q23_minhash_sig", (s, d) => {
       val docs = t(s, d, "documents")
       docs.select(col("doc_id"))
-        .join(minhashSigs(docs), Seq("doc_id"), "left")
+        .join(minhashSignatures(docs), Seq("doc_id"), "left")
         .select(col("doc_id"),
           concat_ws("-",
             (0 until NH).map(j => coalesce(col(s"mh$j"), lit(P)).cast("string")): _*).as("sig"))
@@ -137,36 +306,12 @@ object Dedup {
       SELECT doc_id, array_to_string(list_transform(mh, x -> CAST(x AS VARCHAR)), '-') AS sig
       FROM mh ORDER BY doc_id""")),
 
-    // MinHash + LSH near-dup pairs: shuffle on band signature only,
-    // exact shingle-jaccard verification on candidates
+    // MinHash + LSH near-dup pairs via the skew-guarded front door:
+    // shuffle on band signature only, exact shingle-jaccard on
+    // candidates (bucket cap is a no-op on this corpus — max bucket
+    // is far below 256 — so the oracle needs no cap term)
     Q("q24_dedup_minhash_lsh", (s, d) => {
-      val docs = t(s, d, "documents")
-      val shTbl = docs
-        .select(col("doc_id"), shingles(tokens(col("text")), 3, distinct = true).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val sigs = minhashSigs(docs)
-      val bandStructs = (0 until BANDS).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", col(s"mh${2 * b}").cast("string"),
-            col(s"mh${2 * b + 1}").cast("string")).as("sig"))
-      }
-      val bands = sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("ash")), "a_id")
-        .join(shTbl.select(col("doc_id").as("b_id"), col("sh").as("bsh")), "b_id")
-        .withColumn("jaccard",
-          size(array_intersect(col("ash"), col("bsh"))).cast(DoubleType) /
-            size(array_union(col("ash"), col("bsh"))))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
+      nearDupPairs(t(s, d, "documents"))
         .orderBy(col("a_id"), col("b_id"))
     }, Some(s"""
       WITH $tkCte, $shCte, $mhCte,
@@ -186,7 +331,7 @@ object Dedup {
 
     // per-doc 30-bit SimHash over shingles (with multiplicity)
     Q("q25_dedup_simhash", (s, d) => {
-      simhashSigs(t(s, d, "documents")).orderBy(col("doc_id"))
+      simhashSignatures(t(s, d, "documents")).orderBy(col("doc_id"))
     }, Some(s"""
       WITH $tkCte, $simCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
@@ -194,25 +339,7 @@ object Dedup {
     // SimHash near-dup pairs: hamming ≤ 3 via 4-block pigeonhole join
     // (8/8/8/6-bit blocks) — shuffles on block value, never n² pairs
     Q("q26_dedup_simhash_pairs", (s, d) => {
-      val sim = simhashSigs(t(s, d, "documents"))
-      val blockStructs = (0 until 4).map { bi =>
-        val mask = if (bi == 3) 63L else 255L
-        struct(lit(bi).as("bi"),
-          shiftright(col("simhash"), bi * 8).bitwiseAND(lit(mask)).as("bv"))
-      }
-      val blocks = sim
-        .select(col("doc_id"), col("simhash"), explode(array(blockStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
-      blocks.as("a")
-        .join(blocks.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.simhash").as("ah"), col("b.simhash").as("bh"))
-        .distinct()
-        .withColumn("hamming", bit_count(col("ah").bitwiseXOR(col("bh"))).cast(LongType))
-        .filter(col("hamming") <= 3)
-        .select(col("a_id"), col("b_id"), col("hamming"))
+      simhashPairs(t(s, d, "documents"))
         .orderBy(col("a_id"), col("b_id"))
     }, Some(s"""
       WITH $tkCte, $simCte,
@@ -226,19 +353,12 @@ object Dedup {
       SELECT a_id, b_id, CAST(bit_count(xor(ah,bh)) AS BIGINT) AS hamming FROM cand
       WHERE bit_count(xor(ah,bh)) <= 3 ORDER BY a_id, b_id""")),
 
-    // embedding-cosine near-dup pairs — brute-force baseline (the
-    // LSH-bucketed scale path is Similarity q29); int-scaled exact
-    // math through the LongDot codegen kernel
+    // embedding-cosine near-dup pairs — brute-force baseline kept
+    // deliberately (cosinePairs defaults to the sign-LSH bucketed
+    // path; Similarity.q29 is the query-set variant); int-scaled
+    // exact math through the LongDot codegen kernel
     Q("q27_dedup_embedding", (s, d) => {
-      val iv = t(s, d, "embeddings")
-        .select(col("vec_id"), iscale(col("embedding")).as("v"))
-        .withColumn("nrm", inorm(col("v")))
-      val a = iv.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-      val b = iv.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-      a.join(broadcast(b), col("a_id") < col("b_id"))
-        .withColumn("cosine", icosine(col("av"), col("bv"), col("an"), col("bn")))
-        .filter(col("cosine") >= 0.35)
-        .select(col("a_id"), col("b_id"), col("cosine"))
+      cosinePairs(t(s, d, "embeddings"), 0.35, brute = true)
         .orderBy(col("a_id"), col("b_id"))
     }, Some(s"""
       WITH iv AS (

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,10 +31,47 @@ import graft.functions.ExactCols._
   */
 object Similarity {
 
-  private def signBits(v: Column): Column =
-    (0 until 6).map { k =>
+  /** Sign-LSH bucket id: one bit per leading axis sign (random-
+    * hyperplane family with axis-aligned planes — data-independent
+    * and reproducible). Shared by the ANN queries and the
+    * Dedup.cosinePairs front door. */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { k =>
       when(element_at(v, k + 1) >= 0L, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  private def signBits(v: Column): Column = signBucket(v, 6)
+
+  /** ANN front door: top-k neighbors for each query vector. DEFAULT
+    * ROUTE: sign-LSH bucketed compare (`method = "lsh"`, the q29
+    * shape) — cost |Q|·E[bucket], not |Q|·n; `"ivf"` probes the 2
+    * nearest of `ivfCells` coarse cells (the q45 shape); `"brute"`
+    * is the exhaustive baseline, never the default. `queries` must
+    * have columns (query_id, v: int-scaled vector, nrm). */
+  def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              method: String = "lsh", signBitCount: Int = 6): DataFrame = {
+    val iv = vectors
+      .select(col("vec_id"), iscale(col("embedding")).as("v"))
+      .withColumn("nrm", inorm(col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val joined = method match {
+      case "brute" =>
+        iv.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      case "lsh" =>
+        val b = iv.withColumn("bucket", signBucket(col("v"), signBitCount))
+        val qb = queries.withColumn("qb", signBucket(col("qv"), signBitCount))
+        b.join(broadcast(qb),
+          col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      case other => throw new IllegalArgumentException(
+        s"annTopK method must be lsh|brute, got $other (ivf: see q45)")
+    }
+    joined
+      .withColumn("cosine", icosine(col("qv"), col("v"), col("qn"), col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 
   private val ivCte =
     """iv AS (

@@ -68,6 +68,14 @@ object Profile {
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
     time("q24 full") { jac }
+    // self-join recomputes the signature subtree per side; the persist
+    // option materializes the capped band table once
+    time("q24 front door persist=off") { graft.queries.Dedup.nearDupPairs(docs) }
+    time("q24 front door persist=on") {
+      graft.queries.Dedup.nearDupPairs(docs,
+        graft.queries.Dedup.LshConfig(persistSignatures = true))
+    }
+    spark.catalog.clearCache()
 
     // ---------- q29 stages ----------
     val iv = t(spark, d, "embeddings")

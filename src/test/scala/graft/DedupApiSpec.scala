@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Dedup, Similarity}
+import graft.queries.Dedup.LshConfig
+
+/** Front-door routing + skew-guard behavior:
+  *  - default near-dup paths must plan as bucketed equi-joins (no
+  *    nested-loop/cartesian anywhere in the plan);
+  *  - the bucket cap must bound a degenerate mega-bucket's pair count
+  *    at C(cap, 2) instead of going quadratic;
+  *  - the brute baselines stay available behind brute = true only. */
+class DedupApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def noNestedLoop(df: DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"nested-loop join in a default-routed plan:\n$plan")
+  }
+
+  /** n docs all sharing identical text — every band/block collides
+    * into one mega-bucket (the LSH worst case). */
+  private def identicalDocs(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+  }
+
+  private def variedDocs: DataFrame = {
+    import spark.implicits._
+    // two planted near-dup pairs + noise docs
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "entirely different content about spark catalyst plans"),
+      (3L, "entirely different content about spark catalyst rules"),
+      (4L, "unrelated text one two three four five six seven"),
+      (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+    ).toDF("doc_id", "text")
+  }
+
+  test("default nearDupPairs plans without nested-loop joins; brute does not") {
+    noNestedLoop(Dedup.nearDupPairs(variedDocs))
+    val brutePlan = Dedup.nearDupPairs(variedDocs, brute = true)
+      .queryExecution.executedPlan.toString
+    assert(brutePlan.contains("BroadcastNestedLoop") || brutePlan.contains("CartesianProduct"))
+  }
+
+  test("LSH route is a sound subset of brute, with no false positives") {
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairs(Dedup.nearDupPairs(variedDocs))
+    val brute = pairs(Dedup.nearDupPairs(variedDocs, brute = true))
+    // brute is exhaustive ground truth; LSH verifies candidates with
+    // exact jaccard so it can only miss (per-pair recall is
+    // probabilistic — gate q24 pins 100% recall on the calibrated
+    // corpus), never fabricate
+    assert(brute == Set((0L, 1L), (2L, 3L)))
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains((2L, 3L)))
+  }
+
+  test("mega-bucket pair count is bounded at C(cap,2) by the skew guard") {
+    val docs = identicalDocs(300) // uncapped would be C(300,2) = 44 850 pairs
+    val c10 = Dedup.nearDupPairs(docs, LshConfig(maxBucketSize = 10)).count()
+    val c50 = Dedup.nearDupPairs(docs, LshConfig(maxBucketSize = 50)).count()
+    assert(c10 == 45L)   // C(10,2)
+    assert(c50 == 1225L) // C(50,2)
+  }
+
+  test("simhash mega-bucket is capped the same way") {
+    val docs = identicalDocs(200)
+    val n = Dedup.simhashPairs(docs, LshConfig(maxBucketSize = 10)).count()
+    assert(n == 45L)
+    noNestedLoop(Dedup.simhashPairs(variedDocs))
+  }
+
+  test("cosinePairs default routes to sign-LSH buckets and matches brute") {
+    import spark.implicits._
+    // two antipodal clusters around ±e1: in-cluster cosine ≈ 1,
+    // cross-cluster ≈ −1 (different sign buckets anyway)
+    val vecs = (0 until 10).map { i =>
+      val s = if (i < 5) 1.0f else -1.0f
+      (i.toLong, Seq(s, 0.01f * i, 0.02f, 0.03f, 0.01f, 0.02f))
+    }.toDF("vec_id", "embedding")
+    val lsh = Dedup.cosinePairs(vecs, 0.9)
+    noNestedLoop(lsh)
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.cosinePairs(vecs, 0.9, brute = true)
+    assert(pairs(lsh).nonEmpty)
+    assert(pairs(lsh) == pairs(brute))
+  }
+
+  test("annTopK default (lsh) plans without nested loops and ranks correctly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq(1.0f + 0.001f * i, 0.1f * (i % 4), 0.2f, 0.3f, 0.1f, 0.2f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"),
+        iscale(col("embedding")).as("qv"))
+      .withColumn("qn", inorm(col("qv")))
+    val top = Similarity.annTopK(vecs, queries, 3)
+    noNestedLoop(top)
+    val rows = top.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Long]("query_id") == 0L))
+  }
+}
