@@ -63,6 +63,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q09: AQE (with skew-join splitting) governs execution") {
+    // a hot orderkey at 100x data skews the star join's shuffle; AQE's
+    // skew rule splits oversized partitions at runtime — pin that the
+    // machinery is on and actually wraps the executed plan
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    val df = SparkEntry.queries("q09_join_multi")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+  }
+
   test("core agg query stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q01_agg_basic")(spark, sf)
     df.collect() // finalize the adaptive plan
