@@ -255,6 +255,52 @@ object Dedup {
     }
   }
 
+  /** Exact n-gram (shingle-hash) Jaccard near-dup pairs via an
+    * inverted-index join: explode distinct shingle hashes, equi-join
+    * docs sharing a hash, count shared hashes per pair, jaccard from
+    * the set sizes. No approximation (unlike MinHash) — cost tracks
+    * posting-list sizes, so `maxDocFreq` drops ubiquitous shingles
+    * (stop-shingles): a shingle appearing in > maxDocFreq docs costs
+    * O(df²) candidate pairs and carries ~no discriminative signal —
+    * the standard prefix-filtering guard. Jaccard is computed over
+    * the SURVIVING hash sets on both engine and oracle, so parity is
+    * exact. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        cfg: LshConfig = LshConfig(),
+                        maxDocFreq: Int = 100): DataFrame = {
+    val hset = docs
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
+      .select(col("doc_id"), hmod(col("sg")).as("h"))
+      .distinct()
+    val rare = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("h"))
+    val kept = hset.join(rare, "h")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** End-to-end dedup: near-dup pairs → connected components → keep
+    * the min-id representative per cluster. Returns the deduplicated
+    * corpus (all original columns). */
+  def deduplicate(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+    val pairs = nearDupPairs(docs, cfg).select(col("a_id"), col("b_id"))
+    val reps = graft.operators.ConnectedComponents
+      .representatives(pairs, docs.select(col("doc_id")))
+    docs.join(reps.filter(col("keep")).select(col("id").as("doc_id")), "doc_id")
+  }
+
   // ---- shared oracle CTEs (DuckDB dialect) ----
 
   private val tkCte =
@@ -371,6 +417,63 @@ object Dedup {
           CAST(list_sum(list_transform(generate_series(1,len(a.v)), i -> a.v[i]*b.v[i])) AS DOUBLE)
             / (a.nrm*b.nrm) cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      WHERE cosine >= 0.35 ORDER BY a_id, b_id"""))
+      WHERE cosine >= 0.35 ORDER BY a_id, b_id""")),
+
+    // exact n-gram Jaccard pairs via the inverted-index join (no
+    // MinHash approximation); stop-shingle DF cap active on both sides
+    Q("q55_ngram_jaccard", (s, d) => {
+      ngramJaccardPairs(t(s, d, "documents"), 0.3)
+        .orderBy(col("a_id"), col("b_id"))
+    }, Some(s"""
+      WITH $tkCte, $shCte,
+      hs AS (SELECT doc_id,
+               list_distinct([('0x'||substring(md5(s),1,15))::BIGINT % $P
+                              for s in shingles]) h
+             FROM sh WHERE len(shingles) > 0),
+      ex AS (SELECT doc_id, unnest(h) hh FROM hs),
+      rare AS (SELECT hh FROM ex GROUP BY hh HAVING count(*) <= 100),
+      kept AS (SELECT doc_id, hh FROM ex JOIN rare USING (hh)),
+      sz AS (SELECT doc_id, count(*) n FROM kept GROUP BY 1),
+      shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+                 FROM kept a JOIN kept b ON a.hh=b.hh AND a.doc_id<b.doc_id
+                 GROUP BY 1, 2)
+      SELECT a_id, b_id, jaccard FROM (
+        SELECT a_id, b_id, CAST(inter AS DOUBLE)/(x.n+y.n-inter) jaccard
+        FROM shared JOIN sz x ON a_id=x.doc_id JOIN sz y ON b_id=y.doc_id)
+      WHERE jaccard >= 0.3 ORDER BY a_id, b_id""")),
+
+    // duplicate clusters: q24 near-dup pairs → connected components
+    // (min-label propagation; oracle = recursive transitive closure)
+    Q("q56_dup_clusters", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = nearDupPairs(docs).select(col("a_id"), col("b_id"))
+      graft.operators.ConnectedComponents
+        .components(pairs, docs.select(col("doc_id")))
+        .select(col("id").as("doc_id"), col("cid").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $tkCte, $shCte, $mhCte,
+      bands AS (
+        SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+        FROM mh, generate_series(0,${BANDS - 1}) g(b)
+        WHERE len(shingles) > 0),
+      cand AS (
+        SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        FROM bands a JOIN bands b ON a.b=b.b AND a.sig=b.sig AND a.doc_id<b.doc_id),
+      p AS (
+        SELECT a_id, b_id FROM (
+          SELECT a_id, b_id,
+            len(list_intersect(x.shingles,y.shingles))::DOUBLE /
+              len(list_distinct(x.shingles||y.shingles)) jaccard
+          FROM cand JOIN sh x ON a_id=x.doc_id JOIN sh y ON b_id=y.doc_id)
+        WHERE jaccard >= 0.5),
+      e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id, a_id FROM p),
+      r(u, v) AS (SELECT u, v FROM e
+                  UNION
+                  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+      comp AS (SELECT u, min(v) mv FROM r GROUP BY u)
+      SELECT d.doc_id, CAST(COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+      ORDER BY d.doc_id"""))
   )
 }
