@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * pushdown still apply to metadata predicates), and per-record
   * compute runs via `mapPartitions` so codec/model state can be
   * initialized once per partition (the JVM analog of a batched
-  * pandas-UDF loop). The decode kernels themselves are DETERMINISTIC
-  * STUBS — this container has no image/audio codecs — clearly marked
-  * below; swapping in a real decoder changes only the function body,
-  * not the pipeline, schema, or partitioning.
+  * pandas-UDF loop).
+  *
+  * Decode is REAL for PPM images and WAV PCM16 audio ([[Codecs]] —
+  * dependency-free byte-level parsers), and [[extractFeatures]]
+  * dispatches to them by media kind. Only codecs that require native
+  * libraries this container lacks (JPEG, H.264, …) fall back to the
+  * DETERMINISTIC STUB below; swapping one in changes only the
+  * function body, not the pipeline, schema, or partitioning.
   */
 object Multimodal {
 
@@ -74,6 +78,18 @@ object Multimodal {
     bins
   }
 
+  /** Kind-dispatched decode: PPM images and WAV audio parse for real
+    * through [[Codecs]]; other kinds — or payloads that fail to parse
+    * — fall back to the histogram stub so the pipeline is total. */
+  def decodeFeatures(kind: String, payload: Array[Byte], stubDim: Int): Array[Float] =
+    kind match {
+      case "image" => Codecs.decodePpm(payload).map(Codecs.imageFeatures)
+        .getOrElse(decodeFeaturesStub(payload, stubDim))
+      case "audio" => Codecs.decodeWav(payload).map(Codecs.audioFeatures)
+        .getOrElse(decodeFeaturesStub(payload, stubDim))
+      case _ => decodeFeaturesStub(payload, stubDim)
+    }
+
   /** Distributed feature extraction: one pass, per-partition batch
     * loop, expensive state (a real decoder/model) would be allocated
     * once per partition here. No shuffle; output co-partitioned with
@@ -85,8 +101,65 @@ object Multimodal {
       // per-partition init point (decoder handle, model session, ...)
       it.map { r =>
         MediaFeatures(r.media_id, r.meta.kind, r.payload.length.toLong,
-          decodeFeaturesStub(r.payload, dim))
+          decodeFeatures(r.meta.kind, r.payload, dim))
       }
+    }
+  }
+
+  /** Deterministic procedural image keyed by id. The container ships
+    * no media files, but the emitted BYTES are a genuine P6 PPM any
+    * netpbm tool reads — so the decode stage exercised on them is the
+    * real parser, not a simulation. */
+  def syntheticImage(id: Long, w: Int, h: Int): Codecs.Image = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = 3 * (y * w + x)
+        rgb(o) = ((x * 7 + id) & 0xff).toByte
+        rgb(o + 1) = ((y * 5 + 2 * id) & 0xff).toByte
+        rgb(o + 2) = (((x + y) * 3 + 5 * id) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.Image(w, h, rgb)
+  }
+
+  /** Deterministic procedural audio keyed by id: integer sawtooth
+    * (no floating trig — bit-identical everywhere). */
+  def syntheticAudio(id: Long, sampleRateHz: Int, n: Int): Codecs.Audio = {
+    val period = (id % 50 + 20).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (((i % period) * 2000 / period - 1000) * 16).toShort
+      i += 1
+    }
+    Codecs.Audio(sampleRateHz, samples)
+  }
+
+  /** Media table of REAL PPM payloads, one per id in `df`. */
+  def ingestImages(df: DataFrame, idCol: String, w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      MediaRecord(id, MediaMeta("image", w, h, 0, 0L),
+        Codecs.encodePpm(syntheticImage(id, w, h)))
+    }
+  }
+
+  /** Media table of REAL WAV payloads, one per id in `df`. */
+  def ingestAudio(df: DataFrame, idCol: String, sampleRateHz: Int,
+                  nSamples: Int): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      MediaRecord(id,
+        MediaMeta("audio", 0, 0, sampleRateHz,
+          nSamples.toLong * 1000 / sampleRateHz),
+        Codecs.encodeWav(syntheticAudio(id, sampleRateHz, nSamples)))
     }
   }
 
