@@ -19,6 +19,21 @@ import graft.Tables._
   */
 object Analytics {
 
+  /** Shared verbatim by the Spark plan (spark.sql) and the DuckDB
+    * oracle — one statement, two engines. (Declared before `entries`:
+    * the Vector captures it eagerly.) */
+  val groupingSetsSql: String = """
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority), ())
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+               o_orderpriority NULLS FIRST"""
+
   val entries: Vector[Q] = Vector(
 
     // exact quartiles of an integer column per group
@@ -148,6 +163,14 @@ object Analytics {
     }, Some("""
       SELECT o_orderpriority, o_orderstatus, count(*) AS logs
       FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-      ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
+      ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // explicit GROUPING SETS with GROUPING() markers — the SQL
+    // surface; the exact same statement runs on both engines (money
+    // sums through DECIMAL(18,2) per the exactness rules)
+    Q("q59_grouping_sets", (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(Analytics.groupingSetsSql)
+    }, Some(Analytics.groupingSetsSql))
   )
 }

@@ -168,6 +168,104 @@ object Text {
           AS BIGINT) % $P AS fp
       FROM (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
             FROM documents)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // BM25 retrieval scoring for a fixed 3-term query, in RATIONAL
+    // form (the idf uses the raw odds ratio, no log): every input to
+    // the score is an exact integer (tf, df, dl, N), avgdl is one
+    // deterministic division, and the per-term scores combine in
+    // fixed order — bit-reproducible cross-engine, unlike the ln()
+    // formulation (libm vs java.lang.Math differ in the last ulp).
+    // Shape: per-row tf expressions in the scan stage, one global
+    // stats aggregate broadcast back, top-k by score. At 100 TB the
+    // final top-k runs through TopKPerKey instead of a global sort.
+    Q("q57_bm25_topk", (s, d) => {
+      val terms = Seq("spark", "hash", "window")
+      val wtf = t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id") +: size(col("tk")).cast(LongType).as("dl") +:
+          terms.zipWithIndex.map { case (tm, i) =>
+            size(filter(col("tk"), x => x === tm)).cast(LongType).as(s"tf$i")
+          }: _*)
+      val aggCols =
+        count(lit(1)).as("n") +:
+          (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = wtf.agg(aggCols.head, aggCols.tail: _*)
+      // literals written identically in the SQL oracle (1.2 + 1
+      // computed in double would NOT equal the literal 2.2)
+      def termScore(i: Int): Column = {
+        val tf = col(s"tf$i").cast(DoubleType)
+        val df = col(s"df$i").cast(DoubleType)
+        (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast(DoubleType) / col("avgdl")))) *
+          ((col("n").cast(DoubleType) - df + lit(0.5)) / (df + lit(0.5)))
+      }
+      wtf.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (termScore(0) + termScore(1) + termScore(2)).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }, Some("""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      wtf AS (SELECT doc_id, len(tk) dl,
+                len(list_filter(tk, x -> x = 'spark'))  tf0,
+                len(list_filter(tk, x -> x = 'hash'))   tf1,
+                len(list_filter(tk, x -> x = 'window')) tf2
+              FROM tk),
+      stats AS (SELECT count(*) n, CAST(SUM(dl) AS DOUBLE)/count(*) avgdl,
+                  SUM(CASE WHEN tf0>0 THEN 1 ELSE 0 END) df0,
+                  SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) df1,
+                  SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) df2
+                FROM wtf)
+      SELECT doc_id, score FROM (
+        SELECT doc_id,
+          (CAST(tf0 AS DOUBLE) * 2.2::DOUBLE)
+            / (CAST(tf0 AS DOUBLE) + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+               * (CAST(dl AS DOUBLE) / avgdl)))
+            * ((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5::DOUBLE)
+               / (CAST(df0 AS DOUBLE) + 0.5::DOUBLE))
+          + (CAST(tf1 AS DOUBLE) * 2.2::DOUBLE)
+            / (CAST(tf1 AS DOUBLE) + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+               * (CAST(dl AS DOUBLE) / avgdl)))
+            * ((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5::DOUBLE)
+               / (CAST(df1 AS DOUBLE) + 0.5::DOUBLE))
+          + (CAST(tf2 AS DOUBLE) * 2.2::DOUBLE)
+            / (CAST(tf2 AS DOUBLE) + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+               * (CAST(dl AS DOUBLE) / avgdl)))
+            * ((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5::DOUBLE)
+               / (CAST(df2 AS DOUBLE) + 0.5::DOUBLE)) AS score
+        FROM wtf, stats)
+      WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // deterministic hash-based train/valid/test split (80/10/10):
+    // the split decision is a pure function of the id via the shared
+    // md5 folding, so it is stable under repartitioning, re-runs, and
+    // engine choice — the property a reproducible pipeline needs
+    Q("q58_train_split", (s, d) => {
+      val bucket = hmod(col("doc_id").cast("string")) % 100
+      t(s, d, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"))
+    }, Some(s"""
+      SELECT CASE
+               WHEN ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                    % $P % 100 < 80 THEN 'train'
+               WHEN ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                    % $P % 100 < 90 THEN 'valid'
+               ELSE 'test' END AS split,
+             count(*) AS n,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1 ORDER BY 1"""))
   )
 }
