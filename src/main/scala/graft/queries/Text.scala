@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -266,6 +267,62 @@ object Text {
              count(*) AS n,
              CAST(SUM(doc_id) AS BIGINT) AS id_sum,
              CAST(SUM(n_chars) AS BIGINT) AS chars
-      FROM documents GROUP BY 1 ORDER BY 1"""))
+      FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // winnowing fingerprint (Schleimer, Wilkerson, Aiken: "Winnowing:
+    // Local Algorithms for Document Fingerprinting"): per window of
+    // w=4 consecutive shingle hashes select the min (rightmost on
+    // ties), fingerprint = distinct selected hashes. The guarantee:
+    // any shared run ≥ w+k-1 tokens yields a shared fingerprint hash,
+    // making it the robust MOSS-style dedup/similarity signature.
+    // Spark shape: posexplode → ONE shuffle on doc_id → frame-window
+    // min (codegen) → distinct → sum-fold; tie-break is encoded
+    // arithmetically (h·2^20 + (2^20 − pos)) so the whole selection
+    // is a plain min aggregate, identical in SQL.
+    Q("q60_winnow_fingerprint", (s, d) => {
+      val W = 4
+      val M = 1L << 20
+      val docs = t(s, d, "documents")
+      val ex = docs.select(col("doc_id"),
+          posexplode(shingles(tokens(col("text")), 3, distinct = false)))
+        .select(col("doc_id"), col("pos"), hmod(col("col")).as("h"))
+      val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, W - 1)
+      val whole = Window.partitionBy(col("doc_id"))
+      val sel = ex
+        .withColumn("enc", min(col("h") * M + (lit(M) - (col("pos") + 1))).over(frame))
+        .withColumn("m", count(lit(1)).over(whole))
+        .filter(col("pos") <= greatest(col("m") - W, lit(0)))
+        .select(col("doc_id"), expr(s"enc div $M").as("sh"))
+        .distinct()
+      val agg = sel.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), (sum(col("sh")) % P).as("fp"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          coalesce(col("fp"), lit(0L)).as("fp"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      shm AS (SELECT doc_id,
+                CASE WHEN len(tk)>=3 THEN [tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                                           for i in generate_series(1,len(tk)-2)]
+                     ELSE [] END sg
+              FROM tk),
+      hs AS (SELECT doc_id,
+               [('0x'||substring(md5(s),1,15))::BIGINT % $P for s in sg] h
+             FROM shm),
+      win AS (SELECT doc_id,
+                [list_min([h[j]*1048576 + (1048576 - j)
+                           for j in generate_series(i, LEAST(i+3, len(h)))])
+                 for i in generate_series(1, GREATEST(len(h)-3, 1))] encs
+              FROM hs WHERE len(h) > 0),
+      sel AS (SELECT doc_id, list_distinct([e // 1048576 for e in encs]) sels FROM win)
+      SELECT d.doc_id,
+             CAST(COALESCE(len(s.sels), 0) AS BIGINT) AS n_fp,
+             CAST(COALESCE(list_sum(s.sels) % $P, 0) AS BIGINT) AS fp
+      FROM documents d LEFT JOIN sel s USING (doc_id)
+      ORDER BY doc_id"""))
   )
 }

@@ -75,4 +75,26 @@ object MiwStreaming {
   def runOnDirectory(spark: org.apache.spark.sql.SparkSession, fmt: LogFormat,
                      dir: String): DataFrame =
     aggregateStream(fmt, spark.readStream.text(dir))
+
+  /** Streaming HTTP push: each micro-batch's refreshed rows POST to
+    * `url` as JSON-array batches via [[graft.miw.HttpSink]] — the
+    * streaming analog of the reference's per-file Solr commit loop
+    * (app/solr_commit.cc): continuous export instead of batch-and-
+    * script. Returns a handle whose per-batch PushResults accumulate
+    * in `results` (driver-side, one small record per micro-batch). */
+  def pushStream(aggregated: DataFrame, url: String, batchSize: Int = 1000)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         java.util.concurrent.ConcurrentLinkedQueue[graft.miw.HttpSink.PushResult]) = {
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[graft.miw.HttpSink.PushResult]()
+    val q = aggregated.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        results.add(graft.miw.HttpSink.push(batch.toDF(), url, batchSize))
+        ()
+      }
+      .start()
+    (q, results)
+  }
 }

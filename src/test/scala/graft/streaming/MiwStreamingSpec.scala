@@ -124,4 +124,36 @@ class MiwStreamingSpec extends AnyFunSuite {
         ("2024-01-01 10:00", "b") -> 1L))
     } finally q.stop()
   }
+
+  test("streaming HTTP push posts each micro-batch's refreshed rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/update", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        ex.sendResponseHeaders(200, 2L)
+        ex.getResponseBody.write("{}".getBytes("UTF-8"))
+        ex.close()
+      }
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/update"
+    val in = MemoryStream[String]
+    val (q, results) = MiwStreaming.pushStream(
+      MiwStreaming.aggregateStream(sumFmt, in.toDF()), url)
+    try {
+      in.addData("a,1", "b,2")
+      q.processAllAvailable()
+      in.addData("a,4")
+      q.processAllAvailable()
+      // every batch POSTed successfully and the updated key rode along
+      val rs = results.toArray(Array.empty[graft.miw.HttpSink.PushResult])
+      assert(rs.nonEmpty && rs.forall(r => r.failed == 0 && r.succeeded >= 1))
+      val all = bodies.toArray(Array.empty[String]).mkString
+      assert(all.contains("\"id\":\"a\"") && all.contains("\"v\":5"))
+    } finally { q.stop(); server.stop(0) }
+  }
 }
