@@ -57,6 +57,44 @@ object Temporal {
                  OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) asof_view
         FROM tagged)
-      SELECT event_id, asof_view FROM w WHERE tag=1 ORDER BY event_id"""))
+      SELECT event_id, asof_view FROM w WHERE tag=1 ORDER BY event_id""")),
+
+    // gap-based sessionization through the REAL operator
+    // (graft.streaming.Sessionize.sessionsBatch — the same function
+    // SessionizeSpec proves equal to the streaming stateful path, so
+    // this gate row transitively covers both): 6-hour-gap sessions
+    // per user, reported as per-user session stats in epoch millis
+    Q("q61_sessionize", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(col("user_id").cast("string").as("key"), col("ts"))
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.Sessionize.sessionsBatch(ev, gapMs = 21600000L)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("events")).as("n_events"),
+          max(unix_millis(col("end")) - unix_millis(col("start"))).as("longest_ms"))
+        .select(col("key").cast("long").as("user_id"),
+          col("n_sessions"), col("n_events"), col("longest_ms"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH w AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                    > 21600000 THEN 1 ELSE 0 END ns
+        FROM events),
+      sid AS (
+        SELECT user_id, ts,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+        FROM w),
+      sess AS (
+        SELECT user_id, sid, count(*) n,
+               epoch_ms(max(ts)) - epoch_ms(min(ts)) dur
+        FROM sid GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(MAX(dur) AS BIGINT) AS longest_ms
+      FROM sess GROUP BY 1 ORDER BY 1"""))
   )
 }
