@@ -171,6 +171,38 @@ object Analytics {
     Q("q59_grouping_sets", (s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
       s.sql(Analytics.groupingSetsSql)
-    }, Some(Analytics.groupingSetsSql))
+    }, Some(Analytics.groupingSetsSql)),
+
+    // single-pass data-quality profile: row count, distinct count, and
+    // null count for several columns from ONE aggregate over ONE scan
+    // (the shape that matters at 100 TB — the naive per-column loop
+    // scans the table once per column), reshaped to a row per column
+    Q("q63_column_profile", (s, d) => {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+      val li = t(s, d, "lineitem")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"d_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"u_$c")))
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col("n"),
+            col(s"d_$c").as("n_distinct"), col(s"u_$c").as("n_null"))): _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.n").as("n"),
+          col("p.n_distinct").as("n_distinct"), col("p.n_null").as("n_null"))
+        .orderBy(col("col_name"))
+    }, Some("""
+      SELECT 'l_returnflag' AS col_name, count(*) AS n,
+             count(DISTINCT l_returnflag) AS n_distinct,
+             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', count(*), count(DISTINCT l_linestatus),
+             CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate', count(*), count(DISTINCT l_shipdate),
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      ORDER BY col_name"""))
   )
 }

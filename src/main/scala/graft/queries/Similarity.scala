@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables._
 import graft.functions.ExactCols._
@@ -218,6 +219,34 @@ object Similarity {
               i -> q.qv[i]*n.v[i])) AS DOUBLE)/(q.qn*n.nrm) cosine
           FROM probes q, assigned n
           WHERE n.cell = q.pcell AND n.vec_id <> q.query_id))
-      WHERE rk <= 3 ORDER BY query_id, rk"""))
+      WHERE rk <= 3 ORDER BY query_id, rk""")),
+
+    // int8 scalar quantization of the embedding corpus — the
+    // compression step before a vector store ships 100 TB of float32.
+    // Corpus min/max come from one aggregate (broadcast back), each
+    // value maps to round((x−lo)·255/(hi−lo)); the gate reduces the
+    // quantized vectors to exact per-vector integer stats. All double
+    // steps are single deterministic expressions (no double sums).
+    Q("q62_quantize_int8", (s, d) => {
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), explode(col("embedding")).as("xf"))
+        .select(col("vec_id"), col("xf").cast(DoubleType).as("x"))
+      val mm = ex.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      ex.crossJoin(broadcast(mm))
+        .select(col("vec_id"),
+          round((col("x") - col("lo")) * lit(255) / (col("hi") - col("lo")))
+            .cast(LongType).as("q"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("q")).as("qsum"), min(col("q")).as("qmin"),
+          max(col("q")).as("qmax"), count(lit(1)).as("n_dims"))
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) x FROM embeddings),
+      mm AS (SELECT min(x) lo, max(x) hi FROM ex),
+      q AS (SELECT vec_id, CAST(round((x - lo) * 255 / (hi - lo)) AS BIGINT) q
+            FROM ex, mm)
+      SELECT vec_id, CAST(SUM(q) AS BIGINT) AS qsum, CAST(MIN(q) AS BIGINT) AS qmin,
+             CAST(MAX(q) AS BIGINT) AS qmax, count(*) AS n_dims
+      FROM q GROUP BY 1 ORDER BY 1"""))
   )
 }
