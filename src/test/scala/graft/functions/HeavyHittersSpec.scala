@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Misra–Gries guarantees (counts are merge-order-dependent, like any
+  * mergeable sketch, so the assertions are the published bounds, not
+  * exact values — the exact tier stays the oracle path). */
+class HeavyHittersSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // zipf-ish: key i appears ~N/i times
+  private def skewed(n: Int) = {
+    import spark.implicits._
+    (1 to n).flatMap(i => Seq.fill(n / i)(s"k$i")).toDF("v")
+      .repartition(8) // force multi-partition partial/final merges
+  }
+
+  test("every key above n/(k+1) survives, with bounded underestimates") {
+    val df = skewed(64)
+    val n = df.count()
+    val k = 8
+    val got = df.agg(HeavyHitters(col("v"), k).as("hh"))
+      .collect().head.getAs[Map[String, Long]]("hh")
+    assert(got.size <= k)
+    val exact = df.groupBy(col("v")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n / (k + 1)
+    // completeness: all true heavy keys present
+    for ((key, c) <- exact if c > bound)
+      assert(got.contains(key), s"missing heavy key $key (count $c, bound $bound)")
+    // soundness: estimates never exceed truth, underestimate ≤ bound
+    for ((key, est) <- got) {
+      assert(est <= exact(key), s"$key overestimated: $est > ${exact(key)}")
+      assert(exact(key) - est <= bound, s"$key off by more than $bound")
+    }
+  }
+
+  test("extreme skew: the dominant key is near-exact") {
+    import spark.implicits._
+    val df = (Seq.fill(9000)("hot") ++ (1 to 1000).map(i => s"cold$i"))
+      .toDF("v").repartition(16)
+    val got = df.agg(HeavyHitters(col("v"), 10).as("hh"))
+      .collect().head.getAs[Map[String, Long]]("hh")
+    assert(got.contains("hot"))
+    assert(got("hot") >= 9000L - 10000L / 11)
+  }
+
+  test("works per group (one summary per key)") {
+    import spark.implicits._
+    // "a" count (~333 per group) must be strictly above n/(k+1) = 200
+    // or the MG guarantee doesn't cover it
+    val df = (1 to 2000).map(i => (i % 2, if (i % 3 == 0) "a" else s"x$i"))
+      .toDF("g", "v")
+    val rows = df.groupBy(col("g")).agg(HeavyHitters(col("v"), 4).as("hh"))
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getAs[Map[String, Long]]("hh").contains("a")))
+  }
+}
