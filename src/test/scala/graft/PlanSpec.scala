@@ -74,6 +74,23 @@ class PlanSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
   }
 
+  test("plan sweep: no unexpected cartesian/nested-loop join in ANY gate query") {
+    // whitelist: labeled brute baselines (q27/q28) and broadcasts of
+    // provably tiny sides — 1-row global stats (q57 BM25, q62 quantize)
+    // or K-row centroid/probe tables (q39/q45 kmeans/IVF)
+    val expectedNested = Set(
+      "q27_dedup_embedding", "q28_ann_brute_topk",
+      "q39_kmeans_assign", "q45_ann_ivf_topk",
+      "q57_bm25_topk", "q62_quantize_int8")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      if (!expectedNested(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join:\n$p")
+    }
+  }
+
   test("core agg query stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q01_agg_basic")(spark, sf)
     df.collect() // finalize the adaptive plan
