@@ -203,6 +203,34 @@ object Analytics {
       SELECT 'l_shipdate', count(*), count(DISTINCT l_shipdate),
              CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       FROM lineitem
-      ORDER BY col_name"""))
+      ORDER BY col_name""")),
+
+    // bottom-k consistent sampling: per group, the k records with the
+    // smallest md5-folded id hash — a DETERMINISTIC uniform sample
+    // (reproducible across runs/engines/partitionings, mergeable:
+    // bottom-k of a union = bottom-k of the parts' bottom-ks, so
+    // map-side pruning applies; the TopKPerKey operator is the
+    // bounded-heap shape at scale). The bottom-k signature doubles as
+    // a set-similarity sketch.
+    Q("q64_bottomk_sample", (s, d) => {
+      import graft.functions.ExactCols.hmod
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("h"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          hmod(col("event_id").cast("string")).as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("event_type"), col("rk"), col("event_id"), col("h"))
+        .orderBy(col("event_type"), col("rk"))
+    }, Some("""
+      SELECT event_type, rk, event_id, h FROM (
+        SELECT event_type, event_id, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) rk
+        FROM (SELECT event_type, event_id,
+                ('0x'||substring(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT
+                  % 1000000007 h
+              FROM events))
+      WHERE rk <= 5 ORDER BY event_type, rk"""))
   )
 }
