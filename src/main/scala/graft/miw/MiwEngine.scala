@@ -125,7 +125,12 @@ object MiwEngine {
       import spark.implicits._
       val dcol = s"__miw_dict_$idx"
       val dict = broadcast(j.terms.toDF(dcol))
-      cur.join(dict, j.tok === col(dcol), if (j.anti) "left_anti" else "left_semi")
+      // NULL tokens: the inline predicate path drops them (both isin
+      // and !isin evaluate NULL → filtered); a left_anti join would
+      // KEEP them (no match) — pre-filter so the join path agrees
+      // with the predicate path regardless of dictionary size
+      val nn = if (j.anti) cur.filter(j.tok.isNotNull) else cur
+      nn.join(dict, j.tok === col(dcol), if (j.anti) "left_anti" else "left_semi")
     }
 
   // ------------------------------------------------------------ parse

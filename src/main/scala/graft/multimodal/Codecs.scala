@@ -32,7 +32,7 @@ object Codecs {
     * single whitespace byte after maxval, then w*h*3 raw RGB bytes.
     * Returns None on any malformed input (wrong magic, maxval ≠ 255,
     * truncated raster). */
-  def decodePpm(bytes: Array[Byte]): Option[Image] = {
+  def decodePpm(bytes: Array[Byte]): Option[Image] = try {
     var pos = 0
     def skipWsAndComments(): Unit = {
       var go = true
@@ -61,8 +61,14 @@ object Codecs {
       if pos < bytes.length && (bytes(pos) == '\n' || bytes(pos) == ' ' ||
         bytes(pos) == '\r' || bytes(pos) == '\t')
       raster = pos + 1
-      if bytes.length - raster >= w * h * 3
+      // long math: w*h*3 can overflow Int for hostile headers; when it
+      // fits under bytes.length (an Int) the Int product is safe
+      if bytes.length.toLong - raster >= w.toLong * h * 3
     } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, raster, raster + w * h * 3))
+  } catch {
+    // malformed input must yield None, never a task-killing throw
+    // (oversized dimension literals overflow toInt, etc.)
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Per-channel means + 8-bin luminance histogram (L1-normalized) —
@@ -133,7 +139,7 @@ object Codecs {
 
   /** Parse RIFF/WAVE: walks chunks (tolerating extra chunks before
     * `data`), requires PCM 16-bit mono. None on malformed input. */
-  def decodeWav(bytes: Array[Byte]): Option[Audio] = {
+  def decodeWav(bytes: Array[Byte]): Option[Audio] = try {
     if (bytes.length < 44) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {
@@ -168,6 +174,10 @@ object Codecs {
       }
     }
     None
+  } catch {
+    // e.g. a 'fmt ' chunk whose declared size admits fewer than the 16
+    // bytes the PCM header read needs → BufferUnderflow, not a throw
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** RMS energy + zero-crossing rate + 6-bin |amplitude| histogram —

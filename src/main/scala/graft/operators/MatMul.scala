@@ -65,10 +65,13 @@ object MatMul {
   }
 
   /** Dense/blocked form: C = A·B over bs×bs tiles. Inputs are
-    * coordinate DataFrames with columns (i, j, v); the result is the
-    * full rows×cols coordinate grid (including exact zeros), so
-    * callers get a complete dense answer like the reference's output
-    * matrix. */
+    * coordinate DataFrames with columns (i, j, v). Every cell of
+    * every PRODUCED tile is emitted (including exact zeros), which is
+    * the full rows×cols grid whenever each block-row of A meets each
+    * block-col of B — always true for dense inputs like the
+    * reference's matrices. Block-rows/-cols with no entries at all
+    * produce no tiles and therefore no output cells (sparse
+    * convention: absent = zero). */
   def blocked(a: DataFrame, b: DataFrame, bs: Int,
               rows: Long, cols: Long): DataFrame = {
     val spark = a.sparkSession

@@ -81,8 +81,18 @@ object Dedup {
         * bucket (deterministic first-by-id). */
       maxBucketSize: Int = 256,
       /** Materialize the band table before the self-join (one
-        * signature computation instead of two). */
-      persistSignatures: Boolean = false)
+        * signature computation instead of two). The cached blocks
+        * live until the session evicts them — long-running callers
+        * own the lifecycle (spark.catalog.clearCache() or keep the
+        * default off). */
+      persistSignatures: Boolean = false) {
+    require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) " +
+        "or trailing hash functions would be silently unused")
+    require(simBits >= maxHamming + 1,
+      s"simBits ($simBits) must be ≥ maxHamming+1 (${maxHamming + 1}) for pigeonhole blocks")
+    require(shingleSize > 0 && maxBucketSize > 1, "shingleSize/maxBucketSize out of range")
+  }
 
   // ---- Spark-side building blocks (explode → codegen aggregate) ----
 

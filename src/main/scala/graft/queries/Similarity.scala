@@ -45,10 +45,12 @@ object Similarity {
 
   /** ANN front door: top-k neighbors for each query vector. DEFAULT
     * ROUTE: sign-LSH bucketed compare (`method = "lsh"`, the q29
-    * shape) — cost |Q|·E[bucket], not |Q|·n; `"ivf"` probes the 2
-    * nearest of `ivfCells` coarse cells (the q45 shape); `"brute"`
-    * is the exhaustive baseline, never the default. `queries` must
-    * have columns (query_id, v: int-scaled vector, nrm). */
+    * shape) — cost |Q|·E[bucket], not |Q|·n; `"brute"` is the
+    * exhaustive baseline, never the default. An inverted-file
+    * variant lives in the q45 gate query (coarse quantize + nprobe).
+    * `queries` must have columns `query_id`, `qv` (int-scaled
+    * vector, see ExactCols.iscale) and `qn` (its norm) — named to
+    * avoid colliding with the vector side's v/nrm. */
   def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               method: String = "lsh", signBitCount: Int = 6): DataFrame = {
     val iv = vectors

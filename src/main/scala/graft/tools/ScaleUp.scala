@@ -19,27 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  /** keys to shift per table (all become max+1-spaced id blocks). */
-  private val shifted: Map[String, Seq[String]] = Map(
-    "lineitem"   -> Seq("l_orderkey", "l_partkey"),
-    "orders"     -> Seq("o_orderkey"),
-    "part"       -> Seq("p_partkey"),
-    "events"     -> Seq("event_id", "user_id"),
-    "documents"  -> Seq("doc_id"),
-    "embeddings" -> Seq("vec_id"))
+  /** Keys to shift per table: column → (table, column) whose max+1
+    * defines the shift step. A FOREIGN key must shift by the
+    * REFERENCED table's step (l_partkey by part's max p_partkey+1,
+    * not by max l_partkey+1 — if the top part ids are unreferenced,
+    * per-copy FK blocks would land offset from the PK blocks,
+    * dangling or crossing copies and distorting exactly the join
+    * selectivities this tool exists to preserve). */
+  private val shifted: Map[String, Seq[(String, (String, String))]] = Map(
+    "lineitem"   -> Seq("l_orderkey" -> ("orders", "o_orderkey"),
+                        "l_partkey"  -> ("part", "p_partkey")),
+    "orders"     -> Seq("o_orderkey" -> ("orders", "o_orderkey")),
+    "part"       -> Seq("p_partkey"  -> ("part", "p_partkey")),
+    "events"     -> Seq("event_id"   -> ("events", "event_id"),
+                        "user_id"    -> ("events", "user_id")),
+    "documents"  -> Seq("doc_id"     -> ("documents", "doc_id")),
+    "embeddings" -> Seq("vec_id"     -> ("embeddings", "vec_id")))
 
   private val passthrough = Seq("region", "nation", "customer", "supplier")
 
-  def scaleTable(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
-    val steps: Map[String, Long] = keys.map { k =>
-      k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
-    }.toMap
+  /** Replicate `df` factor×, shifting each key by `i × step(key)`. */
+  def scaleTable(df: DataFrame, steps: Seq[(String, Long)], factor: Int): DataFrame =
     (0 until factor).map { i =>
-      keys.foldLeft(df) { (d, k) =>
-        d.withColumn(k, col(k) + lit(i * steps(k)))
+      steps.foldLeft(df) { case (d, (k, step)) =>
+        d.withColumn(k, col(k) + lit(i * step))
       }
     }.reduce(_ union _)
-  }
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, f) = args
@@ -52,12 +57,18 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(dst).mkdirs()
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // one step per referenced (table, column), from the SOURCE data
+    val stepOf: Map[(String, String), Long] =
+      shifted.values.flatten.map(_._2).toSet.map { tc: (String, String) =>
+        tc -> (read(tc._1).agg(max(col(tc._2))).head().getLong(0) + 1L)
+      }.toMap
     for (t <- passthrough)
-      spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
-        .parquet(s"$dst/$t.parquet")
+      read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     for ((t, keys) <- shifted) {
-      val df = spark.read.parquet(s"$src/$t.parquet")
-      scaleTable(df, keys, factor).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      val steps = keys.map { case (k, ref) => k -> stepOf(ref) }
+      scaleTable(read(t), steps, factor)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"scaled $t x$factor")
     }
     spark.stop()

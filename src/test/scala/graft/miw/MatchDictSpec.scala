@@ -65,4 +65,18 @@ class MatchDictSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
     assert(df.collect().length == 25)
   }
+
+  test("anti-join path drops NULL tokens exactly like the inline predicate") {
+    import spark.implicits._
+    // !isin evaluates NULL for a NULL token → the inline path filters
+    // the row; the left_anti path must agree, not keep it
+    val table = ((0 until 49).map(i => (s"u$i", (i + 1).toLong)) :+
+      (null.asInstanceOf[String], 99L)).toDF("user", "v")
+    val missTerms = (0 until 10000).map(i => s"zz$i") // matches nothing
+    val big = MiwEngine.runOnTable(fmt(dictFile(missTerms), negative = true), table)
+    val small = MiwEngine.runOnTable(
+      fmt(dictFile(Seq("zz1", "zz2")), negative = true), table)
+    assert(big.collect().length == 49)   // null row dropped by the join path
+    assert(small.collect().length == 49) // and by the predicate path
+  }
 }

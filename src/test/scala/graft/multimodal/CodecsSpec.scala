@@ -31,6 +31,11 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.decodePpm("P6\n4 2\n255\n".getBytes ++ new Array[Byte](10)).isEmpty) // truncated
     assert(Codecs.decodePpm("P6\n4 2\n65535\n".getBytes ++ new Array[Byte](48)).isEmpty)
     assert(Codecs.decodePpm(Array[Byte]()).isEmpty)
+    // hostile headers must yield None, not a task-killing throw:
+    // dimension literal overflowing Int.parseInt
+    assert(Codecs.decodePpm("P6\n99999999999 1\n255\n".getBytes ++ new Array[Byte](48)).isEmpty)
+    // w*h*3 overflowing Int (50000*50000*3 > Int.MaxValue)
+    assert(Codecs.decodePpm("P6\n50000 50000\n255\n".getBytes ++ new Array[Byte](48)).isEmpty)
   }
 
   test("WAV round trip is sample-exact and chunk-walker skips extra chunks") {
@@ -55,6 +60,11 @@ class CodecsSpec extends AnyFunSuite {
     stereo(22) = 2 // channel count
     assert(Codecs.decodeWav(stereo).isEmpty)
     assert(Codecs.decodeWav(good.take(40)).isEmpty)
+    // fmt chunk declaring size 4 as the file's last 12 bytes: the PCM
+    // header read would underflow — must be None, not a throw
+    val truncFmt = good.take(12) ++
+      "fmt ".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 0, 1, 0)
+    assert(Codecs.decodeWav(truncFmt).isEmpty)
   }
 
   test("resizeImage is a real nearest-neighbor resample") {
