@@ -19,7 +19,12 @@ object Bench {
     // (otherwise the first query measured absorbs ~5 s of session setup)
     try SparkEntry.queries("q01_agg_basic")(spark, sfDir).foreach(_ => ())
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q55,q24 restricts the run (targeted timing)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // foreach forces FULL evaluation of every output column —
       // count() would let Catalyst prune the per-row compute of

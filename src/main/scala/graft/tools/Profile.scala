@@ -77,6 +77,36 @@ object Profile {
     }
     spark.catalog.clearCache()
 
+    // ---------- q55 stages (prefix-filtered all-pairs jaccard) ----------
+    val hset = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3, distinct = true)).as("sg"))
+      .select(col("doc_id"), hmod(col("sg")).as("h"))
+      .distinct()
+    time("q55 hset") { hset }
+    val rare = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select(col("h"))
+    val kept55 = hset.join(rare, "h")
+    time("q55 kept") { kept55 }
+    val docsArr = kept55.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+    time("q55 docsArr") { docsArr }
+    val plen = (col("n") - greatest(floor(lit(0.3) * col("n")), lit(1.0))
+      .cast("long") + 1).cast("int")
+    val prefix = docsArr
+      .select(col("doc_id"), col("n"), posexplode(slice(col("hs"), lit(1), plen)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("h"))
+    time("q55 prefix") { prefix }
+    val alpha = lit(0.3 / 1.3) * (col("a.n") + col("b.n"))
+    val ub = lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))
+    val candJoin = prefix.as("a").join(prefix.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        ub >= alpha - lit(0.5))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    time("q55 cand rows (pre-distinct)") { candJoin }
+    val cand55 = candJoin.distinct()
+    time("q55 cand distinct") { cand55 }
+    time("q55 full") { graft.queries.Dedup.ngramJaccardPairs(docs, 0.3) }
+
     // ---------- q29 stages ----------
     val iv = t(spark, d, "embeddings")
       .select(col("vec_id"), iscale(col("embedding")).as("v"))
