@@ -99,10 +99,73 @@ case class LongSqDist(left: Expression, right: Expression) extends LongVecKernel
   override def prettyName: String = "long_sq_dist"
 }
 
+/** |a ∩ b| for two SORTED-ascending distinct int64 arrays, by
+  * two-pointer merge — no per-row hash-set build (ArrayIntersect
+  * allocates one per invocation, which dominates candidate-pair
+  * verification at similarity-join cardinalities). Callers must
+  * supply sorted distinct arrays (sort_array(collect_set/list)). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends LongVecKernel {
+  // merge loop, not an element-wise fold — override both eval paths
+  override protected def javaAccum(xi: String, yi: String): String =
+    throw new UnsupportedOperationException("merge kernel")
+  override protected def accum(x: Long, y: Long): Long =
+    throw new UnsupportedOperationException("merge kernel")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val nx = xs.numElements()
+    val ny = ys.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < nx && j < ny) {
+      val x = xs.getLong(i)
+      val y = ys.getLong(j)
+      if (x == y) { acc += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        int $nx = $xs.numElements();
+        int $ny = $ys.numElements();
+        int $i = 0; int $j = 0;
+        long $acc = 0L;
+        while ($i < $nx && $j < $ny) {
+          long $x = $xs.getLong($i);
+          long $y = $ys.getLong($j);
+          if ($x == $y) { $acc++; $i++; $j++; }
+          else if ($x < $y) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCount = copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 object VectorExprs {
   def longDot(a: Column, b: Column): Column =
     Shim.column(LongDot(Shim.expression(a), Shim.expression(b)))
 
   def longSqDist(a: Column, b: Column): Column =
     Shim.column(LongSqDist(Shim.expression(a), Shim.expression(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Shim.column(SortedIntersectCount(Shim.expression(a), Shim.expression(b)))
 }

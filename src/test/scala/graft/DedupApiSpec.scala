@@ -71,6 +71,23 @@ class DedupApiSpec extends AnyFunSuite {
     assert(c50 == 1225L) // C(50,2)
   }
 
+  test("ngramJaccardPairs: count and prefix-filter modes agree exactly") {
+    import org.apache.spark.sql.functions.round
+    def pairs(prefix: Boolean) =
+      Dedup.ngramJaccardPairs(variedDocs, 0.3, prefixFilter = prefix)
+        .withColumn("jaccard", round(org.apache.spark.sql.functions.col("jaccard"), 9))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val count = pairs(false)
+    val pf = pairs(true)
+    assert(count.nonEmpty)
+    assert(count == pf)
+    // and on a clone-heavy corpus (every pair is a near-dup)
+    def clonePairs(prefix: Boolean) =
+      Dedup.ngramJaccardPairs(identicalDocs(20), 0.3, prefixFilter = prefix).count()
+    assert(clonePairs(false) == 190L && clonePairs(true) == 190L) // C(20,2)
+  }
+
   test("simhash mega-bucket is capped the same way") {
     val docs = identicalDocs(200)
     val n = Dedup.simhashPairs(docs, LshConfig(maxBucketSize = 10)).count()
