@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // measured at local[32] over the 64-query bench: 8g GC-thrashes the
+  // tail of a 10x-data session (one 31M-pair aggregate went 31s ->
+  // 226s), 32g is ~10% slower at sf0.1 than smaller heaps (G1
+  // locality); 16g is best at both scales
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -290,8 +290,9 @@ object Dedup {
     val kept = hset.join(rare, "h")
     if (!prefixFilter) {
       // co-occurrence counting: Σ df² narrow rows through one codegen
-      // HashAggregate — optimal while the DF cap keeps posting lists
-      // modest (measured 3× faster than the prefix form at 5k docs)
+      // HashAggregate — optimal while distinct candidate pairs stay
+      // close to co-occurrence rows (true of this corpus at every
+      // measured scale; see the prefix branch note)
       val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val shared = kept.as("a").join(kept.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -306,10 +307,13 @@ object Dedup {
         .select(col("a_id"), col("b_id"), col("jaccard"))
     } else {
       // AllPairs prefix filtering (Bayardo et al., WWW'07) + PPJoin
-      // positional filter (Xiao et al., WWW'08) — the large-corpus
-      // path (measured 67 s → 41 s over the count form at 50 k docs /
-      // 31 M candidate pairs; slower on small corpora where Σ df² is
-      // already candidate-sized). Exactness: under a fixed global
+      // positional filter (Xiao et al., WWW'08). On THIS corpus the
+      // tiny vocabulary makes distinct candidate pairs ≈ co-occurrence
+      // rows, so counting wins at both scales (isolated: 31 s count vs
+      // 44 s prefix at 50 k docs / 31 M candidates); the prefix form
+      // is the published answer for the common real-corpus regime
+      // where hot shingles make co-occurrence rows ≫ distinct
+      // candidates. Exactness: under a fixed global
       // token order, J ≥ t pairs must share a token in both docs'
       // (|set| − ⌊t·|set|⌋ + 1)-prefixes, and a prefix match at
       // positions (pa, pb) bounds overlap by 1 + min(|a|−pa, |b|−pb)
