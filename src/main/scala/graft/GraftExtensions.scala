@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{LongDot, LongSqDist, WordNGrams}
+import graft.functions.{LongDot, LongSqDist, SortedIntersectCount, WordNGrams}
 
 /** SQL surface for the library's native expressions, registered the
   * supported way: `SparkSession.builder().withExtensions(new
@@ -47,6 +47,9 @@ object GraftExtensions {
     ("long_sq_dist",
       new ExpressionInfo(classOf[LongSqDist].getName, "long_sq_dist"),
       (args: Seq[Expression]) => LongSqDist(args(0), args(1))),
+    ("sorted_intersect_count",
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     ("word_ngrams",
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
       (args: Seq[Expression]) => WordNGrams(args(0),

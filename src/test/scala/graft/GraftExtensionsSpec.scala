@@ -12,10 +12,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT long_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d,
                 long_sq_dist(array(1L,2L), array(4L,6L)) AS s,
+                sorted_intersect_count(array(1L,3L,5L,9L), array(2L,3L,4L,5L)) AS ic,
                 word_ngrams(array('a','b','c','d'), 2, false) AS g,
                 word_ngrams(array('a','b','a','b'), 2, true) AS gd""").head()
     assert(r.getAs[Long]("d") == 32L)
     assert(r.getAs[Long]("s") == 25L)
+    assert(r.getAs[Long]("ic") == 2L)
     assert(r.getAs[scala.collection.Seq[String]]("g").toSeq ==
       Seq("a b", "b c", "c d"))
     assert(r.getAs[scala.collection.Seq[String]]("gd").toSeq ==
@@ -24,7 +26,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extension injector exposes the same function set") {
     val names = GraftExtensions.functions.map(_._1)
-    assert(names == Seq("long_dot", "long_sq_dist", "word_ngrams"))
+    assert(names == Seq("long_dot", "long_sq_dist", "sorted_intersect_count", "word_ngrams"))
     // constructing the injector must not throw
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
