@@ -173,22 +173,30 @@ object Analytics {
       s.sql(Analytics.groupingSetsSql)
     }, Some(Analytics.groupingSetsSql)),
 
-    // single-pass data-quality profile: row count, distinct count, and
-    // null count for several columns from ONE aggregate over ONE scan
-    // (the shape that matters at 100 TB — the naive per-column loop
-    // scans the table once per column), reshaped to a row per column
+    // single-scan data-quality profile: row count, distinct count, and
+    // null count for several columns (the naive per-column loop scans
+    // the table once per column). Shape: each row explodes into one
+    // (col_name, value) pair per profiled column, then a two-level
+    // aggregation — groupBy(col_name, value) collapses to distinct
+    // values WITH map-side combine (shuffled rows = O(#distinct
+    // values), tiny), then groupBy(col_name) folds counts into
+    // n/n_distinct/n_null. The previous multi-countDistinct single
+    // aggregate made Catalyst plan an Expand that pushed 3× the full
+    // row count through the shuffle; this form shuffles only the
+    // distinct-value skeleton. Values profile through a string cast
+    // (bijective for these types, so distinct counts are preserved).
     Q("q63_column_profile", (s, d) => {
       val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate")
       val li = t(s, d, "lineitem")
-      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
-        countDistinct(col(c)).as(s"d_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"u_$c")))
-      li.agg(aggs.head, aggs.tail: _*)
-        .select(explode(array(cols.map(c =>
-          struct(lit(c).as("col_name"), col("n"),
-            col(s"d_$c").as("n_distinct"), col(s"u_$c").as("n_null"))): _*)).as("p"))
-        .select(col("p.col_name").as("col_name"), col("p.n").as("n"),
-          col("p.n_distinct").as("n_distinct"), col("p.n_null").as("n_null"))
+      li.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).cast("string").as("val"))): _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.val").as("val"))
+        .groupBy(col("col_name"), col("val"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("col_name"))
+        .agg(sum(col("cnt")).as("n"),
+          count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
+          sum(when(col("val").isNull, col("cnt")).otherwise(lit(0L))).as("n_null"))
         .orderBy(col("col_name"))
     }, Some("""
       SELECT 'l_returnflag' AS col_name, count(*) AS n,
@@ -209,18 +217,26 @@ object Analytics {
     // smallest md5-folded id hash — a DETERMINISTIC uniform sample
     // (reproducible across runs/engines/partitionings, mergeable:
     // bottom-k of a union = bottom-k of the parts' bottom-ks, so
-    // map-side pruning applies; the TopKPerKey operator is the
-    // bounded-heap shape at scale). The bottom-k signature doubles as
-    // a set-similarity sketch.
+    // map-side pruning applies). Routed through the TopKPerKey
+    // bounded-heap operator: partial heaps keep ≤ k rows per key per
+    // upstream partition before the shuffle, so the exchange carries
+    // O(k·|keys|·partitions) rows instead of the whole table — a
+    // row_number window partitioned by the 5-value event_type would
+    // cap parallelism at 5 and fully sort every row at 100×. The
+    // residual window below only NUMBERS the ≤ k·|keys| survivors
+    // (25 rows here), not the source data.
     Q("q64_bottomk_sample", (s, d) => {
       import graft.functions.ExactCols.hmod
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("h"), col("event_id"))
-      t(s, d, "events")
+      val hashed = t(s, d, "events")
         .select(col("event_type"), col("event_id"),
           hmod(col("event_id").cast("string")).as("h"))
+      val bottomK = graft.plans.TopK.perKey(hashed,
+        keys = Seq(col("event_type")),
+        order = Seq(col("h").asc, col("event_id").asc), k = 5)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("h"), col("event_id"))
+      bottomK
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
         .select(col("event_type"), col("rk"), col("event_id"), col("h"))
         .orderBy(col("event_type"), col("rk"))
     }, Some("""

@@ -186,8 +186,12 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val cand =
       if (brute)
+        // broadcast one side so the opt-in baseline is a single pass
+        // over the other (matches cosinePairs' brute hygiene) instead
+        // of a shuffled nested loop
         shTbl.select(col("doc_id").as("a_id"))
-          .join(shTbl.select(col("doc_id").as("b_id")), col("a_id") < col("b_id"))
+          .join(broadcast(shTbl.select(col("doc_id").as("b_id"))),
+            col("a_id") < col("b_id"))
       else {
         val bands = bandTable(minhashSignatures(docs, cfg), cfg)
         collidingPairs(

@@ -225,18 +225,30 @@ object Similarity {
 
     // int8 scalar quantization of the embedding corpus — the
     // compression step before a vector store ships 100 TB of float32.
-    // Corpus min/max come from one aggregate (broadcast back), each
-    // value maps to round((x−lo)·255/(hi−lo)); the gate reduces the
-    // quantized vectors to exact per-vector integer stats. All double
-    // steps are single deterministic expressions (no double sums).
+    // Corpus min/max come from a SEPARATE cheap stats pass: per-row
+    // array_min/array_max feed a global min/max aggregate — column-
+    // pruned scan, NO explode (the explode-then-aggregate form scans
+    // and 128×-multiplies the corpus twice because Spark recomputes
+    // self-referenced subtrees). The two scalars travel to the driver
+    // (the same legitimate O(1) traffic as k-means centroids) and
+    // re-enter the quantize pass as literals, so the exploding scan
+    // runs exactly once. float→double casts are exact, so
+    // min-of-floats == min-of-double-casts and both engines agree.
+    // Each value maps to round((x−lo)·255/(hi−lo)); the gate reduces
+    // the quantized vectors to exact per-vector integer stats. All
+    // double steps are single deterministic expressions (no double
+    // sums).
     Q("q62_quantize_int8", (s, d) => {
-      val ex = t(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      val r = emb.agg(
+        min(array_min(col("embedding"))).cast(DoubleType).as("lo"),
+        max(array_max(col("embedding"))).cast(DoubleType).as("hi")).first()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      emb
         .select(col("vec_id"), explode(col("embedding")).as("xf"))
         .select(col("vec_id"), col("xf").cast(DoubleType).as("x"))
-      val mm = ex.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      ex.crossJoin(broadcast(mm))
         .select(col("vec_id"),
-          round((col("x") - col("lo")) * lit(255) / (col("hi") - col("lo")))
+          round((col("x") - lit(lo)) * lit(255) / (lit(hi) - lit(lo)))
             .cast(LongType).as("q"))
         .groupBy(col("vec_id"))
         .agg(sum(col("q")).as("qsum"), min(col("q")).as("qmin"),

@@ -76,18 +76,41 @@ class PlanSpec extends AnyFunSuite {
 
   test("plan sweep: no unexpected cartesian/nested-loop join in ANY gate query") {
     // whitelist: labeled brute baselines (q27/q28) and broadcasts of
-    // provably tiny sides — 1-row global stats (q57 BM25, q62 quantize)
-    // or K-row centroid/probe tables (q39/q45 kmeans/IVF)
+    // provably tiny sides — 1-row global stats (q57 BM25) or K-row
+    // centroid/probe tables (q39/q45 kmeans/IVF); q62's stats join
+    // became two driver scalars, so it no longer appears here
     val expectedNested = Set(
       "q27_dedup_embedding", "q28_ann_brute_topk",
       "q39_kmeans_assign", "q45_ann_ivf_topk",
-      "q57_bm25_topk", "q62_quantize_int8")
+      "q57_bm25_topk")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
       if (!expectedNested(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n$p")
+    }
+  }
+
+  test("q62: quantize pass is the only embeddings scan (stats pass is separate)") {
+    val p = plan("q62_quantize_int8")
+    assert("FileScan".r.findAllIn(p).size == 1, s"q62 scans embeddings twice:\n$p")
+  }
+
+  test("q63: column profile shuffles the distinct-value skeleton, not an Expand") {
+    val p = plan("q63_column_profile")
+    assert(!p.contains("Expand"), s"q63 plans a row-multiplying Expand:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"q63 lacks map-side combine:\n$p")
+  }
+
+  test("q50/q64: top-k/bottom-k gate queries use the bounded-heap operator") {
+    // the window-formulation alternative sorts every row within each
+    // key (5-value event_type ⇒ parallelism 5 at 100×); the operator
+    // keeps ≤ k rows per key per partition across the exchange
+    for (q <- Seq("q50_topk_operator", "q64_bottomk_sample")) {
+      val p = plan(q)
+      assert("TopKPerKey".r.findAllIn(p).size >= 2,
+        s"$q lacks partial+final TopKPerKeyExec:\n$p")
     }
   }
 
