@@ -7,22 +7,34 @@ import org.apache.spark.sql.functions._
   * every dedup pipeline: near-dup PAIRS (q24/q26/q55 output) become
   * CLUSTERS, and "keep one per cluster" becomes a filter.
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with its own id; each round every vertex takes the min of
-  * its label and its neighbors' labels; converged when no label
-  * drops. Each round is one shuffle (join on dst + groupBy src); the
-  * driver only evaluates a scalar convergence count per round (the
-  * same legitimate driver-loop shape as k-means — no data collects).
-  * Rounds needed = component diameter, and dup clusters are
-  * near-cliques (diameter ≤ 2-3), so this settles in a handful of
-  * rounds even at 100 TB. For adversarial long-chain graphs the
-  * large-star/small-star variant (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond") halves diameter per round —
-  * same join/agg primitives, drop-in if ever needed.
+  * Two interchangeable algorithms behind one API:
   *
-  * `localCheckpoint` cuts lineage each round: without it the plan
-  * doubles per iteration and analysis cost explodes (the classic
-  * iterative-Spark trap).
+  *  - `"minlabel"` (default): iterative min-label propagation. Every
+  *    vertex starts labeled with its own id; each round every vertex
+  *    takes the min of its label and its neighbors' labels; converged
+  *    when no label drops. One shuffle per round (join on dst +
+  *    groupBy src); rounds needed = component DIAMETER. Dup clusters
+  *    are near-cliques (diameter ≤ 2-3), so this settles in a handful
+  *    of rounds even at 100 TB — the right default for dedup graphs.
+  *
+  *  - `"star"`: alternating large-star/small-star (Kiveris, Lattanzi,
+  *    Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+  *    MapReduce and Beyond", SoCC 2014). Large-star hangs every
+  *    larger neighbor of u onto min(Γ(u) ∪ {u}); small-star rewires
+  *    every smaller neighbor onto that min. Each alternation at least
+  *    halves component diameter, so convergence is O(log d) rounds —
+  *    the drop-in for adversarial long-chain graphs where min-label's
+  *    O(d) rounds would stall (property-tested on a diameter-1000
+  *    chain in ConnectedComponentsSpec). Both star ops are the same
+  *    join/agg primitives (groupBy min + equi-join), u > v edge
+  *    orientation kept canonical so the edge set shrinks monotonically
+  *    toward a union of stars centered at each component's min.
+  *
+  * In both, the driver only evaluates a scalar per round (convergence
+  * count / edge-set checksum — the same legitimate driver-loop shape
+  * as k-means; no data collects), and `localCheckpoint` cuts lineage
+  * each round: without it the plan doubles per iteration and analysis
+  * cost explodes (the classic iterative-Spark trap).
   */
 object ConnectedComponents {
 
@@ -32,8 +44,26 @@ object ConnectedComponents {
     *
     * @param edges    two-column DataFrame (endpoints of one edge)
     * @param vertices one-column DataFrame of all vertex ids
+    * @param method   `"minlabel"` (O(diameter) rounds, default) or
+    *                 `"star"` (O(log diameter) rounds)
     */
-  def components(edges: DataFrame, vertices: DataFrame): DataFrame = {
+  def components(edges: DataFrame, vertices: DataFrame,
+                 method: String = "minlabel"): DataFrame =
+    componentsWithRounds(edges, vertices, method)._1
+
+  /** Same as [[components]], also returning the number of rounds the
+    * driver loop ran — the observable the O(d)-vs-O(log d) property
+    * test pins. */
+  def componentsWithRounds(edges: DataFrame, vertices: DataFrame,
+                           method: String = "minlabel"): (DataFrame, Int) =
+    method match {
+      case "minlabel" => minLabel(edges, vertices)
+      case "star"     => largeSmallStar(edges, vertices)
+      case other => throw new IllegalArgumentException(
+        s"components method must be minlabel|star, got $other")
+    }
+
+  private def minLabel(edges: DataFrame, vertices: DataFrame): (DataFrame, Int) = {
     val Seq(ea, eb) = edges.columns.toSeq.take(2)
     val vid = vertices.columns.head
     val sym = edges.select(col(ea).as("src"), col(eb).as("dst"))
@@ -42,7 +72,9 @@ object ConnectedComponents {
     var labels = vertices.select(col(vid).as("id"), col(vid).as("cid"))
       .localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val nbrMin = sym.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("cid")).as("ncid"))
       val updated = labels.join(nbrMin, col("id") === col("src"), "left")
@@ -52,13 +84,76 @@ object ConnectedComponents {
       changed = updated.filter(col("next") < col("cid")).count()
       labels = updated.select(col("id"), col("next").as("cid"))
     }
-    labels
+    (labels, rounds)
+  }
+
+  /** Large-star: every directed pair (src, dst) with dst > src emits
+    * (dst, min(Γ(src) ∪ {src})) — strictly-larger neighbors hang off
+    * the local min. Output keeps the u > v orientation. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("u"), least(col("src"), col("mn")).as("v"))
+      .distinct()
+  }
+
+  /** Small-star: edges arrive u > v; every smaller neighbor (and u
+    * itself) rewires onto min(Γ⁻(u)). Orientation u > v preserved. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    e.join(mins, "u")
+      .select(col("v").as("nu"), col("mn").as("nv"))
+      .union(mins.select(col("u").as("nu"), col("mn").as("nv")))
+      .filter(col("nu") =!= col("nv"))
+      .select(col("nu").as("u"), col("nv").as("v"))
+      .distinct()
+  }
+
+  private def largeSmallStar(edges: DataFrame, vertices: DataFrame): (DataFrame, Int) = {
+    val Seq(ea, eb) = edges.columns.toSeq.take(2)
+    val vid = vertices.columns.head
+    // checksum = (edge count, XOR-fold of per-edge hashes): order- and
+    // partitioning-independent fixpoint detector, scalar-only driver
+    // traffic (xor, not sum — ANSI mode faults a sum-of-hashes
+    // overflow; edges are distinct so xor cancellation needs a hash
+    // collision)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = edges
+      .select(greatest(col(ea), col(eb)).as("u"), least(col(ea), col(eb)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev = checksum(e)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(next)
+      done = cur == prev
+      prev = cur
+      e = next
+    }
+    // fixpoint is a union of stars: every member has exactly one edge
+    // (member, center); the min() is belt-and-braces for ties
+    val lbl = e.select(col("u").as("id"), col("v").as("cid"))
+      .groupBy(col("id")).agg(min(col("cid")).as("cid"))
+    val labels = vertices.select(col(vid).as("id"))
+      .join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cid"), col("id")).as("cid"))
+    (labels, rounds)
   }
 
   /** Dedup selector: one representative (min id) per component.
     * Returns the vertex table with `keep` = true on representatives —
     * `filter(col("keep"))` is the deduplicated corpus. */
-  def representatives(edges: DataFrame, vertices: DataFrame): DataFrame =
-    components(edges, vertices)
+  def representatives(edges: DataFrame, vertices: DataFrame,
+                      method: String = "minlabel"): DataFrame =
+    components(edges, vertices, method)
       .withColumn("keep", col("id") === col("cid"))
 }

@@ -50,9 +50,23 @@ object Similarity {
     * variant lives in the q45 gate query (coarse quantize + nprobe).
     * `queries` must have columns `query_id`, `qv` (int-scaled
     * vector, see ExactCols.iscale) and `qn` (its norm) — named to
-    * avoid colliding with the vector side's v/nrm. */
+    * avoid colliding with the vector side's v/nrm.
+    *
+    * `probes` is the multi-probe recall knob (Lv et al., VLDB 2007):
+    * each query also searches the buckets reached by flipping its
+    * lowest-|margin| signature bits — the margin of bit k is
+    * |qv(k)|, the distance to that hyperplane, so the flipped
+    * buckets are exactly the ones most likely to hold missed true
+    * neighbors. Cost scales linearly in `probes` (still |Q|·E[bucket]
+    * per probe, never |Q|·n); the probe expansion runs on the tiny
+    * broadcast query side only, each probe bucket is distinct per
+    * query, and every vector lives in exactly one bucket, so no
+    * candidate pair is generated twice. */
   def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-              method: String = "lsh", signBitCount: Int = 6): DataFrame = {
+              method: String = "lsh", signBitCount: Int = 6,
+              probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= signBitCount + 1,
+      s"probes must be in [1, signBitCount+1], got $probes")
     val iv = vectors
       .select(col("vec_id"), iscale(col("embedding")).as("v"))
       .withColumn("nrm", inorm(col("v")))
@@ -63,7 +77,20 @@ object Similarity {
         iv.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       case "lsh" =>
         val b = iv.withColumn("bucket", signBucket(col("v"), signBitCount))
-        val qb = queries.withColumn("qb", signBucket(col("qv"), signBitCount))
+        val qb0 = signBucket(col("qv"), signBitCount)
+        val qb =
+          if (probes == 1) queries.withColumn("qb", qb0)
+          else {
+            // (|margin|, bitmask) pairs sorted ascending: the first
+            // probes-1 entries are the least-confident bits to flip
+            val margins = sort_array(array((0 until signBitCount).map(j =>
+              struct(abs(element_at(col("qv"), j + 1)).as("m"),
+                lit(1L << j).as("bit"))): _*))
+            val flipped = transform(slice(margins, 1, probes - 1),
+              f => qb0.bitwiseXOR(f.getField("bit")))
+            queries
+              .withColumn("qb", explode(concat(array(qb0), flipped)))
+          }
         b.join(broadcast(qb),
           col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
       case other => throw new IllegalArgumentException(

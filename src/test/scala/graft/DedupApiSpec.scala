@@ -129,4 +129,31 @@ class DedupApiSpec extends AnyFunSuite {
     assert(rows.length == 3)
     assert(rows.forall(_.getAs[Long]("query_id") == 0L))
   }
+
+  test("annTopK multi-probe raises recall toward the brute baseline") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols._
+    // real testdata embeddings: the corpus LSH was calibrated against
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), iscale(col("embedding")).as("qv"))
+      .withColumn("qn", inorm(col("qv")))
+    def hits(df: DataFrame): Set[(Long, Long)] =
+      df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = hits(Similarity.annTopK(emb, queries, 3, method = "brute"))
+    def recall(probes: Int, bits: Int): Double = {
+      val p = hits(Similarity.annTopK(emb, queries, 3,
+        signBitCount = bits, probes = probes))
+      (p & brute).size.toDouble / brute.size
+    }
+    // flipping low-|margin| bits only ADDS probed buckets: candidates
+    // are supersets, so recall is monotone in probes (a true top-3
+    // candidate can only be displaced by a better true top-3 one)
+    val Seq(r1, r2, r4) = Seq(1, 2, 4).map(recall(_, 3))
+    info(s"3-bit recall at probes 1/2/4: $r1 / $r2 / $r4")
+    assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1 / $r2 / $r4")
+    assert(r4 > r1, s"probing 4 of 8 buckets should beat 1: $r1 -> $r4")
+    assert(r4 >= 0.5, s"probes=4 recall $r4 — calibration drifted")
+  }
 }

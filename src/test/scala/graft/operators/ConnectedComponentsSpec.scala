@@ -42,6 +42,48 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       many.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("star method agrees with minlabel on mixed graphs") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (7L, 7L), (2L, 1L)) // self-loop + duplicate included
+    val vertices = ((1L to 4L) ++ Seq(7L, 10L, 11L, 12L, 20L))
+    val a = ConnectedComponents
+      .components(edges.toDF("a", "b"), vertices.toDF("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = ConnectedComponents
+      .components(edges.toDF("a", "b"), vertices.toDF("id"), method = "star")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("star converges in O(log d) rounds on a diameter-1000 chain") {
+    import spark.implicits._
+    val n = 1000L
+    val edges = (1L until n).map(i => (i, i + 1))
+    val (labels, rounds) = ConnectedComponents.componentsWithRounds(
+      edges.toDF("a", "b"), (1L to n).toDF("id"), method = "star")
+    assert(labels.filter(col("cid") =!= 1L).count() == 0)
+    // each large/small alternation at least halves the diameter:
+    // log2(1000) ≈ 10, allow slack for the fixpoint-detection round
+    assert(rounds <= 25, s"star took $rounds rounds on a 1000-chain")
+  }
+
+  test("minlabel needs O(d) rounds where star needs O(log d) (same chain)") {
+    import spark.implicits._
+    val n = 32L
+    val edges = (1L until n).map(i => (i, i + 1))
+    val (ml, mlRounds) = ConnectedComponents.componentsWithRounds(
+      edges.toDF("a", "b"), (1L to n).toDF("id"))
+    val (st, stRounds) = ConnectedComponents.componentsWithRounds(
+      edges.toDF("a", "b"), (1L to n).toDF("id"), method = "star")
+    assert(ml.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      st.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // min-label moves the component min one hop per round: rounds
+    // track the diameter; star stays logarithmic
+    assert(mlRounds >= n - 2, s"minlabel rounds: $mlRounds")
+    assert(stRounds < mlRounds / 2, s"star $stRounds vs minlabel $mlRounds")
+  }
+
   test("deduplicate keeps exactly one representative per clone group") {
     import spark.implicits._
     // 3 clone groups of 4 + 2 unique docs (group bodies fully disjoint
