@@ -145,10 +145,17 @@ object LogFormat {
       fields = fields)
   }
 
-  def parseFile(path: String): LogFormat =
-    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+  /** Reads a format file. The reference CLI takes `-format_name`
+    * WITHOUT an extension and appends FMT_EXT itself
+    * (miw/log_format.cc:62-64); mirror that by falling back to
+    * `<path>.json` when the literal path doesn't exist. */
+  def parseFile(path: String): LogFormat = {
+    val f0 = new java.io.File(path)
+    val f = if (f0.exists()) f0 else new java.io.File(path + ".json")
+    parse(new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8))
-      .copy(sourceDir = Option(new java.io.File(path).getAbsoluteFile.getParent))
+      .copy(sourceDir = Option(f.getAbsoluteFile.getParent))
+  }
 
   /** Resolve a match_file dictionary path: as given, else relative to
     * the format's directory and each of its ancestors. */
