@@ -247,6 +247,53 @@ object Analytics {
                 ('0x'||substring(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT
                   % 1000000007 h
               FROM events))
-      WHERE rk <= 5 ORDER BY event_type, rk"""))
+      WHERE rk <= 5 ORDER BY event_type, rk""")),
+
+    // Misra–Gries heavy hitters, gated in its EXACT regime: with k
+    // above the per-group key cardinality the decrement path never
+    // fires, so the sketch's counts equal the true counts and a plain
+    // GROUP BY oracle applies. (The sketch tier — small k, bounded
+    // O(k) state, underestimate guarantees — is property-tested in
+    // HeavyHittersSpec; exactness under large k is what makes this
+    // oracle-checkable.) The summary rides the partial/final
+    // aggregate split: map-side combine ships one O(|keys|) map per
+    // partition, not the rows.
+    Q("q66_heavy_hitters", (s, d) => {
+      import graft.functions.HeavyHitters
+      t(s, d, "events")
+        .select(col("event_type"), col("user_id").cast("string").as("u"))
+        .groupBy(col("event_type"))
+        .agg(HeavyHitters(col("u"), 100000).as("hh"))
+        .select(col("event_type"), explode(col("hh")).as(Seq("user_id", "cnt")))
+        .orderBy(col("event_type"), col("user_id"))
+    }, Some("""
+      SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // two-phase salted aggregation: the planned answer to aggregation
+    // skew (a hot group key stalls one reducer at 100 TB) — partials
+    // per (key, salt) spread a hot key over `buckets` tasks, then a
+    // tiny merge re-keys by the group alone. Monoid aggregates only;
+    // the float sum rides DecimalType so partial order can't move the
+    // last bits (oracle exactness rules).
+    Q("q67_salted_agg", (s, d) => {
+      import graft.operators.SaltedAgg
+      import graft.operators.SaltedAgg._
+      SaltedAgg.aggregate(t(s, d, "events"),
+          keys = Seq(col("event_type")),
+          aggs = Seq(countRows("logs"),
+            sumOf(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)),
+              "sum_value"),
+            minOf(col("user_id"), "min_user"), maxOf(col("user_id"), "max_user")),
+          buckets = 32, saltSource = Some(col("event_id")))
+        .select(col("key_0").as("event_type"), col("logs"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("min_user"), col("max_user"))
+        .orderBy(col("event_type"))
+    }, Some(s"""
+      SELECT event_type, count(*) AS logs, ${sqlDsum("value")} AS sum_value,
+             min(user_id) AS min_user, max(user_id) AS max_user
+      FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }

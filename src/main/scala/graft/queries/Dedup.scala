@@ -515,7 +515,27 @@ object Dedup {
         .components(pairs, docs.select(col("doc_id")))
         .select(col("id").as("doc_id"), col("cid").as("cluster_id"))
         .orderBy(col("doc_id"))
-    }, Some(s"""
+    }, Some(ccOracleSql)),
+
+    // the SAME clustering through the O(log d) large-star/small-star
+    // path (ConnectedComponents method = "star") — both methods are
+    // gated against the one transitive-closure oracle, pinning their
+    // equivalence on real data (the property specs pin it on
+    // adversarial chains)
+    Q("q65_dup_clusters_star", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = nearDupPairs(docs).select(col("a_id"), col("b_id"))
+      graft.operators.ConnectedComponents
+        .components(pairs, docs.select(col("doc_id")), method = "star")
+        .select(col("id").as("doc_id"), col("cid").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }, Some(ccOracleSql))
+  )
+
+  /** Transitive-closure clustering oracle shared by q56 (min-label)
+    * and q65 (large/small-star): near-dup pairs at j ≥ 0.5 → min
+    * reachable doc id per component, singletons labeling themselves. */
+  private lazy val ccOracleSql: String = s"""
       WITH RECURSIVE $tkCte, $shCte, $mhCte,
       bands AS (
         SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
@@ -538,6 +558,5 @@ object Dedup {
       comp AS (SELECT u, min(v) mv FROM r GROUP BY u)
       SELECT d.doc_id, CAST(COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
-      ORDER BY d.doc_id"""))
-  )
+      ORDER BY d.doc_id"""
 }

@@ -288,6 +288,51 @@ object Similarity {
             FROM ex, mm)
       SELECT vec_id, CAST(SUM(q) AS BIGINT) AS qsum, CAST(MIN(q) AS BIGINT) AS qmin,
              CAST(MAX(q) AS BIGINT) AS qmax, count(*) AS n_dims
-      FROM q GROUP BY 1 ORDER BY 1"""))
+      FROM q GROUP BY 1 ORDER BY 1""")),
+
+    // multi-probe sign-LSH ANN (probes = 2): each query searches its
+    // own bucket PLUS the bucket reached by flipping its lowest-
+    // |margin| bit — |qv(j)| is the distance to hyperplane j, so the
+    // flipped bucket is the likeliest home of missed neighbors
+    // (Lv et al., VLDB 2007). Cost 2·|Q|·E[bucket], still never
+    // |Q|·n; the probe expansion happens on the broadcast query side.
+    // The tie-break (equal margins → lower bit) is encoded identically
+    // on both engines: Spark sorts (margin, bitmask) structs, the
+    // oracle orders by (abs margin, j).
+    Q("q68_ann_multiprobe", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), iscale(col("embedding")).as("qv"))
+        .withColumn("qn", inorm(col("qv")))
+      annTopK(emb, queries, 3, probes = 2)
+        .orderBy(col("query_id"), col("rk"))
+    }, Some(s"""
+      WITH $ivCte,
+      b AS (
+        SELECT vec_id, v, nrm,
+          CAST(list_sum([CASE WHEN v[k+1] >= 0 THEN (1::BIGINT << k) ELSE 0 END
+                         for k in generate_series(0,5)]) AS BIGINT) bucket
+        FROM n),
+      q0 AS (SELECT vec_id query_id, v qv, nrm qn, bucket qb0
+             FROM b WHERE vec_id % 100 = 0),
+      fl AS (
+        SELECT query_id, xor(qb0, (1::BIGINT << (j-1))) qb FROM (
+          SELECT query_id, qb0, j,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY abs(qv[j]), j) rn
+          FROM q0, generate_series(1,6) g(j))
+        WHERE rn = 1),
+      pr AS (SELECT query_id, qb0 qb FROM q0
+             UNION ALL SELECT query_id, qb FROM fl),
+      cand AS (
+        SELECT q.query_id, n.vec_id neighbor_id, $sqlCos cosine
+        FROM pr JOIN q0 q ON q.query_id = pr.query_id
+        JOIN b n ON n.bucket = pr.qb AND n.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) rk
+        FROM cand)
+      WHERE rk <= 3 ORDER BY query_id, rk"""))
   )
 }
