@@ -114,6 +114,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q67: salted aggregation plans two aggregation levels, both map-side combined") {
+    val p = plan("q67_salted_agg")
+    // (key, salt) partial pairs + final re-key by group alone; each
+    // level is itself partial+final → ≥4 HashAggregates
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q66: heavy-hitter sketch rides the partial/final aggregate split") {
+    val p = plan("q66_heavy_hitters")
+    // typed Aggregator → ObjectHashAggregate; partial+final = map-side
+    // combine ships O(k) maps, not rows
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q68: multi-probe ANN joins bucket-equi with a broadcast query side") {
+    val p = plan("q68_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("core agg query stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q01_agg_basic")(spark, sf)
     df.collect() // finalize the adaptive plan
