@@ -38,9 +38,12 @@ object ExactCols {
   /** h60 folded into [0, P). */
   def hmod(c: Column): Column = h60(c) % P
 
-  /** Whitespace tokens, empties dropped (same as the wordcount path). */
+  /** Whitespace tokens, empties dropped (same as the wordcount path).
+    * array_remove, NOT filter(_ =!= "") — ArrayRemove is codegen while
+    * the filter lambda is an interpreted per-token closure; identical
+    * semantics (split emits no nulls, array_remove drops every ""). */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    array_remove(split(text, " "), "")
 
   /** Word n-gram shingles (space-joined), optionally distinct —
     * native single-pass expression (NGramExpr.WordNGrams); fewer than

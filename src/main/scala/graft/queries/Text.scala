@@ -35,7 +35,10 @@ object Text {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => words.map(w => t === w).reduce(_ || _))).cast(LongType)
+    // native codegen set-membership counter — the filter-lambda form
+    // evaluates |words| interpreted equality checks per token and
+    // dominated the q30/q31 scan at 100× (35× wall for 100× data)
+    graft.functions.TextExprs.setHitCount(toks, words)
 
   val entries: Vector[Q] = Vector(
 
@@ -82,7 +85,7 @@ object Text {
         .select(col("lang"),
           size(toks).cast(LongType).as("ntok"),
           hitCount(toks, stopwords).as("nstop"),
-          length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast(LongType).as("nalpha"),
+          graft.functions.TextExprs.alnumCount(col("text")).as("nalpha"),
           length(col("text")).cast(LongType).as("nch"))
         .withColumn("q_bucket",
           when(col("ntok") === 0, lit(-1L))

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Native text kernels vs their declarative reference forms — the
+  * kernels exist for speed only, so equivalence is the entire
+  * contract (incl. duplicates, unicode, empties, nulls). */
+class TextExprsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("SetHitCount == size(filter(lambda)) incl. duplicates and misses") {
+    import spark.implicits._
+    val words = Seq("the", "a", "of")
+    val df = Seq(
+      "the cat of the house",      // the×2, of×1 → 3
+      "a a a",                     // 3
+      "none here",                 // 0
+      "",                          // 0
+      "thé the θ"                  // unicode near-miss: only "the" → 1
+    ).toDF("text").withColumn("toks", ExactCols.tokens(col("text")))
+    val got = df.select(TextExprs.setHitCount(col("toks"), words)).collect().map(_.getLong(0))
+    val ref = df.select(size(filter(col("toks"),
+      t => words.map(w => t === w).reduce(_ || _))).cast(LongType))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == ref.toSeq)
+    assert(got.toSeq == Seq(3L, 3L, 0L, 0L, 1L))
+  }
+
+  test("SetHitCount: null input is null") {
+    import spark.implicits._
+    val df = Seq(Some("x y"), None).toDF("text")
+      .withColumn("toks", when(col("text").isNotNull, ExactCols.tokens(col("text"))))
+    val rows = df.select(TextExprs.setHitCount(col("toks"), Seq("x"))).collect()
+    assert(rows(0).getLong(0) == 1L)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("AlnumCount == length(regexp_replace('[^A-Za-z0-9]')) incl. unicode") {
+    import spark.implicits._
+    val df = Seq(
+      "abc 123 XYZ!", "", "...---...",
+      "héllo wörld 42",      // multi-byte chars contribute 0
+      "日本語 a1"             // CJK contributes 0; 'a','1' count
+    ).toDF("text")
+    val got = df.select(TextExprs.alnumCount(col("text"))).collect().map(_.getLong(0))
+    val ref = df.select(
+      length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast(LongType))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == ref.toSeq)
+    assert(got.toSeq == Seq(9L, 0L, 0L, 10L, 2L))
+  }
+
+  test("tokens (array_remove form) == filter-lambda form") {
+    import spark.implicits._
+    val df = Seq("  a  b ", "", " ", "x", "a b  c").toDF("text")
+    val a = df.select(ExactCols.tokens(col("text"))).collect().map(_.getSeq[String](0))
+    val b = df.select(filter(split(col("text"), " "), t => t =!= ""))
+      .collect().map(_.getSeq[String](0))
+    assert(a.toSeq == b.toSeq)
+  }
+}
