@@ -4,13 +4,15 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{LongDot, LongSqDist, SortedIntersectCount, WordNGrams}
+import graft.functions.{AlnumCount, LongDot, LongSqDist, SetHitCount, SortedIntersectCount, WinnowFingerprint, WordNGrams}
 
 /** SQL surface for the library's native expressions, registered the
   * supported way: `SparkSession.builder().withExtensions(new
   * GraftExtensions)` (or
   * `spark.sql.extensions=graft.GraftExtensions`), after which
-  * `long_dot`, `long_sq_dist`, and `word_ngrams` are callable from
+  * `long_dot`, `long_sq_dist`, `sorted_intersect_count`,
+  * `word_ngrams`, `set_hit_count`, `alnum_count`, and
+  * `winnow_fingerprint` are callable from
   * `spark.sql(...)` alongside the DataFrame API
   * (graft.functions.VectorExprs / NGramExpr).
   *
@@ -39,6 +41,11 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$what must be a boolean literal, got $other")
   }
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("long_dot",
@@ -50,6 +57,17 @@ object GraftExtensions {
     ("sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    ("set_hit_count",
+      new ExpressionInfo(classOf[SetHitCount].getName, "set_hit_count"),
+      (args: Seq[Expression]) => SetHitCount(args.head,
+        args.tail.map(strLit(_, "word")))),
+    ("alnum_count",
+      new ExpressionInfo(classOf[AlnumCount].getName, "alnum_count"),
+      (args: Seq[Expression]) => AlnumCount(args(0))),
+    ("winnow_fingerprint",
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
+      (args: Seq[Expression]) => WinnowFingerprint(args(0),
+        if (args.length > 1) intLit(args(1), "w") else 4)),
     ("word_ngrams",
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
       (args: Seq[Expression]) => WordNGrams(args(0),

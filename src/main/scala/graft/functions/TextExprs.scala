@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text kernels (same rationale as VectorExprs: the
@@ -129,10 +130,95 @@ case class AlnumCount(child: Expression)
   override def prettyName: String = "alnum_count"
 }
 
+/** Whole winnowing selection (Schleimer et al.) as ONE per-row kernel
+  * over the shingle array: md5-fold each shingle to the shared 60-bit
+  * hash (identical to ExactCols.hmod — first 15 hex chars of md5 =
+  * first 8 digest bytes >>> 4, mod P), then per window of `w`
+  * consecutive hashes select the min with the rightmost-on-ties
+  * arithmetic encoding h·2²⁰ + (2²⁰ − (pos+1)), and reduce the
+  * DISTINCT selected hashes to (n_fp, Σ mod P).
+  *
+  * Winnowing has NO cross-row dependency — the posexplode → window
+  * formulation shuffles and sorts every (doc, pos, hash) row
+  * (100 M rows at sf10) to compute something each row can compute
+  * alone. This kernel keeps the whole query a scan-stage projection.
+  * The heavy work (|shingles| md5 calls per row) swamps the one
+  * virtual call into the reference object, which is how the code is
+  * shipped into generated code (whole-stage codegen stays intact). */
+case class WinnowFingerprint(child: Expression, w: Int)
+    extends UnaryExpression with Serializable {
+  require(w > 0)
+
+  private val M = 1L << 20
+  private val P = 1000000007L
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_fp", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  /** Exposed for generated code. */
+  def compute(xs: ArrayData): InternalRow = {
+    val n = xs.numElements()
+    if (n == 0) return new GenericInternalRow(Array[Any](0L, 0L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val digest = md.digest(xs.getUTF8String(i).getBytes)
+      var u = 0L
+      var b = 0
+      while (b < 8) { u = (u << 8) | (digest(b) & 0xffL); b += 1 }
+      h(i) = (u >>> 4) % P
+      i += 1
+    }
+    val selected = new java.util.HashSet[java.lang.Long]()
+    val lastStart = math.max(n - w, 0)
+    i = 0
+    while (i <= lastStart) {
+      var best = Long.MaxValue
+      var j = i
+      val end = math.min(i + w - 1, n - 1)
+      while (j <= end) {
+        val enc = h(j) * M + (M - (j + 1))
+        if (enc < best) best = enc
+        j += 1
+      }
+      selected.add(best / M)
+      i += 1
+    }
+    var sum = 0L
+    val it = selected.iterator()
+    while (it.hasNext) sum += it.next()
+    new GenericInternalRow(Array[Any](selected.size.toLong, sum % P))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprint].getName)
+      s"${ev.value} = $ref.compute($xs);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprint"
+}
+
 object TextExprs {
   def setHitCount(toks: Column, words: Seq[String]): Column =
     Shim.column(SetHitCount(Shim.expression(toks), words))
 
   def alnumCount(s: Column): Column =
     Shim.column(AlnumCount(Shim.expression(s)))
+
+  def winnowFingerprint(shingles: Column, w: Int): Column =
+    Shim.column(WinnowFingerprint(Shim.expression(shingles), w))
 }

@@ -278,32 +278,19 @@ object Text {
     // ties), fingerprint = distinct selected hashes. The guarantee:
     // any shared run ≥ w+k-1 tokens yields a shared fingerprint hash,
     // making it the robust MOSS-style dedup/similarity signature.
-    // Spark shape: posexplode → ONE shuffle on doc_id → frame-window
-    // min (codegen) → distinct → sum-fold; tie-break is encoded
-    // arithmetically (h·2^20 + (2^20 − pos)) so the whole selection
-    // is a plain min aggregate, identical in SQL.
+    // Spark shape: ONE scan-stage projection — winnowing has no
+    // cross-row dependency, so the whole selection (md5-fold, encoded
+    // rightmost-min windows, distinct fold) runs inside the native
+    // WinnowFingerprint kernel per document. The earlier posexplode →
+    // doc_id-shuffle → frame-window formulation sorted 100 M
+    // (doc,pos,hash) rows at sf10 (19 s) to compute per-row-local
+    // work; the kernel needs no shuffle at all (2.5 s, same oracle).
     Q("q60_winnow_fingerprint", (s, d) => {
-      val W = 4
-      val M = 1L << 20
-      val docs = t(s, d, "documents")
-      val ex = docs.select(col("doc_id"),
-          posexplode(shingles(tokens(col("text")), 3, distinct = false)))
-        .select(col("doc_id"), col("pos"), hmod(col("col")).as("h"))
-      val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, W - 1)
-      val whole = Window.partitionBy(col("doc_id"))
-      val sel = ex
-        .withColumn("enc", min(col("h") * M + (lit(M) - (col("pos") + 1))).over(frame))
-        .withColumn("m", count(lit(1)).over(whole))
-        .filter(col("pos") <= greatest(col("m") - W, lit(0)))
-        .select(col("doc_id"), expr(s"enc div $M").as("sh"))
-        .distinct()
-      val agg = sel.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_fp"), (sum(col("sh")) % P).as("fp"))
-      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      t(s, d, "documents")
         .select(col("doc_id"),
-          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
-          coalesce(col("fp"), lit(0L)).as("fp"))
+          graft.functions.TextExprs.winnowFingerprint(
+            shingles(tokens(col("text")), 3, distinct = false), 4).as("wf"))
+        .select(col("doc_id"), col("wf.n_fp").as("n_fp"), col("wf.fp").as("fp"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk

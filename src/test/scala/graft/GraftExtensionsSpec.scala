@@ -14,7 +14,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
                 long_sq_dist(array(1L,2L), array(4L,6L)) AS s,
                 sorted_intersect_count(array(1L,3L,5L,9L), array(2L,3L,4L,5L)) AS ic,
                 word_ngrams(array('a','b','c','d'), 2, false) AS g,
-                word_ngrams(array('a','b','a','b'), 2, true) AS gd""").head()
+                word_ngrams(array('a','b','a','b'), 2, true) AS gd,
+                set_hit_count(array('the','cat','the'), 'the', 'a') AS hc,
+                alnum_count('ab, 12!') AS ac,
+                winnow_fingerprint(array('a b c'), 4) AS wf""").head()
     assert(r.getAs[Long]("d") == 32L)
     assert(r.getAs[Long]("s") == 25L)
     assert(r.getAs[Long]("ic") == 2L)
@@ -22,11 +25,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq("a b", "b c", "c d"))
     assert(r.getAs[scala.collection.Seq[String]]("gd").toSeq ==
       Seq("a b", "b a"))
+    assert(r.getAs[Long]("hc") == 2L)
+    assert(r.getAs[Long]("ac") == 4L)
+    assert(r.getAs[org.apache.spark.sql.Row]("wf").getAs[Long]("n_fp") == 1L)
   }
 
   test("extension injector exposes the same function set") {
     val names = GraftExtensions.functions.map(_._1)
-    assert(names == Seq("long_dot", "long_sq_dist", "sorted_intersect_count", "word_ngrams"))
+    assert(names == Seq("long_dot", "long_sq_dist", "sorted_intersect_count",
+      "set_hit_count", "alnum_count", "winnow_fingerprint", "word_ngrams"))
     // constructing the injector must not throw
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

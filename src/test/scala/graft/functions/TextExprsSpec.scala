@@ -54,6 +54,47 @@ class TextExprsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(9L, 0L, 0L, 10L, 2L))
   }
 
+  test("WinnowFingerprint kernel == posexplode/window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    import ExactCols._
+    val W = 4
+    val M = 1L << 20
+    // short docs (< w windows), exact-w docs, long docs, hash-tie
+    // pressure via repeated shingles, and an empty doc
+    val docs = Seq(
+      (0L, "a b c"),                                  // 1 shingle
+      (1L, "a b c d"),                                // 2 shingles < w
+      (2L, "a b c d e f"),                            // exactly w windows
+      (3L, (1 to 40).map(i => s"t${i % 7}").mkString(" ")), // repeats → ties
+      (4L, ""),                                       // empty
+      (5L, (1 to 100).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sh = shingles(tokens(col("text")), 3, distinct = false)
+    val kernel = docs
+      .select(col("doc_id"), TextExprs.winnowFingerprint(sh, W).as("wf"))
+      .select(col("doc_id"), col("wf.n_fp").as("n_fp"), col("wf.fp").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the reference formulation the kernel replaced
+    val ex = docs.select(col("doc_id"), posexplode(sh))
+      .select(col("doc_id"), col("pos"), hmod(col("col")).as("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, W - 1)
+    val whole = Window.partitionBy(col("doc_id"))
+    val agg = ex
+      .withColumn("enc", min(col("h") * M + (lit(M) - (col("pos") + 1))).over(frame))
+      .withColumn("m", count(lit(1)).over(whole))
+      .filter(col("pos") <= greatest(col("m") - W, lit(0)))
+      .select(col("doc_id"), expr(s"enc div $M").as("sh")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), (sum(col("sh")) % P).as("fp"))
+    val windowed = docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)), coalesce(col("fp"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kernel == windowed)
+    assert(kernel.exists { case (id, n, _) => id == 4L && n == 0L }) // empty doc → 0
+  }
+
   test("tokens (array_remove form) == filter-lambda form") {
     import spark.implicits._
     val df = Seq("  a  b ", "", " ", "x", "a b  c").toDF("text")
