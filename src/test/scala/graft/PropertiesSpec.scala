@@ -82,4 +82,60 @@ class PropertiesSpec extends AnyFunSuite {
     assert(Output.formatG(123456789.0, 6) == "1.23457e+08")
     assert(Output.formatG(-2.5, 6) == "-2.5")
   }
+
+  // ---- native text kernels (interpreted eval path) vs independent
+  //      Scala references — fuzzed; codegen parity rides the df-level
+  //      TextExprsSpec + the q30/q31/q60 oracle gates ----
+
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.{AlnumCount, SetHitCount, WinnowFingerprint}
+
+  private def strArray(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  test("SetHitCount fuzz: counts occurrences of set members") {
+    val wordsGen = Gen.listOfN(5, word)
+    forAll(wordsGen, Gen.listOf(word)) { (ws, toks) =>
+      val e = SetHitCount(Literal("x"), ws)
+      val got = e.nullSafeEval(strArray(toks)).asInstanceOf[Long]
+      assert(got == toks.count(ws.toSet.contains).toLong)
+    }
+  }
+
+  test("AlnumCount fuzz: equals regex-strip length incl. unicode") {
+    val charGen = Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', ',', '!', 'é', 'ß', '日'))
+    forAll(Gen.listOf(charGen).map(_.mkString)) { s =>
+      val got = AlnumCount(Literal("x")).nullSafeEval(UTF8String.fromString(s))
+      assert(got == s.replaceAll("[^A-Za-z0-9]", "").length.toLong, s"on '$s'")
+    }
+  }
+
+  test("WinnowFingerprint fuzz: equals a straightforward reference winnower") {
+    val P = 1000000007L
+    val M = 1L << 20
+    def refHash(s: String): Long = {
+      // independent route: hex-string parse (the kernel shifts bytes)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseUnsignedLong(hex.substring(0, 15), 16) % P
+    }
+    def reference(sh: Seq[String], w: Int): (Long, Long) = {
+      if (sh.isEmpty) return (0L, 0L)
+      val h = sh.map(refHash)
+      val n = h.length
+      val sel = (0 to math.max(n - w, 0)).map { i =>
+        (i to math.min(i + w - 1, n - 1)).map(j => h(j) * M + (M - (j + 1))).min / M
+      }.toSet
+      (sel.size.toLong, sel.sum % P)
+    }
+    forAll(Gen.listOf(Gen.listOfN(2, word).map(_.mkString(" "))), Gen.choose(1, 6)) {
+      (sh, w) =>
+        val e = WinnowFingerprint(Literal("x"), w)
+        val row = e.nullSafeEval(strArray(sh))
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        assert((row.getLong(0), row.getLong(1)) == reference(sh, w))
+    }
+  }
 }
