@@ -212,9 +212,65 @@ case class WinnowFingerprint(child: Expression, w: Int)
   override def prettyName: String = "winnow_fingerprint"
 }
 
+/** Count of array elements containing at least one ASCII letter —
+  * the "fraction of words with alphabetic characters" input of
+  * Gopher-style quality filtering (Rae et al. 2021), as a byte scan
+  * (same exactness argument as AlnumCount: the class is ASCII, UTF-8
+  * non-ASCII bytes are ≥ 0x80). Null input → null; null elements
+  * count as non-alpha. */
+case class AlphaWordCount(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  /** Exposed for generated code. */
+  def compute(xs: ArrayData): Long = {
+    val n = xs.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) {
+        val bytes = xs.getUTF8String(i).getBytes
+        var j = 0
+        var hit = false
+        while (j < bytes.length && !hit) {
+          val b = bytes(j)
+          hit = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+          j += 1
+        }
+        if (hit) acc += 1L
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val ref = ctx.addReferenceObj("alphaWords", this, classOf[AlphaWordCount].getName)
+      s"${ev.value} = $ref.compute($xs);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AlphaWordCount =
+    copy(child = newChild)
+  override def prettyName: String = "alpha_word_count"
+}
+
 object TextExprs {
   def setHitCount(toks: Column, words: Seq[String]): Column =
     Shim.column(SetHitCount(Shim.expression(toks), words))
+
+  def alphaWordCount(toks: Column): Column =
+    Shim.column(AlphaWordCount(Shim.expression(toks)))
 
   def alnumCount(s: Column): Column =
     Shim.column(AlnumCount(Shim.expression(s)))

@@ -313,6 +313,92 @@ object Text {
              CAST(COALESCE(len(s.sels), 0) AS BIGINT) AS n_fp,
              CAST(COALESCE(list_sum(s.sels) % $P, 0) AS BIGINT) AS fp
       FROM documents d LEFT JOIN sel s USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Gopher-style quality filtering (Rae et al. 2021 §A1.1): per doc
+    // the rule inputs — token count, words-with-alpha count (native
+    // AlphaWordCount kernel), total word length (= chars after space
+    // removal, an exact identity that avoids a per-token sum), and
+    // stopword hits — then the pass rule entirely in INTEGER
+    // arithmetic (mean word length in [3,10] ⇔ 3·ntok ≤ wlen ≤
+    // 10·ntok; alpha fraction ≥ 0.8 ⇔ 5·nalpha ≥ 4·ntok), so both
+    // engines agree exactly with no float thresholds.
+    Q("q69_gopher_quality", (s, d) => {
+      val toks = tokens(col("text"))
+      t(s, d, "documents").select(
+          col("lang"),
+          size(toks).cast(LongType).as("ntok"),
+          graft.functions.TextExprs.alphaWordCount(toks).as("nalpha"),
+          length(translate(col("text"), " ", "")).cast(LongType).as("wlen"),
+          hitCount(toks, stopwords).as("nstop"))
+        .withColumn("pass",
+          col("ntok") >= 10 && col("wlen") >= col("ntok") * 3 &&
+            col("wlen") <= col("ntok") * 10 &&
+            col("nalpha") * 5 >= col("ntok") * 4 && col("nstop") >= 2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(col("ntok")).as("sum_tokens"),
+          sum(col("nalpha")).as("sum_alpha_words"),
+          sum(col("nstop")).as("sum_stop_hits"))
+        .orderBy(col("lang"))
+    }, Some {
+      val stopSet = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""
+      WITH pd AS (
+        SELECT lang,
+          CAST(len(tk) AS BIGINT) ntok,
+          CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) nalpha,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) wlen,
+          CAST(len(list_filter(tk, t -> list_contains($stopSet, t))) AS BIGINT) nstop
+        FROM (SELECT lang, text, list_filter(string_split(text,' '), x->x<>'') tk
+              FROM documents))
+      SELECT lang, count(*) AS docs,
+             CAST(SUM(CASE WHEN ntok >= 10 AND wlen >= ntok*3 AND wlen <= ntok*10
+                            AND nalpha*5 >= ntok*4 AND nstop >= 2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+             CAST(SUM(nalpha) AS BIGINT) AS sum_alpha_words,
+             CAST(SUM(nstop) AS BIGINT) AS sum_stop_hits
+      FROM pd GROUP BY 1 ORDER BY 1"""
+    }),
+
+    // repetition detection (the Gopher duplicate-n-gram filter): per
+    // doc the fraction of duplicate word-3-grams (1 − distinct/total),
+    // bucketed ×10 — repeated boilerplate pushes docs into high
+    // buckets. Scan-stage only: shingle + distinct per row, one tiny
+    // groupBy on the bucket; the double division is the same exact
+    // ints on both engines.
+    Q("q70_repeat_ngram", (s, d) => {
+      val sg = shingles(tokens(col("text")), 3, distinct = false)
+      t(s, d, "documents").select(
+          size(sg).cast(LongType).as("ntotal"),
+          size(array_distinct(sg)).cast(LongType).as("ndist"))
+        .withColumn("dup_bucket",
+          when(col("ntotal") === 0, lit(-1L))
+            .otherwise(floor(lit(10) * (col("ntotal") - col("ndist")) / col("ntotal"))
+              .cast(LongType)))
+        .groupBy(col("dup_bucket"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("ntotal")).as("sum_ngrams"),
+          sum(col("ntotal") - col("ndist")).as("sum_dups"))
+        .orderBy(col("dup_bucket"))
+    }, Some("""
+      WITH tk AS (SELECT list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      sg AS (SELECT CASE WHEN len(tk) >= 3
+                         THEN [tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                               for i in generate_series(1, len(tk)-2)]
+                         ELSE [] END sg
+             FROM tk),
+      pd AS (SELECT CAST(len(sg) AS BIGINT) ntotal,
+                    CAST(len(list_distinct(sg)) AS BIGINT) ndist
+             FROM sg)
+      SELECT CASE WHEN ntotal = 0 THEN -1
+                  ELSE CAST(floor(10*(ntotal-ndist)/ntotal) AS BIGINT) END AS dup_bucket,
+             count(*) AS docs,
+             CAST(SUM(ntotal) AS BIGINT) AS sum_ngrams,
+             CAST(SUM(ntotal-ndist) AS BIGINT) AS sum_dups
+      FROM pd GROUP BY 1 ORDER BY 1"""))
   )
 }

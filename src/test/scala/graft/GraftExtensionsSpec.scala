@@ -17,6 +17,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
                 word_ngrams(array('a','b','a','b'), 2, true) AS gd,
                 set_hit_count(array('the','cat','the'), 'the', 'a') AS hc,
                 alnum_count('ab, 12!') AS ac,
+                alpha_word_count(array('ab','12','c3','')) AS aw,
                 winnow_fingerprint(array('a b c'), 4) AS wf""").head()
     assert(r.getAs[Long]("d") == 32L)
     assert(r.getAs[Long]("s") == 25L)
@@ -27,13 +28,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq("a b", "b a"))
     assert(r.getAs[Long]("hc") == 2L)
     assert(r.getAs[Long]("ac") == 4L)
+    assert(r.getAs[Long]("aw") == 2L)
     assert(r.getAs[org.apache.spark.sql.Row]("wf").getAs[Long]("n_fp") == 1L)
   }
 
   test("extension injector exposes the same function set") {
     val names = GraftExtensions.functions.map(_._1)
     assert(names == Seq("long_dot", "long_sq_dist", "sorted_intersect_count",
-      "set_hit_count", "alnum_count", "winnow_fingerprint", "word_ngrams"))
+      "set_hit_count", "alnum_count", "alpha_word_count", "winnow_fingerprint",
+      "word_ngrams"))
     // constructing the injector must not throw
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

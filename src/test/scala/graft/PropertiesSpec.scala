@@ -90,7 +90,7 @@ class PropertiesSpec extends AnyFunSuite {
   import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.unsafe.types.UTF8String
-  import graft.functions.{AlnumCount, SetHitCount, WinnowFingerprint}
+  import graft.functions.{AlnumCount, AlphaWordCount, SetHitCount, WinnowFingerprint}
 
   private def strArray(xs: Seq[String]): GenericArrayData =
     new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
@@ -109,6 +109,16 @@ class PropertiesSpec extends AnyFunSuite {
     forAll(Gen.listOf(charGen).map(_.mkString)) { s =>
       val got = AlnumCount(Literal("x")).nullSafeEval(UTF8String.fromString(s))
       assert(got == s.replaceAll("[^A-Za-z0-9]", "").length.toLong, s"on '$s'")
+    }
+  }
+
+  test("AlphaWordCount fuzz: equals per-token regex check") {
+    val tokGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('1', '!', '.', 'é')))
+      .map(_.mkString)
+    forAll(Gen.listOf(tokGen)) { toks =>
+      val got = AlphaWordCount(Literal("x")).nullSafeEval(strArray(toks))
+      assert(got == toks.count(_.exists(c => (c >= 'A' && c <= 'Z') ||
+        (c >= 'a' && c <= 'z'))).toLong)
     }
   }
 
