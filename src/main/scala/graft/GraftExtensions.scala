@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AlnumCount, AlphaWordCount, LongDot, LongSqDist, SetHitCount, SortedIntersectCount, WinnowFingerprint, WordNGrams}
+import graft.functions.{AlnumCount, AlphaWordCount, LongDot, LongSqDist, PositionalFingerprint, SetHitCount, SortedIntersectCount, WinnowFingerprint, WordNGrams}
 
 /** SQL surface for the library's native expressions, registered the
   * supported way: `SparkSession.builder().withExtensions(new
@@ -67,6 +67,9 @@ object GraftExtensions {
     ("alpha_word_count",
       new ExpressionInfo(classOf[AlphaWordCount].getName, "alpha_word_count"),
       (args: Seq[Expression]) => AlphaWordCount(args(0))),
+    ("positional_fingerprint",
+      new ExpressionInfo(classOf[PositionalFingerprint].getName, "positional_fingerprint"),
+      (args: Seq[Expression]) => PositionalFingerprint(args(0))),
     ("winnow_fingerprint",
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
       (args: Seq[Expression]) => WinnowFingerprint(args(0),

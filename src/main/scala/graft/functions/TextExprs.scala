@@ -130,6 +130,21 @@ case class AlnumCount(child: Expression)
   override def prettyName: String = "alnum_count"
 }
 
+/** The library's shared document hash (ExactCols.hmod) on the JVM
+  * side: first 15 hex chars of md5 = first 8 digest bytes as a
+  * big-endian unsigned 64 shifted right a nibble (60 bits), folded
+  * mod P = 1e9+7 — reproducible in any engine with md5. */
+private[functions] object Md5Fold {
+  val P = 1000000007L
+  def fold(md: java.security.MessageDigest, s: UTF8String): Long = {
+    val digest = md.digest(s.getBytes)
+    var u = 0L
+    var b = 0
+    while (b < 8) { u = (u << 8) | (digest(b) & 0xffL); b += 1 }
+    (u >>> 4) % P
+  }
+}
+
 /** Whole winnowing selection (Schleimer et al.) as ONE per-row kernel
   * over the shingle array: md5-fold each shingle to the shared 60-bit
   * hash (identical to ExactCols.hmod — first 15 hex chars of md5 =
@@ -171,11 +186,7 @@ case class WinnowFingerprint(child: Expression, w: Int)
     val h = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val digest = md.digest(xs.getUTF8String(i).getBytes)
-      var u = 0L
-      var b = 0
-      while (b < 8) { u = (u << 8) | (digest(b) & 0xffL); b += 1 }
-      h(i) = (u >>> 4) % P
+      h(i) = Md5Fold.fold(md, xs.getUTF8String(i))
       i += 1
     }
     val selected = new java.util.HashSet[java.lang.Long]()
@@ -265,9 +276,59 @@ case class AlphaWordCount(child: Expression)
   override def prettyName: String = "alpha_word_count"
 }
 
+/** Position-weighted rolling document fingerprint:
+  * Σᵢ hmod(tokᵢ)·((i mod 16)+1) mod P over the token array (0-based
+  * i), 0 for empty — the q33 formulation as one kernel instead of a
+  * zip_with + aggregate pair whose interpreted lambdas re-enter the
+  * md5 expression per element. Terms are ≤ 16·P and docs are far
+  * below 2⁶³/16P tokens, so the running sum cannot overflow; integer
+  * addition is order-exact so the single trailing mod matches the
+  * declarative form. */
+case class PositionalFingerprint(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  /** Exposed for generated code. */
+  def compute(xs: ArrayData): Long = {
+    val n = xs.numElements()
+    if (n == 0) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += Md5Fold.fold(md, xs.getUTF8String(i)) * ((i % 16) + 1)
+      i += 1
+    }
+    acc % Md5Fold.P
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val ref = ctx.addReferenceObj("posFp", this, classOf[PositionalFingerprint].getName)
+      s"${ev.value} = $ref.compute($xs);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalFingerprint =
+    copy(child = newChild)
+  override def prettyName: String = "positional_fingerprint"
+}
+
 object TextExprs {
   def setHitCount(toks: Column, words: Seq[String]): Column =
     Shim.column(SetHitCount(Shim.expression(toks), words))
+
+  def positionalFingerprint(toks: Column): Column =
+    Shim.column(PositionalFingerprint(Shim.expression(toks)))
 
   def alphaWordCount(toks: Column): Column =
     Shim.column(AlphaWordCount(Shim.expression(toks)))

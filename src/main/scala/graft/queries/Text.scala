@@ -153,17 +153,15 @@ object Text {
       FROM documents GROUP BY 1 ORDER BY 1""")),
 
     // document fingerprint: position-weighted rolling hash over
-    // md5-hashed tokens (cycle-16 positional weights), mod P
+    // md5-hashed tokens (cycle-16 positional weights), mod P — one
+    // native kernel per row (the zip_with + aggregate formulation
+    // re-entered the md5 expression through interpreted lambdas per
+    // token; PropertiesSpec fuzzes the kernel against it)
     Q("q33_fingerprint", (s, d) => {
-      val toks = tokens(col("text"))
-      val terms = zip_with(col("tk"), sequence(lit(1), size(col("tk"))),
-        (tk, i) => hmod(tk) * (((i - 1) % 16) + 1))
       t(s, d, "documents")
-        .select(col("doc_id"), toks.as("tk"))
         .select(col("doc_id"),
-          when(size(col("tk")) > 0,
-            aggregate(terms, lit(0L), (acc, x) => acc + x) % P)
-            .otherwise(lit(0L)).as("fp"))
+          graft.functions.TextExprs.positionalFingerprint(
+            tokens(col("text"))).as("fp"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       SELECT doc_id,

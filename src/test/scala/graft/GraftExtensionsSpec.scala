@@ -35,8 +35,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("extension injector exposes the same function set") {
     val names = GraftExtensions.functions.map(_._1)
     assert(names == Seq("long_dot", "long_sq_dist", "sorted_intersect_count",
-      "set_hit_count", "alnum_count", "alpha_word_count", "winnow_fingerprint",
-      "word_ngrams"))
+      "set_hit_count", "alnum_count", "alpha_word_count",
+      "positional_fingerprint", "winnow_fingerprint", "word_ngrams"))
     // constructing the injector must not throw
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

@@ -90,7 +90,7 @@ class PropertiesSpec extends AnyFunSuite {
   import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.unsafe.types.UTF8String
-  import graft.functions.{AlnumCount, AlphaWordCount, SetHitCount, WinnowFingerprint}
+  import graft.functions.{AlnumCount, AlphaWordCount, PositionalFingerprint, SetHitCount, WinnowFingerprint}
 
   private def strArray(xs: Seq[String]): GenericArrayData =
     new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
@@ -119,6 +119,21 @@ class PropertiesSpec extends AnyFunSuite {
       val got = AlphaWordCount(Literal("x")).nullSafeEval(strArray(toks))
       assert(got == toks.count(_.exists(c => (c >= 'A' && c <= 'Z') ||
         (c >= 'a' && c <= 'z'))).toLong)
+    }
+  }
+
+  test("PositionalFingerprint fuzz: equals the positional-weight reference") {
+    val P = 1000000007L
+    def refHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseUnsignedLong(hex.substring(0, 15), 16) % P
+    }
+    forAll(Gen.listOf(word)) { toks =>
+      val got = PositionalFingerprint(Literal("x")).nullSafeEval(strArray(toks))
+      val ref = if (toks.isEmpty) 0L
+        else toks.zipWithIndex.map { case (t, i) => refHash(t) * ((i % 16) + 1) }.sum % P
+      assert(got == ref)
     }
   }
 
