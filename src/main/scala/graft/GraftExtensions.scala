@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AlnumCount, AlphaWordCount, LongDot, LongSqDist, PositionalFingerprint, SetHitCount, SortedIntersectCount, WinnowFingerprint, WordNGrams}
+import graft.functions.{AlnumCount, AlphaWordCount, LongDot, LongSqDist, PositionalFingerprint, SetHitCount, SortedIntersectCount, TokenStats, WinnowFingerprint, WordNGrams}
 
 /** SQL surface for the library's native expressions, registered the
   * supported way: `SparkSession.builder().withExtensions(new
@@ -70,6 +70,9 @@ object GraftExtensions {
     ("positional_fingerprint",
       new ExpressionInfo(classOf[PositionalFingerprint].getName, "positional_fingerprint"),
       (args: Seq[Expression]) => PositionalFingerprint(args(0))),
+    ("token_stats",
+      new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+      (args: Seq[Expression]) => TokenStats(args(0))),
     ("winnow_fingerprint",
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
       (args: Seq[Expression]) => WinnowFingerprint(args(0),

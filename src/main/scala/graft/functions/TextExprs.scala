@@ -323,9 +323,83 @@ case class PositionalFingerprint(child: Expression)
   override def prettyName: String = "positional_fingerprint"
 }
 
+/** One-pass token statistics over the raw text, replacing q32's
+  * `regexp_extract_all('[A-Za-z0-9]+|[^A-Za-z0-9 ]')` + per-token
+  * HOF pair (the regex materializes an array of every match just to
+  * count it). Two outputs per row:
+  *
+  *  - `rtok`: the match count of that regex = number of ASCII-alnum
+  *    RUNS plus number of other non-space CHARACTERS. Characters, not
+  *    bytes: UTF-8 continuation bytes ((b & 0xC0) == 0x80) don't
+  *    start a character, and any multi-byte character is by
+  *    construction non-alnum non-space — the same per-character
+  *    semantics RE2 (DuckDB oracle) and Java regex (BMP) apply.
+  *  - `pieces`: Σ ceil(len/4) over single-space-split tokens, len in
+  *    characters — the BPE-ish piece estimate.
+  */
+case class TokenStats(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("rtok", LongType, nullable = false),
+    StructField("pieces", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  /** Exposed for generated code. */
+  def compute(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    var rtok = 0L
+    var pieces = 0L
+    var inRun = false      // inside an ASCII-alnum run
+    var tokLen = 0L        // characters in the current space-split token
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isCont = (b & 0xc0) == 0x80
+      if (!isCont) {
+        val alnum = (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
+          (b >= 'a' && b <= 'z')
+        if (alnum) { if (!inRun) { rtok += 1; inRun = true } }
+        else {
+          inRun = false
+          if (b != ' ') rtok += 1
+        }
+        if (b == ' ') {
+          if (tokLen > 0) pieces += (tokLen + 3) / 4
+          tokLen = 0
+        } else tokLen += 1
+      }
+      i += 1
+    }
+    if (tokLen > 0) pieces += (tokLen + 3) / 4
+    new GenericInternalRow(Array[Any](rtok, pieces))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("tokStats", this, classOf[TokenStats].getName)
+      s"${ev.value} = $ref.compute($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+  override def prettyName: String = "token_stats"
+}
+
 object TextExprs {
   def setHitCount(toks: Column, words: Seq[String]): Column =
     Shim.column(SetHitCount(Shim.expression(toks), words))
+
+  def tokenStats(text: Column): Column =
+    Shim.column(TokenStats(Shim.expression(text)))
 
   def positionalFingerprint(toks: Column): Column =
     Shim.column(PositionalFingerprint(Shim.expression(toks)))

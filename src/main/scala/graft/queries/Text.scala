@@ -127,21 +127,18 @@ object Text {
     }),
 
     // token counting: regex word/punct tokens + a BPE-ish piece
-    // estimate (ceil(len/4) pieces per whitespace token)
+    // estimate (ceil(len/4) pieces per whitespace token) — both
+    // counts from ONE pass of the TokenStats kernel (the regex form
+    // materialized every match into an array just to take its size;
+    // PropertiesSpec fuzzes the kernel against the regex reference)
     Q("q32_token_bpe", (s, d) => {
-      val toks = tokens(col("text"))
-      val pieces = aggregate(
-        transform(toks, tk => floor((length(tk) + lit(3)) / lit(4)).cast(LongType)),
-        lit(0L), (acc, x) => acc + x)
       t(s, d, "documents")
         .select(col("lang"),
-          size(regexp_extract_all(col("text"),
-            lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast(LongType).as("rtok"),
-          pieces.as("pieces"))
+          graft.functions.TextExprs.tokenStats(col("text")).as("ts"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"),
-          sum(col("rtok")).as("regex_tokens"),
-          sum(col("pieces")).as("bpe_pieces"))
+          sum(col("ts.rtok")).as("regex_tokens"),
+          sum(col("ts.pieces")).as("bpe_pieces"))
         .orderBy(col("lang"))
     }, Some("""
       SELECT lang, count(*) AS docs,

@@ -36,7 +36,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val names = GraftExtensions.functions.map(_._1)
     assert(names == Seq("long_dot", "long_sq_dist", "sorted_intersect_count",
       "set_hit_count", "alnum_count", "alpha_word_count",
-      "positional_fingerprint", "winnow_fingerprint", "word_ngrams"))
+      "positional_fingerprint", "token_stats", "winnow_fingerprint",
+      "word_ngrams"))
     // constructing the injector must not throw
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

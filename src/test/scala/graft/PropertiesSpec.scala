@@ -90,7 +90,7 @@ class PropertiesSpec extends AnyFunSuite {
   import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.unsafe.types.UTF8String
-  import graft.functions.{AlnumCount, AlphaWordCount, PositionalFingerprint, SetHitCount, WinnowFingerprint}
+  import graft.functions.{AlnumCount, AlphaWordCount, PositionalFingerprint, SetHitCount, TokenStats, WinnowFingerprint}
 
   private def strArray(xs: Seq[String]): GenericArrayData =
     new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
@@ -134,6 +134,20 @@ class PropertiesSpec extends AnyFunSuite {
       val ref = if (toks.isEmpty) 0L
         else toks.zipWithIndex.map { case (t, i) => refHash(t) * ((i % 16) + 1) }.sum % P
       assert(got == ref)
+    }
+  }
+
+  test("TokenStats fuzz: equals the regex + split reference") {
+    val charGen = Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', ',', '!', '.', 'é', 'ß'))
+    val pat = java.util.regex.Pattern.compile("[A-Za-z0-9]+|[^A-Za-z0-9 ]")
+    forAll(Gen.listOf(charGen).map(_.mkString)) { s =>
+      val row = TokenStats(Literal("x")).nullSafeEval(UTF8String.fromString(s))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val m = pat.matcher(s)
+      var rtok = 0L
+      while (m.find()) rtok += 1
+      val pieces = s.split(" ").filter(_.nonEmpty).map(t => (t.length + 3L) / 4).sum
+      assert((row.getLong(0), row.getLong(1)) == ((rtok, pieces)), s"on '$s'")
     }
   }
 
