@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Apps, Core, Dedup, Media, MiwGate, Q, Similarity, Temporal, Text}
+import graft.queries.{Analytics, Apps, Core, Dedup, Media, MiwGate, Pipeline, Q, Similarity, Temporal, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
   private def modules: Vector[Q] =
     Core.entries ++ Dedup.entries ++ Similarity.entries ++ Text.entries ++
       MiwGate.entries ++ Apps.entries ++ Media.entries ++ Temporal.entries ++
-      Analytics.entries
+      Analytics.entries ++ Pipeline.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

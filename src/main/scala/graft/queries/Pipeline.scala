@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables._
+import graft.functions.ExactCols._
+import graft.functions.TextExprs
+
+/** Corpus-preparation operators a production training-data pipeline
+  * runs between raw crawl and tokenized shards — the stages the C4
+  * (Raffel et al. 2020 §2.2), Gopher (Rae et al. 2021 §A1) and
+  * RefinedWeb (Penedo et al. 2023 §3) pipelines document:
+  *
+  *  - PII detection/redaction with audit accounting (q71)
+  *  - the quality-filter funnel with per-stage retention (q72)
+  *  - deterministic sequence packing into fixed token budgets (q73)
+  *  - TF-IDF keyword extraction (q74)
+  *  - cross-corpus exact block dedup, the tractable stand-in for
+  *    exact substring dedup (q75)
+  *  - train/eval n-gram decontamination (q76)
+  *
+  * Shapes are chosen for the 100 TB case: scan-stage expressions plus
+  * the minimum number of keyed shuffles; every float that reaches an
+  * oracle is derived from exact integers (see ExactCols) so results
+  * are partition-order-independent.
+  */
+object Pipeline {
+
+  /** Same list as Text's quality scoring — the funnel gates on it. */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopSetSql = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val entries: Vector[Q] = Vector(
+
+    // PII detection + redaction with audit accounting: regex-match
+    // ID-like digit runs, count hits, and checksum the REDACTED text
+    // (md5-fold sum) so the gate proves the rewrite itself, not just
+    // the match counts. Pure scan-stage projection + one small
+    // groupBy — the cheapest distributed shape; on a real corpus the
+    // pattern set grows (emails, phones, keys) but the shape doesn't.
+    Q("q71_pii_redact", (s, d) => {
+      val pat = "[0-9]{4,}"
+      t(s, d, "customer")
+        .select(col("c_mktsegment"),
+          regexp_count(col("c_name"), lit(pat)).cast(LongType).as("hits"),
+          hmod(regexp_replace(col("c_name"), pat, "<ID>")).as("hred"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("hits")).as("n_hits"),
+          (sum(col("hred")) % P).as("redacted_sum"))
+        .orderBy(col("c_mktsegment"))
+    }, Some(s"""
+      SELECT c_mktsegment, count(*) AS n,
+        CAST(SUM(len(regexp_extract_all(c_name, '[0-9]{4,}'))) AS BIGINT)
+          AS n_hits,
+        CAST(SUM(${sql.hmod("regexp_replace(c_name, '[0-9]{4,}', '<ID>', 'g')")})
+          % $P AS BIGINT) AS redacted_sum
+      FROM customer GROUP BY 1 ORDER BY 1""")),
+
+    // Quality-filter funnel: the Gopher rule set applied CUMULATIVELY,
+    // reporting per-stage surviving docs + tokens — the retention
+    // table every pipeline paper publishes. One scan computes all six
+    // rule inputs (native kernels), one global aggregate folds all
+    // stages at once (12 conditional sums), stack() unpivots the
+    // single row — no per-stage rescans, no shuffle of doc rows.
+    // All thresholds are integer-exact (mean word length in [3,10] ⇔
+    // 3·ntok ≤ wlen ≤ 10·ntok, etc.) so both engines agree bit-wise.
+    Q("q72_filter_funnel", (s, d) => {
+      val toks = tokens(col("text"))
+      val sg = shingles(toks, 3, distinct = false)
+      val pd = t(s, d, "documents").select(
+        size(toks).cast(LongType).as("ntok"),
+        TextExprs.alphaWordCount(toks).as("nalpha"),
+        length(translate(col("text"), " ", "")).cast(LongType).as("wlen"),
+        TextExprs.setHitCount(toks, stopwords).as("nstop"),
+        size(sg).cast(LongType).as("ntotal"),
+        size(array_distinct(sg)).cast(LongType).as("ndist"))
+      val c1 = col("ntok") >= 10
+      val c2 = c1 && col("wlen") >= col("ntok") * 3 && col("wlen") <= col("ntok") * 10
+      val c3 = c2 && col("nalpha") * 5 >= col("ntok") * 4
+      val c4 = c3 && col("nstop") >= 2
+      val c5 = c4 && (col("ntotal") - col("ndist")) * 10 < col("ntotal") * 3
+      val conds: Seq[Column] = Seq(lit(true), c1, c2, c3, c4, c5)
+      val aggs = conds.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(when(c, 1L).otherwise(0L)).as(s"d$i"),
+          sum(when(c, col("ntok")).otherwise(0L)).as(s"t$i"))
+      }
+      val names = Seq("0_all", "1_min_tokens", "2_word_len",
+        "3_alpha_ratio", "4_stopwords", "5_repetition")
+      val stackArgs = names.zipWithIndex
+        .map { case (n, i) => s"'$n', d$i, t$i" }.mkString(", ")
+      pd.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(6, $stackArgs) AS (stage, docs, toks_kept)")
+        .orderBy(col("stage"))
+    }, Some(s"""
+      WITH pd AS (
+        SELECT CAST(len(tk) AS BIGINT) ntok,
+          CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+            nalpha,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) wlen,
+          CAST(len(list_filter(tk, t -> list_contains($stopSetSql, t))) AS BIGINT)
+            nstop,
+          CAST(len(sg) AS BIGINT) ntotal,
+          CAST(len(list_distinct(sg)) AS BIGINT) ndist
+        FROM (SELECT text, tk, CASE WHEN len(tk) >= 3
+                THEN [tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                      for i in generate_series(1, len(tk)-2)]
+                ELSE [] END sg
+              FROM (SELECT text,
+                      list_filter(string_split(text,' '), x->x<>'') tk
+                    FROM documents))),
+      fl AS (
+        SELECT *,
+          (ntok >= 10) c1,
+          (ntok >= 10 AND wlen >= ntok*3 AND wlen <= ntok*10) c2,
+          (ntok >= 10 AND wlen >= ntok*3 AND wlen <= ntok*10
+           AND nalpha*5 >= ntok*4) c3,
+          (ntok >= 10 AND wlen >= ntok*3 AND wlen <= ntok*10
+           AND nalpha*5 >= ntok*4 AND nstop >= 2) c4,
+          (ntok >= 10 AND wlen >= ntok*3 AND wlen <= ntok*10
+           AND nalpha*5 >= ntok*4 AND nstop >= 2
+           AND (ntotal-ndist)*10 < ntotal*3) c5
+        FROM pd)
+      SELECT * FROM (
+        SELECT '0_all' stage, CAST(count(*) AS BIGINT) docs,
+               CAST(COALESCE(SUM(ntok),0) AS BIGINT) toks_kept FROM fl
+        UNION ALL SELECT '1_min_tokens',
+          CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN c1 THEN ntok ELSE 0 END) AS BIGINT) FROM fl
+        UNION ALL SELECT '2_word_len',
+          CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN c2 THEN ntok ELSE 0 END) AS BIGINT) FROM fl
+        UNION ALL SELECT '3_alpha_ratio',
+          CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN c3 THEN ntok ELSE 0 END) AS BIGINT) FROM fl
+        UNION ALL SELECT '4_stopwords',
+          CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN c4 THEN ntok ELSE 0 END) AS BIGINT) FROM fl
+        UNION ALL SELECT '5_repetition',
+          CAST(SUM(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN c5 THEN ntok ELSE 0 END) AS BIGINT) FROM fl)
+      ORDER BY stage""")),
+
+    // Deterministic sequence packing: the GPT-style concat-and-chunk
+    // tokenizer stage, made distributed the way real pipelines do it —
+    // shard by id hash, concatenate within each shard in a
+    // hash-determined order, chunk at a fixed token budget. Reports
+    // the packing accounting per shard (sequences produced, docs that
+    // span a chunk boundary). The per-shard cumulative sum is the ONLY
+    // inherently sequential step; sharding is the parallelism answer —
+    // 32 shards here, O(100k) at 100 TB so each shard's window sorts a
+    // bounded slice (this is the q64 lesson: never window over a
+    // handful of partitions at scale).
+    Q("q73_seq_packing", (s, d) => {
+      val budget = 256L
+      val pd = t(s, d, "documents")
+        .select(col("doc_id"),
+          (hmod(col("doc_id").cast("string")) % 32).as("shard"),
+          hmod(concat(lit("pack:"), col("doc_id").cast("string"))).as("h"),
+          size(tokens(col("text"))).cast(LongType).as("ntok"))
+        .filter(col("ntok") > 0)
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pd.withColumn("cum", sum(col("ntok")).over(w))
+        .withColumn("spans",
+          expr(s"(cum - ntok) div $budget") =!= expr(s"(cum - 1) div $budget"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("ntok")).as("total_tokens"),
+          sum(when(col("spans"), 1L).otherwise(0L)).as("n_spanning"),
+          expr(s"(max(cum) + ${budget - 1}) div $budget").as("n_seqs"))
+        .orderBy(col("shard"))
+    }, Some(s"""
+      WITH pd AS (
+        SELECT doc_id,
+          ${sql.hmod("CAST(doc_id AS VARCHAR)")} % 32 shard,
+          ${sql.hmod("'pack:'||CAST(doc_id AS VARCHAR)")} h,
+          CAST(len(list_filter(string_split(text,' '), x->x<>'')) AS BIGINT) ntok
+        FROM documents),
+      cm AS (
+        SELECT shard, ntok,
+          SUM(ntok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        FROM pd WHERE ntok > 0)
+      SELECT shard, CAST(count(*) AS BIGINT) docs,
+        CAST(SUM(ntok) AS BIGINT) total_tokens,
+        CAST(SUM(CASE WHEN (cum - ntok) // 256 <> (cum - 1) // 256
+                      THEN 1 ELSE 0 END) AS BIGINT) n_spanning,
+        CAST((MAX(cum) + 255) // 256 AS BIGINT) n_seqs
+      FROM cm GROUP BY 1 ORDER BY 1""")),
+
+    // TF-IDF keyword extraction: top-1 term per document with a
+    // RATIONAL idf (the q57 lesson — the raw odds ratio (N−df+0.5)/
+    // (df+0.5) ranks identically to the log form but is bit-exact
+    // cross-engine). Shape: token explode → (doc,term) tf counts with
+    // map-side combine, term df counts, one broadcast scalar N, and
+    // the per-doc argmax as a plain struct-min aggregate with the
+    // tie-break encoded in field order (no window, no per-doc sort).
+    Q("q74_tfidf_top1", (s, d) => {
+      val docs = t(s, d, "documents")
+      val ex = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = ex.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfc, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast(DoubleType) *
+            ((col("n").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+              (col("df").cast(DoubleType) + lit(0.5))))
+      scored.groupBy(col("doc_id"))
+        .agg(min(struct((-col("score")).as("ns"), col("term").as("term"),
+          col("tf").as("tf"), col("df").as("df"))).as("m"))
+        .select(col("doc_id"), col("m.term").as("top_term"),
+          col("m.tf").as("tf"), col("m.df").as("df"),
+          (-col("m.ns")).as("score"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH ex AS (
+        SELECT doc_id, unnest(list_filter(string_split(text,' '), x->x<>'')) term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+             FROM ex GROUP BY 1, 2),
+      dfc AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) n FROM documents),
+      sc AS (
+        SELECT doc_id, term, tf, df,
+          CAST(tf AS DOUBLE) *
+            ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5::DOUBLE) /
+             (CAST(df AS DOUBLE) + 0.5::DOUBLE)) score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) rk
+        FROM tf JOIN dfc USING (term), n)
+      SELECT doc_id, term AS top_term, tf, df, score
+      FROM sc WHERE rk = 1 ORDER BY doc_id""")),
+
+    // Cross-corpus exact block dedup (the tractable form of RefinedWeb
+    // exact-substring dedup): hash non-overlapping 8-token blocks per
+    // doc in the scan stage, count each block hash corpus-wide, report
+    // per-doc duplicated-block counts. Block slicing is per-row-local
+    // (guarded sequence() — never the countdown trap), so the only
+    // shuffles are the block-hash count and the join back — both on
+    // high-cardinality keys. 279 duplicate block instances exist in
+    // this corpus (planted near-dup pairs share runs ≥ 8 tokens).
+    Q("q75_block_dedup", (s, d) => {
+      val B = 8
+      val toks = tokens(col("text"))
+      val nblocks = floor(size(toks) / lit(B)).cast("int")
+      val blocks = when(nblocks >= 1,
+        transform(sequence(lit(1), nblocks), j =>
+          hmod(array_join(slice(toks, (j - lit(1)) * lit(B) + lit(1), lit(B)), " "))))
+        .otherwise(array().cast("array<bigint>"))
+      val pd = t(s, d, "documents").select(col("doc_id"), blocks.as("bh"))
+      val ex = pd.select(col("doc_id"), explode(col("bh")).as("h"))
+      val cnt = ex.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      val dup = ex.join(cnt, "h").groupBy(col("doc_id"))
+        .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("nd"))
+      pd.select(col("doc_id"), size(col("bh")).cast(LongType).as("n_blocks"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_blocks"),
+          coalesce(col("nd"), lit(0L)).as("n_dup"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      bl AS (SELECT doc_id, CASE WHEN len(tk) >= 8
+               THEN [${sql.hmod("array_to_string(tk[(j-1)*8+1 : j*8], ' ')")}
+                     for j in generate_series(1, len(tk)//8)]
+               ELSE [] END bh FROM tk),
+      ex AS (SELECT doc_id, unnest(bh) h FROM bl),
+      cnt AS (SELECT h, count(*) c FROM ex GROUP BY 1),
+      dup AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) nd
+              FROM ex JOIN cnt USING (h) GROUP BY 1)
+      SELECT b.doc_id, CAST(len(bh) AS BIGINT) n_blocks,
+             CAST(COALESCE(nd, 0) AS BIGINT) n_dup
+      FROM bl b LEFT JOIN dup USING (doc_id) ORDER BY doc_id""")),
+
+    // Train/eval decontamination (GPT-3 §5 / PaLM app.): does any
+    // held-out doc share a word-5-gram with the train split? Reuses
+    // q58's hash split (train <80, test ≥90), distinct shingle hashes
+    // per side, LEFT SEMI join test-shingles against the train set —
+    // the exact shape at 100 TB (the train set is big, so it stays a
+    // shuffled equi-join; nothing is collected). Reports per test doc
+    // its shingle count and how many are contaminated.
+    Q("q76_decontaminate", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        (hmod(col("doc_id").cast("string")) % 100).as("bucket"),
+        shingles(tokens(col("text")), 5, distinct = true).as("sg"))
+      val train = docs.filter(col("bucket") < 80)
+        .select(explode(col("sg")).as("sh"))
+        .select(hmod(col("sh")).as("h")).distinct()
+      val test = docs.filter(col("bucket") >= 90)
+        .select(col("doc_id"), explode(col("sg")).as("sh"))
+        .select(col("doc_id"), hmod(col("sh")).as("h"))
+      val hits = test.join(train, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+      docs.filter(col("bucket") >= 90)
+        .select(col("doc_id"), size(col("sg")).cast(LongType).as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("nh"), lit(0L)).as("n_contaminated"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+          ${sql.hmod("CAST(doc_id AS VARCHAR)")} % 100 bucket,
+          CASE WHEN len(tk) >= 5
+            THEN list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
+                                for i in generate_series(1, len(tk)-4)])
+            ELSE [] END sg
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+              FROM documents)),
+      train AS (SELECT DISTINCT ${sql.hmod("s")} h
+                FROM (SELECT unnest(sg) s FROM docs WHERE bucket < 80)),
+      test AS (SELECT doc_id, ${sql.hmod("s")} h
+               FROM (SELECT doc_id, unnest(sg) s FROM docs WHERE bucket >= 90)),
+      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) nh
+               FROM test WHERE h IN (SELECT h FROM train) GROUP BY 1)
+      SELECT d.doc_id, CAST(len(sg) AS BIGINT) n_shingles,
+             CAST(COALESCE(nh, 0) AS BIGINT) n_contaminated
+      FROM docs d LEFT JOIN hits USING (doc_id)
+      WHERE bucket >= 90 ORDER BY doc_id"""))
+  )
+}
