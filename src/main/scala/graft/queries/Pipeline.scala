@@ -239,11 +239,14 @@ object Pipeline {
     // Cross-corpus exact block dedup (the tractable form of RefinedWeb
     // exact-substring dedup): hash non-overlapping 8-token blocks per
     // doc in the scan stage, count each block hash corpus-wide, report
-    // per-doc duplicated-block counts. Block slicing is per-row-local
-    // (guarded sequence() — never the countdown trap), so the only
-    // shuffles are the block-hash count and the join back — both on
-    // high-cardinality keys. 279 duplicate block instances exist in
-    // this corpus (planted near-dup pairs share runs ≥ 8 tokens).
+    // per-doc duplicated-block counts. ONE scan: explode_outer keeps
+    // zero-block docs, the corpus-wide count is a window over the
+    // high-cardinality block hash (so the expensive md5 slicing runs
+    // once — the count+join-back form re-hashed every block twice),
+    // then one re-key to doc_id. Block slicing is per-row-local
+    // (guarded sequence() — never the countdown trap). 279 duplicate
+    // block instances exist in this corpus (planted near-dup pairs
+    // share runs ≥ 8 tokens).
     Q("q75_block_dedup", (s, d) => {
       val B = 8
       val toks = tokens(col("text"))
@@ -252,15 +255,13 @@ object Pipeline {
         transform(sequence(lit(1), nblocks), j =>
           hmod(array_join(slice(toks, (j - lit(1)) * lit(B) + lit(1), lit(B)), " "))))
         .otherwise(array().cast("array<bigint>"))
-      val pd = t(s, d, "documents").select(col("doc_id"), blocks.as("bh"))
-      val ex = pd.select(col("doc_id"), explode(col("bh")).as("h"))
-      val cnt = ex.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      val dup = ex.join(cnt, "h").groupBy(col("doc_id"))
-        .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("nd"))
-      pd.select(col("doc_id"), size(col("bh")).cast(LongType).as("n_blocks"))
-        .join(dup, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_blocks"),
-          coalesce(col("nd"), lit(0L)).as("n_dup"))
+      val ex = t(s, d, "documents").select(col("doc_id"), blocks.as("bh"))
+        .select(col("doc_id"), explode_outer(col("bh")).as("h"))
+      val c = count(lit(1)).over(Window.partitionBy(col("h")))
+      ex.withColumn("c", when(col("h").isNotNull, c))
+        .groupBy(col("doc_id"))
+        .agg(count(col("h")).as("n_blocks"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
@@ -291,16 +292,17 @@ object Pipeline {
       val train = docs.filter(col("bucket") < 80)
         .select(explode(col("sg")).as("sh"))
         .select(hmod(col("sh")).as("h")).distinct()
-      val test = docs.filter(col("bucket") >= 90)
-        .select(col("doc_id"), explode(col("sg")).as("sh"))
-        .select(col("doc_id"), hmod(col("sh")).as("h"))
-      val hits = test.join(train, Seq("h"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+        .withColumn("hit", lit(1L))
+      // explode_outer + left join: ONE test-side scan yields both the
+      // per-doc shingle count and the hit count (the semi-join +
+      // re-scan-for-base form computed the shingle arrays twice)
       docs.filter(col("bucket") >= 90)
-        .select(col("doc_id"), size(col("sg")).cast(LongType).as("n_shingles"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("nh"), lit(0L)).as("n_contaminated"))
+        .select(col("doc_id"), explode_outer(col("sg")).as("sh"))
+        .select(col("doc_id"), hmod(col("sh")).as("h"))
+        .join(train, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("h")).as("n_shingles"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH docs AS (
