@@ -75,6 +75,65 @@ case class SetHitCount(child: Expression, words: Seq[String])
   override def prettyName: String = "set_hit_count"
 }
 
+/** Per-term occurrence counts over a token array — SetHitCount
+  * generalized to return one count PER word instead of the total:
+  * `term_counts(tk, [w0, w1, …])[i]` equals
+  * `len(list_filter(tk, x -> x = wi))`. One hash-probe per token for
+  * ALL terms, replacing the per-term interpreted `filter(col, x =>
+  * x === tm)` lambdas that dominated q57's scan stage (the same
+  * hot-loop class q31 hit at 100×). Null input → null; null elements
+  * don't count. */
+case class TermCounts(child: Expression, words: Seq[String])
+    extends UnaryExpression with Serializable {
+  require(words.nonEmpty && words.distinct.size == words.size)
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  // word → slot index, shared across rows and shipped into generated
+  // code as a codegen object reference (same pattern as SetHitCount)
+  @transient private lazy val slots: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](words.size * 2)
+    words.zipWithIndex.foreach { case (w, i) =>
+      m.put(UTF8String.fromString(w), Integer.valueOf(i))
+    }
+    m
+  }
+
+  /** Exposed for generated code. */
+  def compute(xs: ArrayData): ArrayData = {
+    val counts = new Array[Long](words.size)
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) {
+        val slot = slots.get(xs.getUTF8String(i))
+        if (slot != null) counts(slot.intValue()) += 1L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val ref = ctx.addReferenceObj("termCounts", this, classOf[TermCounts].getName)
+      s"${ev.value} = $ref.compute($xs);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+  override def prettyName: String = "term_counts"
+}
+
 /** Count of ASCII-alphanumeric characters in a string — semantics of
   * `length(regexp_replace(s, '[^A-Za-z0-9]', ''))` without running a
   * regex per row (the regex dominated the q31 scan at 100×). The
@@ -394,9 +453,79 @@ case class TokenStats(child: Expression)
   override def prettyName: String = "token_stats"
 }
 
+/** Per-row token-block hashes behind q75 cross-corpus block dedup:
+  * for each consecutive run of `b` tokens (floor(n/b) blocks, tail
+  * remainder dropped), the shared document hash (ExactCols.hmod —
+  * first 15 hex chars of md5, mod P) of the space-joined block. One
+  * md5 over the block bytes, streamed — the declarative
+  * `transform(sequence(1, nblocks), j -> hmod(array_join(slice(...))))`
+  * form runs an interpreted closure per block that re-slices and
+  * re-concatenates the token array each time (the q31/q57 hot-loop
+  * class). Fewer than `b` tokens → empty array; null input → null;
+  * null elements are skipped exactly like array_join skips them. */
+case class BlockHash(child: Expression, b: Int)
+    extends UnaryExpression with Serializable {
+  require(b > 0)
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  /** Exposed for generated code. */
+  def compute(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val k = n / b
+    val out = new Array[Long](k)
+    if (k > 0) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var blk = 0
+      while (blk < k) {
+        var j = blk * b
+        val end = j + b
+        var first = true
+        while (j < end) {
+          if (!xs.isNullAt(j)) {
+            if (!first) md.update(' '.toByte)
+            md.update(xs.getUTF8String(j).getBytes)
+            first = false
+          }
+          j += 1
+        }
+        val digest = md.digest() // resets the digest for the next block
+        var u = 0L
+        var i = 0
+        while (i < 8) { u = (u << 8) | (digest(i) & 0xffL); i += 1 }
+        out(blk) = (u >>> 4) % Md5Fold.P
+        blk += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val ref = ctx.addReferenceObj("blockHash", this, classOf[BlockHash].getName)
+      s"${ev.value} = $ref.compute($xs);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BlockHash =
+    copy(child = newChild)
+  override def prettyName: String = "block_hash"
+}
+
 object TextExprs {
   def setHitCount(toks: Column, words: Seq[String]): Column =
     Shim.column(SetHitCount(Shim.expression(toks), words))
+
+  def termCounts(toks: Column, words: Seq[String]): Column =
+    Shim.column(TermCounts(Shim.expression(toks), words))
 
   def tokenStats(text: Column): Column =
     Shim.column(TokenStats(Shim.expression(text)))
@@ -412,4 +541,7 @@ object TextExprs {
 
   def winnowFingerprint(shingles: Column, w: Int): Column =
     Shim.column(WinnowFingerprint(Shim.expression(shingles), w))
+
+  def blockHash(toks: Column, b: Int): Column =
+    Shim.column(BlockHash(Shim.expression(toks), b))
 }

@@ -180,12 +180,16 @@ object Text {
     // final top-k runs through TopKPerKey instead of a global sort.
     Q("q57_bm25_topk", (s, d) => {
       val terms = Seq("spark", "hash", "window")
+      // per-term tf via the TermCounts kernel: ONE hash-probe scan of
+      // the token array for all three terms (the per-term
+      // filter-lambda form ran an interpreted closure per token per
+      // term — the q31 hot-loop class)
       val wtf = t(s, d, "documents")
         .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .select(col("doc_id") +: size(col("tk")).cast(LongType).as("dl") +:
-          terms.zipWithIndex.map { case (tm, i) =>
-            size(filter(col("tk"), x => x === tm)).cast(LongType).as(s"tf$i")
-          }: _*)
+        .select(col("doc_id"), size(col("tk")).cast(LongType).as("dl"),
+          graft.functions.TextExprs.termCounts(col("tk"), terms).as("tfs"))
+        .select(col("doc_id") +: col("dl") +:
+          terms.indices.map(i => col("tfs").getItem(i).as(s"tf$i")): _*)
       val aggCols =
         count(lit(1)).as("n") +:
           (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl") +:

@@ -39,6 +39,56 @@ class TextExprsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("TermCounts == per-term size(filter(lambda)) incl. duplicates/unicode/null") {
+    import spark.implicits._
+    val words = Seq("the", "a", "of")
+    val df = Seq(
+      Some("the cat of the house"),   // (2, 0, 1)
+      Some("a a a"),                  // (0, 3, 0)
+      Some("none here"),              // (0, 0, 0)
+      Some(""),                       // (0, 0, 0)
+      Some("thé the θ a"),            // unicode near-miss → (1, 1, 0)
+      None                            // null → null
+    ).toDF("text")
+      .withColumn("toks", when(col("text").isNotNull, ExactCols.tokens(col("text"))))
+    val got = df.select(TextExprs.termCounts(col("toks"), words)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    val ref = df.select(array(words.map(w =>
+      size(filter(col("toks"), t => t === w)).cast(LongType)): _*))
+      .collect()
+      // the declarative form yields array(null,null,null) for null toks
+      .map(r => if (r.isNullAt(0) || r.getSeq[Any](0).contains(null)) null
+                else r.getSeq[Long](0))
+    assert(got.toSeq == ref.toSeq)
+    assert(got(0) == Seq(2L, 0L, 1L) && got(4) == Seq(1L, 1L, 0L) && got(5) == null)
+  }
+
+  test("BlockHash == transform(sequence) declarative form incl. unicode/short/null") {
+    import spark.implicits._
+    val b = 3
+    val df = Seq(
+      Some("a b c d e f g"),          // 2 blocks, tail dropped
+      Some("a b c"),                  // exactly 1 block
+      Some("a b"),                    // < b → empty
+      Some(""),                       // empty tokens → empty
+      Some("thé θ x y z w"),          // multi-byte utf-8 in the md5 bytes
+      None                            // null → null
+    ).toDF("text")
+      .withColumn("toks", when(col("text").isNotNull, ExactCols.tokens(col("text"))))
+    val got = df.select(TextExprs.blockHash(col("toks"), b)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    val nblocks = floor(size(col("toks")) / lit(b)).cast("int")
+    val ref = df.select(when(col("toks").isNotNull,
+      when(nblocks >= 1,
+        transform(sequence(lit(1), nblocks), j =>
+          ExactCols.hmod(array_join(
+            slice(col("toks"), (j - lit(1)) * lit(b) + lit(1), lit(b)), " "))))
+      .otherwise(array().cast("array<bigint>")))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    assert(got.toSeq == ref.toSeq)
+    assert(got(0).size == 2 && got(1).size == 1 && got(2) == Seq() && got(5) == null)
+  }
+
   test("AlnumCount == length(regexp_replace('[^A-Za-z0-9]')) incl. unicode") {
     import spark.implicits._
     val df = Seq(
