@@ -53,9 +53,11 @@ object ExactCols {
 
   /** float32 vector → int64 vector, scaled by 1e6 with HALF_UP
     * rounding (DuckDB: list_transform(v, x -> CAST(round(CAST(x AS
-    * DOUBLE)*1000000) AS BIGINT))). */
-  def iscale(vec: Column): Column =
-    transform(vec, x => round(x.cast(DoubleType) * 1000000d).cast(LongType))
+    * DOUBLE)*1000000) AS BIGINT))) — the IScale codegen kernel, not
+    * the `transform(v, x => round(...))` lambda: that form ran one
+    * interpreted closure per element in the scan stage of every
+    * embedding query (equivalence fuzz-tested in VectorExprsSpec). */
+  def iscale(vec: Column): Column = VectorExprs.iscale(vec)
 
   /** Exact integer dot product of two int64 vectors — a native
     * codegen Expression (VectorExprs.LongDot); the declarative

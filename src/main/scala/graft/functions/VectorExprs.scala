@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native Catalyst expressions for int64 vector kernels.
   *
@@ -159,6 +159,76 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** float32 vector → int64 vector scaled by 1e6 (ExactCols.iscale) as
+  * ONE codegen kernel instead of a `transform` lambda — the lambda
+  * ran an interpreted closure (+ a BigDecimal round expression) per
+  * element in the scan stage of EVERY embedding query. Semantics are
+  * bit-identical to `transform(v, x => round(x.cast(double) * 1e6)
+  * .cast(long))`: Spark's round(double, 0) goes through
+  * java.math.BigDecimal.valueOf(d).setScale(0, HALF_UP) (the
+  * DECIMAL-string representation decides exact halves), then the
+  * bigint cast truncates/clamps. The kernel takes a floor-based fast
+  * path whenever the fraction is outside (0.5±1e-3) — where
+  * decimal-string and binary rounding provably agree (ulp at 1e6
+  * scale ≈ 1e-10) — and falls back to the exact BigDecimal route
+  * inside the band. NaN → 0, ±Inf clamps, matching the cast. */
+case class IScale(child: Expression) extends UnaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(LongType, containsNull = n)
+    case _ => ArrayType(LongType, containsNull = false)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${dt.simpleString}")
+  }
+
+  /** Exposed for generated code. */
+  def compute(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) out(i) = IScale.scale1e6(xs.getFloat(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val ref = ctx.addReferenceObj("iscale", this, classOf[IScale].getName)
+      s"${ev.value} = $ref.compute($xs);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IScale =
+    copy(child = newChild)
+  override def prettyName: String = "iscale"
+}
+
+object IScale {
+  /** round(x.toDouble * 1e6, HALF_UP via decimal repr) cast to long. */
+  def scale1e6(x: Float): Long = {
+    val y = x.toDouble * 1000000d
+    if (java.lang.Double.isNaN(y)) 0L
+    else if (y >= 9.223372036854776e18) Long.MaxValue
+    else if (y <= -9.223372036854776e18) Long.MinValue
+    else {
+      val fl = Math.floor(y)
+      val f = y - fl
+      if (f > 0.499 && f < 0.501)
+        java.math.BigDecimal.valueOf(y)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      else fl.toLong + (if (f > 0.5) 1L else 0L)
+    }
+  }
+}
+
 object VectorExprs {
   def longDot(a: Column, b: Column): Column =
     Shim.column(LongDot(Shim.expression(a), Shim.expression(b)))
@@ -168,4 +238,7 @@ object VectorExprs {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     Shim.column(SortedIntersectCount(Shim.expression(a), Shim.expression(b)))
+
+  def iscale(v: Column): Column =
+    Shim.column(IScale(Shim.expression(v)))
 }

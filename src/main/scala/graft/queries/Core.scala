@@ -370,10 +370,13 @@ object Core {
       SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
       FROM documents GROUP BY 1 ORDER BY 1""")),
 
-    // token counting (whitespace tokenizer)
+    // token counting (whitespace tokenizer; array_remove — codegen —
+    // not the filter-lambda, which runs an interpreted closure per
+    // token in the scan stage)
     Q("q21_token_count", (s, d) => {
       t(s, d, "documents")
-        .withColumn("tokens", expr("size(filter(split(text, ' '), x -> x != ''))"))
+        .withColumn("tokens",
+          size(graft.functions.ExactCols.tokens(col("text"))))
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("logs"),

@@ -238,30 +238,31 @@ object Pipeline {
 
     // Cross-corpus exact block dedup (the tractable form of RefinedWeb
     // exact-substring dedup): hash non-overlapping 8-token blocks per
-    // doc in the scan stage, count each block hash corpus-wide, report
-    // per-doc duplicated-block counts. ONE scan: explode_outer keeps
-    // zero-block docs, the corpus-wide count is a window over the
-    // high-cardinality block hash (so the expensive md5 slicing runs
-    // once — the count+join-back form re-hashed every block twice),
-    // then one re-key to doc_id. Block slicing is per-row-local
-    // (guarded sequence() — never the countdown trap). 279 duplicate
-    // block instances exist in this corpus (planted near-dup pairs
-    // share runs ≥ 8 tokens).
+    // doc in the scan stage (BlockHash kernel — one streamed md5 per
+    // block; the transform-lambda form ran an interpreted closure per
+    // block that re-sliced + re-joined the token array each time),
+    // count each block hash corpus-wide, report per-doc
+    // duplicated-block counts. The corpus count is TWO-LEVEL: a
+    // partial+final groupBy(h) (map-side combine collapses a mega-hot
+    // boilerplate block before the shuffle) then an equi-join back of
+    // only the c>1 hashes — the window-over-h form put every instance
+    // of a hot block hash in ONE task with no AQE rescue, while the
+    // join path is skew-split at runtime. The scan+kernel subtree is
+    // recomputed per join side (self-join rule) but is codegen-cheap.
+    // 279 duplicate block instances exist in this corpus (planted
+    // near-dup pairs share runs >= 8 tokens).
     Q("q75_block_dedup", (s, d) => {
       val B = 8
-      val toks = tokens(col("text"))
-      val nblocks = floor(size(toks) / lit(B)).cast("int")
-      val blocks = when(nblocks >= 1,
-        transform(sequence(lit(1), nblocks), j =>
-          hmod(array_join(slice(toks, (j - lit(1)) * lit(B) + lit(1), lit(B)), " "))))
-        .otherwise(array().cast("array<bigint>"))
-      val ex = t(s, d, "documents").select(col("doc_id"), blocks.as("bh"))
-        .select(col("doc_id"), explode_outer(col("bh")).as("h"))
-      val c = count(lit(1)).over(Window.partitionBy(col("h")))
-      ex.withColumn("c", when(col("h").isNotNull, c))
+      val ex = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode_outer(TextExprs.blockHash(tokens(col("text")), B)).as("h"))
+      val dup = ex.filter(col("h").isNotNull)
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("h").as("dh"))
+      ex.join(dup, col("h") === col("dh"), "left")
         .groupBy(col("doc_id"))
         .agg(count(col("h")).as("n_blocks"),
-          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+          sum(when(col("dh").isNotNull, 1L).otherwise(0L)).as("n_dup"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk

@@ -54,4 +54,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
         lit(0L), (acc, x) => acc + x).as("slow"))
     assert(both.filter(col("fast") =!= col("slow")).count() == 0)
   }
+
+  test("IScale kernel matches transform(round(x*1e6)) bit-for-bit incl. half cases") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random embedding-scale floats plus engineered .5-boundary values
+    // ((2j+1)/2e6 — the decimal-vs-binary HALF_UP divergence zone),
+    // negatives, zero, subnormals, and extremes
+    val adversarial = (0 until 2000).map(j => ((2 * j + 1) / 2e6).toFloat) ++
+      (0 until 2000).map(j => (-(2 * j + 1) / 2e6).toFloat) ++
+      Seq(0.0f, -0.0f, 1e-9f, -1e-9f, Float.MinPositiveValue, 0.4999995f,
+        -0.4999995f, 123.4567f, -98.76543f)
+    val vecs = (0 until 200).map(_ =>
+      (0 until 32).map(_ => (rnd.nextFloat() - 0.5f) * 2f).toArray) ++
+      adversarial.grouped(32).map(_.toArray)
+    val df = vecs.toDF("v")
+    val both = df.select(
+      graft.functions.VectorExprs.iscale(col("v")).as("fast"),
+      transform(col("v"),
+        x => round(x.cast("double") * 1000000d).cast("long")).as("slow"))
+    assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0)
+  }
 }

@@ -92,6 +92,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("plan sweep: no interpreted lambda (higher-order function) in any gate scan stage") {
+    // HOFs (filter/transform/aggregate/zip_with with a lambda) run an
+    // interpreted closure per array element — the pattern that cost
+    // 11x on q31 and 77% on q57 at scale. Kernels (SetHitCount,
+    // TermCounts, TokenStats, BlockHash, IScale, WordNGrams, LongDot,
+    // …) replace every scan-stage instance. Whitelist: lambdas that
+    // provably run on TINY inputs after the data has been reduced —
+    // q34/q35 transform a per-group count map AFTER the aggregate
+    // (5 event-type rows), q68 flips bits on the broadcast query side
+    // only (|Q| rows).
+    val tinyInputLambdas =
+      Set("q34_miw_pipeline", "q35_union_count_agg", "q68_ann_multiprobe")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !tinyInputLambdas(name) =>
+        val p = fn(spark, sf).queryExecution.sparkPlan.toString
+        if (p.contains("lambdafunction")) Some(name) else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"interpreted higher-order functions in gate plans: $offenders")
+  }
+
   test("q62: quantize pass is the only embeddings scan (stats pass is separate)") {
     val p = plan("q62_quantize_int8")
     assert("FileScan".r.findAllIn(p).size == 1, s"q62 scans embeddings twice:\n$p")
@@ -112,6 +134,16 @@ class PlanSpec extends AnyFunSuite {
       assert("TopKPerKey".r.findAllIn(p).size >= 2,
         s"$q lacks partial+final TopKPerKeyExec:\n$p")
     }
+  }
+
+  test("q75: corpus block count is two-level (no window over the block hash)") {
+    // count().over(Window.partitionBy(h)) puts every instance of a
+    // mega-hot boilerplate block in ONE task with no AQE rescue; the
+    // partial+final groupBy(h) + equi-join-back path map-side-combines
+    // the hot key and skew-splits the join at runtime
+    val p = plan("q75_block_dedup")
+    assert(!p.contains("Window"), s"q75 plans a window over the block hash:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"q75 lacks two-level aggs:\n$p")
   }
 
   test("q67: salted aggregation plans two aggregation levels, both map-side combined") {
