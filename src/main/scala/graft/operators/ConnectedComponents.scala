@@ -89,7 +89,11 @@ object ConnectedComponents {
 
   /** Large-star: every directed pair (src, dst) with dst > src emits
     * (dst, min(Γ(src) ∪ {src})) — strictly-larger neighbors hang off
-    * the local min. Output keeps the u > v orientation. */
+    * the local min. Output keeps the u > v orientation. NO distinct
+    * here: duplicates are neutral to small-star's min aggregate and
+    * the round-final small-star distinct canonicalizes the set, so
+    * deduplicating mid-round would buy nothing but a full extra
+    * shuffle per round. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
@@ -97,7 +101,6 @@ object ConnectedComponents {
     sym.join(mins, "src")
       .filter(col("dst") > col("src"))
       .select(col("dst").as("u"), least(col("src"), col("mn")).as("v"))
-      .distinct()
   }
 
   /** Small-star: edges arrive u > v; every smaller neighbor (and u

@@ -260,6 +260,12 @@ object Analytics {
     // partition, not the rows.
     Q("q66_heavy_hitters", (s, d) => {
       import graft.functions.HeavyHitters
+      // EXACTNESS CONTRACT: k must exceed the per-group user
+      // cardinality or Misra-Gries starts decrementing and silently
+      // diverges from the GROUP BY oracle. The driver corpus has ≤150
+      // users per sf (TESTDATA.md); 100000 leaves 600x headroom, and
+      // ScaleUp-replicated runs (shifted keys multiply cardinality)
+      // must raise k with the replication factor or gate elsewhere.
       t(s, d, "events")
         .select(col("event_type"), col("user_id").cast("string").as("u"))
         .groupBy(col("event_type"))

@@ -132,6 +132,84 @@ object Apps {
             FROM iv, generate_series(1,8) g(k) WHERE vec_id >= 8 AND vec_id < 16)
       SELECT a.i AS i, b.j AS j, CAST(SUM(a.val*b.val) AS BIGINT) AS c
       FROM a JOIN b ON a.j = b.i
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // FULL iterative k-means (the reference's app/kmeans.cc:84-319
+    // driver loop, not just q39's single assign step): 3 fixed
+    // recenter rounds from deterministic seeds (vec_id < 4; tol = -1
+    // forces all 3), then one assignment under the FINAL centroids.
+    // Exactness: distances are exact int64 (LongSqDist), means round
+    // HALF_UP on the exact rational (BigDecimal in KMeansOp ==
+    // sign(s)·((2|s|+n)//(2n)) in the oracle), argmin ties break on
+    // centroid id — so the whole trajectory is partition-independent
+    // and a DuckDB recursive CTE reproduces it bit-for-bit. The
+    // centroid array is emitted as a comma-joined string (codegen
+    // cast to array<string>, no lambda).
+    Q("q77_kmeans_iterated", (s, d) => {
+      val iv = t(s, d, "embeddings")
+        .select(col("vec_id"), iscale(col("embedding")).as("v"))
+      val res = graft.operators.KMeansOp.fit(iv, "vec_id", "v",
+        k = 4, maxIter = 3, tol = -1.0)
+      import s.implicits._
+      val centDf = res.centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv")
+      val dist = graft.functions.VectorExprs.longSqDist(col("v"), col("cv"))
+      iv.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), struct(dist.as("dist"), col("cid")).as("dc"))
+        .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
+        .select(col("best.cid").as("cluster_id"), col("best.dist").as("dist"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("dist")).cast(DoubleType) / count(lit(1))).as("avg_dist"))
+        .join(broadcast(centDf.select(col("cid").as("cluster_id"),
+          array_join(col("cv").cast("array<string>"), ",").as("centroid"))),
+          "cluster_id")
+        .orderBy(col("cluster_id"))
+    }, Some(s"""
+      WITH RECURSIVE $ivCte,
+      cents AS (
+        SELECT 0 AS iter, CAST(vec_id AS BIGINT) AS cid, v AS cv
+        FROM iv WHERE vec_id < 4
+        UNION ALL
+        SELECT it + 1 AS iter, cid, list(m ORDER BY dim) AS cv
+        FROM (
+          SELECT it, cid, dim,
+                 CASE WHEN SUM(vd) >= 0
+                   THEN (2*SUM(vd) + COUNT(*)) // (2*COUNT(*))
+                   ELSE -((2*(-SUM(vd)) + COUNT(*)) // (2*COUNT(*)))
+                 END AS m
+          FROM (
+            SELECT it, cid, unnest(generate_series(1, len(v))) AS dim,
+                   unnest(v) AS vd
+            FROM (
+              SELECT it, cid, v FROM (
+                SELECT it, vec_id, cid, v, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dist, cid) AS rn
+                FROM (
+                  SELECT c.iter AS it, iv.vec_id, c.cid, iv.v,
+                         CAST(list_sum(list_transform(generate_series(1, len(iv.v)),
+                           i -> (iv.v[i]-c.cv[i])*(iv.v[i]-c.cv[i]))) AS BIGINT) AS dist
+                  FROM iv, cents c WHERE c.iter < 3) d0) d1
+              WHERE rn = 1) asg) ex
+          GROUP BY 1, 2, 3) mm
+        GROUP BY it, cid),
+      fin AS (SELECT cid, cv FROM cents WHERE iter = 3),
+      asg AS (
+        SELECT cid AS cluster_id, dist FROM (
+          SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM (
+            SELECT iv.vec_id, f.cid,
+                   CAST(list_sum(list_transform(generate_series(1, len(iv.v)),
+                     i -> (iv.v[i]-f.cv[i])*(iv.v[i]-f.cv[i]))) AS BIGINT) AS dist
+            FROM iv, fin f) d0) d1
+        WHERE rn = 1)
+      SELECT a.cluster_id, a.n, a.avg_dist, array_to_string(f.cv, ',') AS centroid
+      FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(dist) AS DOUBLE)/count(*) AS avg_dist
+            FROM asg GROUP BY 1) a
+      JOIN fin f ON a.cluster_id = f.cid
+      ORDER BY a.cluster_id"""))
   )
 }

@@ -82,7 +82,7 @@ class PlanSpec extends AnyFunSuite {
     val expectedNested = Set(
       "q27_dedup_embedding", "q28_ann_brute_topk",
       "q39_kmeans_assign", "q45_ann_ivf_topk",
-      "q57_bm25_topk", "q74_tfidf_top1")
+      "q57_bm25_topk", "q74_tfidf_top1", "q77_kmeans_iterated")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

@@ -69,6 +69,10 @@ class MIWJob:
         return self.launcher + ' ' + local_command + self.suffix
 
     def run(self, miw_options):
+        # SECURITY: options are template-expanded into a shell command
+        # (shell=True mirrors the reference shim's semantics, incl.
+        # launcher strings with pipes/redirects) — callers must pass
+        # TRUSTED options only, exactly as with the reference job runner.
         cmd = self.build_command(miw_options)
         logger.debug("MIW job command=%s" % cmd)
         call_output = call(cmd, shell=True)
