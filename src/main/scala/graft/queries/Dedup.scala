@@ -269,6 +269,41 @@ object Dedup {
     }
   }
 
+  /** Mode selection for [[ngramJaccardPairs]] from the posting-list
+    * df profile (one tiny aggregate over the df table — the same
+    * stats-driven planning AQE does at runtime, here done once per
+    * corpus). The decision variable is mean document frequency over
+    * surviving shingles: co-occurrence counting does Σ C(df,2) narrow
+    * join rows, ≈ (distinct candidate pairs) × (shared shingles per
+    * pair). On mixed corpora avgDf ≈ 1–2 (candidate pairs ≈ rows —
+    * counting wins, measured 31 s vs 44 s at 50 k docs); on
+    * clone-heavy corpora every clone-group shingle has df = group
+    * size, so rows exceed distinct pairs by the whole shingle count
+    * and AllPairs/PPJoin prefix filtering wins. The threshold 4 sits
+    * between the two measured regimes (gate corpus ≈ 1.1, 20-clone
+    * spec corpus = 20). */
+  private def jaccardModeFromStats(dfs: DataFrame): String = {
+    val r = dfs.agg(sum(col("df")).cast(DoubleType).as("p"),
+      count(lit(1)).cast(DoubleType).as("u")).head()
+    val avgDf = if (r.isNullAt(0) || r.getDouble(1) == 0d) 1.0
+                else r.getDouble(0) / r.getDouble(1)
+    if (avgDf >= 4.0) "prefix" else "count"
+  }
+
+  /** Exposed chooser (spec surface): which mode `mode = "auto"` would
+    * pick for this corpus. */
+  def jaccardMode(docs: DataFrame, cfg: LshConfig = LshConfig(),
+                  maxDocFreq: Int = 100): String = {
+    val dfs = docs
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
+      .select(col("doc_id"), hmod(col("sg")).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    jaccardModeFromStats(dfs)
+  }
+
   /** Exact n-gram (shingle-hash) Jaccard near-dup pairs via an
     * inverted-index join: explode distinct shingle hashes, equi-join
     * docs sharing a hash, count shared hashes per pair, jaccard from
@@ -278,20 +313,29 @@ object Dedup {
     * O(df²) candidate pairs and carries ~no discriminative signal —
     * the standard prefix-filtering guard. Jaccard is computed over
     * the SURVIVING hash sets on both engine and oracle, so parity is
-    * exact. */
+    * exact. `mode`: `"count"` = co-occurrence counting, `"prefix"` =
+    * AllPairs/PPJoin prefix filter, `"auto"` (default) = one cheap
+    * df-profile pass picks per [[jaccardMode]]'s calibrated rule. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         cfg: LshConfig = LshConfig(),
                         maxDocFreq: Int = 100,
-                        prefixFilter: Boolean = false): DataFrame = {
+                        mode: String = "auto"): DataFrame = {
     val hset = docs
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
       .select(col("doc_id"), hmod(col("sg")).as("h"))
       .distinct()
-    val rare = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dfs = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
-      .select(col("h"))
+    val rare = dfs.select(col("h"))
     val kept = hset.join(rare, "h")
+    val prefixFilter = mode match {
+      case "auto"   => jaccardModeFromStats(dfs) == "prefix"
+      case "prefix" => true
+      case "count"  => false
+      case other => throw new IllegalArgumentException(
+        s"ngramJaccardPairs mode must be auto|count|prefix, got $other")
+    }
     if (!prefixFilter) {
       // co-occurrence counting: Σ df² narrow rows through one codegen
       // HashAggregate — optimal while distinct candidate pairs stay

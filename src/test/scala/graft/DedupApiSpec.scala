@@ -73,19 +73,30 @@ class DedupApiSpec extends AnyFunSuite {
 
   test("ngramJaccardPairs: count and prefix-filter modes agree exactly") {
     import org.apache.spark.sql.functions.round
-    def pairs(prefix: Boolean) =
-      Dedup.ngramJaccardPairs(variedDocs, 0.3, prefixFilter = prefix)
+    def pairs(mode: String) =
+      Dedup.ngramJaccardPairs(variedDocs, 0.3, mode = mode)
         .withColumn("jaccard", round(org.apache.spark.sql.functions.col("jaccard"), 9))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val count = pairs(false)
-    val pf = pairs(true)
+    val count = pairs("count")
+    val pf = pairs("prefix")
     assert(count.nonEmpty)
     assert(count == pf)
     // and on a clone-heavy corpus (every pair is a near-dup)
-    def clonePairs(prefix: Boolean) =
-      Dedup.ngramJaccardPairs(identicalDocs(20), 0.3, prefixFilter = prefix).count()
-    assert(clonePairs(false) == 190L && clonePairs(true) == 190L) // C(20,2)
+    def clonePairs(mode: String) =
+      Dedup.ngramJaccardPairs(identicalDocs(20), 0.3, mode = mode).count()
+    assert(clonePairs("count") == 190L && clonePairs("prefix") == 190L) // C(20,2)
+  }
+
+  test("auto mode flips on corpus shape: count on mixed, prefix on clone-heavy") {
+    // mixed corpus: shingle df ~ 1-2 → co-occurrence counting
+    assert(Dedup.jaccardMode(variedDocs) == "count")
+    // clone corpus: every shingle's df = clone-group size (20) →
+    // co-occurrence rows = |shingles| x distinct pairs → prefix filter
+    assert(Dedup.jaccardMode(identicalDocs(20)) == "prefix")
+    // auto produces the same exact pairs as either forced mode
+    val auto = Dedup.ngramJaccardPairs(identicalDocs(20), 0.3).count()
+    assert(auto == 190L)
   }
 
   test("simhash mega-bucket is capped the same way") {
