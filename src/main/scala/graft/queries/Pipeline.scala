@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -33,6 +33,65 @@ object Pipeline {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopSetSql = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** PII audit aggregation shared by the batch gate (q71) and the
+    * streaming variant (PipelineStream): scan-stage regex match +
+    * redacted-text checksum, then per-segment monoid sums — every
+    * aggregate is order-independent, which is exactly what makes the
+    * same plan valid as an incremental (update-mode) streaming
+    * aggregation with O(|segments|) state. */
+  def piiAudit(rows: DataFrame, segCol: String, nameCol: String): DataFrame = {
+    val pat = "[0-9]{4,}"
+    rows
+      .select(col(segCol),
+        regexp_count(col(nameCol), lit(pat)).cast(LongType).as("hits"),
+        hmod(regexp_replace(col(nameCol), pat, "<ID>")).as("hred"))
+      .groupBy(col(segCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("hits")).as("n_hits"),
+        (sum(col("hred")) % P).as("redacted_sum"))
+  }
+
+  private[graft] val funnelStages = Seq("0_all", "1_min_tokens",
+    "2_word_len", "3_alpha_ratio", "4_stopwords", "5_repetition")
+
+  /** One-row funnel statistics (d0..d5 docs, t0..t5 tokens surviving
+    * each cumulative Gopher stage) — shared by q72 and the streaming
+    * variant. The single global aggregate of 12 monoid sums is the
+    * whole shuffle; rule inputs are scan-stage kernels. */
+  def funnelStats(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val sg = shingles(toks, 3, distinct = false)
+    val pd = docs.select(
+      size(toks).cast(LongType).as("ntok"),
+      TextExprs.alphaWordCount(toks).as("nalpha"),
+      length(translate(col(textCol), " ", "")).cast(LongType).as("wlen"),
+      TextExprs.setHitCount(toks, stopwords).as("nstop"),
+      size(sg).cast(LongType).as("ntotal"),
+      size(array_distinct(sg)).cast(LongType).as("ndist"))
+    val c1 = col("ntok") >= 10
+    val c2 = c1 && col("wlen") >= col("ntok") * 3 && col("wlen") <= col("ntok") * 10
+    val c3 = c2 && col("nalpha") * 5 >= col("ntok") * 4
+    val c4 = c3 && col("nstop") >= 2
+    val c5 = c4 && (col("ntotal") - col("ndist")) * 10 < col("ntotal") * 3
+    val conds: Seq[Column] = Seq(lit(true), c1, c2, c3, c4, c5)
+    val aggs = conds.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(when(c, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(c, col("ntok")).otherwise(0L)).as(s"t$i"))
+    }
+    pd.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Unpivot [[funnelStats]]'s wide row into the per-stage retention
+    * table (kept OUT of funnelStats so the streaming plan stays a
+    * pure aggregation — Generate after a streaming agg is the part
+    * Structured Streaming can't run incrementally). */
+  def funnelTable(stats: DataFrame): DataFrame = {
+    val stackArgs = funnelStages.zipWithIndex
+      .map { case (n, i) => s"'$n', d$i, t$i" }.mkString(", ")
+    stats.selectExpr(s"stack(6, $stackArgs) AS (stage, docs, toks_kept)")
+      .orderBy(col("stage"))
+  }
+
   val entries: Vector[Q] = Vector(
 
     // PII detection + redaction with audit accounting: regex-match
@@ -42,15 +101,7 @@ object Pipeline {
     // groupBy — the cheapest distributed shape; on a real corpus the
     // pattern set grows (emails, phones, keys) but the shape doesn't.
     Q("q71_pii_redact", (s, d) => {
-      val pat = "[0-9]{4,}"
-      t(s, d, "customer")
-        .select(col("c_mktsegment"),
-          regexp_count(col("c_name"), lit(pat)).cast(LongType).as("hits"),
-          hmod(regexp_replace(col("c_name"), pat, "<ID>")).as("hred"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("hits")).as("n_hits"),
-          (sum(col("hred")) % P).as("redacted_sum"))
+      piiAudit(t(s, d, "customer"), "c_mktsegment", "c_name")
         .orderBy(col("c_mktsegment"))
     }, Some(s"""
       SELECT c_mktsegment, count(*) AS n,
@@ -69,32 +120,7 @@ object Pipeline {
     // All thresholds are integer-exact (mean word length in [3,10] ⇔
     // 3·ntok ≤ wlen ≤ 10·ntok, etc.) so both engines agree bit-wise.
     Q("q72_filter_funnel", (s, d) => {
-      val toks = tokens(col("text"))
-      val sg = shingles(toks, 3, distinct = false)
-      val pd = t(s, d, "documents").select(
-        size(toks).cast(LongType).as("ntok"),
-        TextExprs.alphaWordCount(toks).as("nalpha"),
-        length(translate(col("text"), " ", "")).cast(LongType).as("wlen"),
-        TextExprs.setHitCount(toks, stopwords).as("nstop"),
-        size(sg).cast(LongType).as("ntotal"),
-        size(array_distinct(sg)).cast(LongType).as("ndist"))
-      val c1 = col("ntok") >= 10
-      val c2 = c1 && col("wlen") >= col("ntok") * 3 && col("wlen") <= col("ntok") * 10
-      val c3 = c2 && col("nalpha") * 5 >= col("ntok") * 4
-      val c4 = c3 && col("nstop") >= 2
-      val c5 = c4 && (col("ntotal") - col("ndist")) * 10 < col("ntotal") * 3
-      val conds: Seq[Column] = Seq(lit(true), c1, c2, c3, c4, c5)
-      val aggs = conds.zipWithIndex.flatMap { case (c, i) =>
-        Seq(sum(when(c, 1L).otherwise(0L)).as(s"d$i"),
-          sum(when(c, col("ntok")).otherwise(0L)).as(s"t$i"))
-      }
-      val names = Seq("0_all", "1_min_tokens", "2_word_len",
-        "3_alpha_ratio", "4_stopwords", "5_repetition")
-      val stackArgs = names.zipWithIndex
-        .map { case (n, i) => s"'$n', d$i, t$i" }.mkString(", ")
-      pd.agg(aggs.head, aggs.tail: _*)
-        .selectExpr(s"stack(6, $stackArgs) AS (stage, docs, toks_kept)")
-        .orderBy(col("stage"))
+      funnelTable(funnelStats(t(s, d, "documents"), "text"))
     }, Some(s"""
       WITH pd AS (
         SELECT CAST(len(tk) AS BIGINT) ntok,
