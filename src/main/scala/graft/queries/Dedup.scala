@@ -325,8 +325,14 @@ object Dedup {
         explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
       .select(col("doc_id"), hmod(col("sg")).as("h"))
       .distinct()
-    val dfs = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dfs0 = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
+    // auto mode runs a stats job over the df table anyway — checkpoint
+    // it (small: one row per distinct surviving shingle hash) so the
+    // stats pass, the rare-side of the posting join, and the prefix
+    // branch all reuse ONE shingling pass instead of recomputing the
+    // scan+groupBy subtree per reference
+    val dfs = if (mode == "auto") dfs0.localCheckpoint() else dfs0
     val rare = dfs.select(col("h"))
     val kept = hset.join(rare, "h")
     val prefixFilter = mode match {

@@ -65,17 +65,16 @@ object Temporal {
     // this gate row transitively covers both): 6-hour-gap sessions
     // per user, reported as per-user session stats in epoch millis
     Q("q61_sessionize", (s, d) => {
-      import s.implicits._
-      val ev = t(s, d, "events")
-        .select(col("user_id").cast("string").as("key"), col("ts"))
-        .as[graft.streaming.Sessionize.Event]
-      graft.streaming.Sessionize.sessionsBatch(ev, gapMs = 21600000L)
-        .groupBy(col("key"))
+      // long keys stay long end-to-end (sessionsBatchDF) — the typed
+      // Event path's String key forced a cast that made every window
+      // sort comparison a string compare at 100x events
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+      graft.streaming.Sessionize.sessionsBatchDF(ev, "user_id", "ts",
+          gapMs = 21600000L)
+        .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("events")).as("n_events"),
           max(unix_millis(col("end")) - unix_millis(col("start"))).as("longest_ms"))
-        .select(col("key").cast("long").as("user_id"),
-          col("n_sessions"), col("n_events"), col("longest_ms"))
         .orderBy(col("user_id"))
     }, Some("""
       WITH w AS (

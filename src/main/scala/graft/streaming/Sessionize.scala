@@ -70,27 +70,40 @@ object Sessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step(gapMs))
   }
 
+  /** Batch sessionization over any keyed DataFrame, key type
+    * preserved — long keys window/group as longs (the typed path's
+    * String contract forced a cast-to-string that made the sort/hash
+    * of every event row a string comparison; at 100× events that cast
+    * dominated, and nothing in the algorithm needs it). Output:
+    * (keyCol, start, end, events). */
+  def sessionsBatchDF(df: org.apache.spark.sql.DataFrame,
+                      keyCol: String, tsCol: String, gapMs: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    df
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__ns",
+        // millisecond precision to match the stateful path's
+        // Timestamp.getTime (cast("long") truncates to whole seconds,
+        // which can disagree on sub-second gaps near the threshold)
+        when(col("__prev").isNull ||
+          unix_millis(col(tsCol)) - unix_millis(col("__prev")) > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__sid"))
+      .agg(min(col(tsCol)).as("start"), max(col(tsCol)).as("end"),
+        count(lit(1)).as("events"))
+      .select(col(keyCol), col("start"), col("end"), col("events"))
+  }
+
   /** Batch equivalent via plain window functions — the differential
     * oracle for the stateful path (same semantics, no state store). */
   def sessionsBatch(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("key")).orderBy(col("ts"))
-    events.toDF()
-      .withColumn("prev", lag(col("ts"), 1).over(w))
-      .withColumn("newSession",
-        // millisecond precision to match the stateful path's
-        // Timestamp.getTime (cast("long") truncates to whole seconds,
-        // which can disagree on sub-second gaps near the threshold)
-        when(col("prev").isNull ||
-          unix_millis(col("ts")) - unix_millis(col("prev")) > gapMs, 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("newSession")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("key"), col("sid"))
-      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
-        count(lit(1)).as("events"))
+    sessionsBatchDF(events.toDF(), "key", "ts", gapMs)
       .select(col("key"), col("start"), col("end"), col("events"))
       .as[Session]
   }

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -51,5 +52,23 @@ class SessionizeSpec extends AnyFunSuite {
       assert(got.contains(("b", "2024-01-01 10:01", 1L)))
       assert(got.contains(("a", "2024-01-01 10:30", 1L)))
     } finally q.stop()
+  }
+
+  test("untyped long-key batch path equals the typed string-key path") {
+    import spark.implicits._
+    val rows = Seq(
+      (7L, ts(0)), (7L, ts(2)), (7L, ts(20)), (8L, ts(1)), (8L, ts(3)))
+    val df = rows.toDF("user_id", "ts")
+    val viaLong = Sessionize
+      .sessionsBatchDF(df, "user_id", "ts", gapMs = 5 * 60 * 1000)
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val typed = Sessionize.sessionsBatch(
+      df.select(col("user_id").cast("string").as("key"), col("ts"))
+        .as[Sessionize.Event], gapMs = 5 * 60 * 1000)
+      .collect().map(s => (s.key, s.start, s.end, s.events)).toSet
+    assert(viaLong == typed)
+    assert(viaLong.size == 3) // key 7 splits on the 18-min gap
   }
 }
