@@ -136,6 +136,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN top-k (q29/q45/q68) selects through bounded heaps, not a candidate-set window sort") {
+    // the per-query candidate set IS the data at 100× (q45 measured
+    // 38 s at sf10 sorting ~100 M candidate rows for a top-3); the
+    // window that remains ranks only the k·|Q| survivors
+    for (q <- Seq("q29_ann_lsh_topk", "q45_ann_ivf_topk", "q68_ann_multiprobe")) {
+      val p = plan(q)
+      assert("TopKPerKey".r.findAllIn(p).size >= 2,
+        s"$q lacks partial+final TopKPerKeyExec:\n$p")
+    }
+  }
+
   test("q75: corpus block count is two-level (no window over the block hash)") {
     // count().over(Window.partitionBy(h)) puts every instance of a
     // mega-hot boilerplate block in ONE task with no AQE rescue; the
