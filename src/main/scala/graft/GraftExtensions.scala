@@ -81,7 +81,18 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
       (args: Seq[Expression]) => WordNGrams(args(0),
         if (args.length > 1) intLit(args(1), "n") else 3,
-        args.length > 2 && boolLit(args(2), "distinct"))))
+        args.length > 2 && boolLit(args(2), "distinct"))),
+    ("term_counts",
+      new ExpressionInfo(classOf[graft.functions.TermCounts].getName, "term_counts"),
+      (args: Seq[Expression]) => graft.functions.TermCounts(args.head,
+        args.tail.map(strLit(_, "word")))),
+    ("block_hash",
+      new ExpressionInfo(classOf[graft.functions.BlockHash].getName, "block_hash"),
+      (args: Seq[Expression]) => graft.functions.BlockHash(args(0),
+        if (args.length > 1) intLit(args(1), "b") else 8)),
+    ("iscale",
+      new ExpressionInfo(classOf[graft.functions.IScale].getName, "iscale"),
+      (args: Seq[Expression]) => graft.functions.IScale(args(0))))
 
   /** Register on an existing session (temp functions). */
   def registerOn(spark: SparkSession): Unit =

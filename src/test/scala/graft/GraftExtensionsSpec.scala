@@ -18,7 +18,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
                 set_hit_count(array('the','cat','the'), 'the', 'a') AS hc,
                 alnum_count('ab, 12!') AS ac,
                 alpha_word_count(array('ab','12','c3','')) AS aw,
-                winnow_fingerprint(array('a b c'), 4) AS wf""").head()
+                winnow_fingerprint(array('a b c'), 4) AS wf,
+                term_counts(array('the','cat','the'), 'the', 'a') AS tc,
+                block_hash(array('a','b','c','d'), 2) AS bh,
+                iscale(array(CAST(0.5 AS FLOAT), CAST(-1.25 AS FLOAT))) AS sc""").head()
     assert(r.getAs[Long]("d") == 32L)
     assert(r.getAs[Long]("s") == 25L)
     assert(r.getAs[Long]("ic") == 2L)
@@ -30,6 +33,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("ac") == 4L)
     assert(r.getAs[Long]("aw") == 2L)
     assert(r.getAs[org.apache.spark.sql.Row]("wf").getAs[Long]("n_fp") == 1L)
+    assert(r.getAs[scala.collection.Seq[Long]]("tc").toSeq == Seq(2L, 0L))
+    assert(r.getAs[scala.collection.Seq[Long]]("bh").toSeq.length == 2)
+    assert(r.getAs[scala.collection.Seq[Long]]("sc").toSeq == Seq(500000L, -1250000L))
   }
 
   test("extension injector exposes the same function set") {
@@ -37,7 +43,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(names == Seq("long_dot", "long_sq_dist", "sorted_intersect_count",
       "set_hit_count", "alnum_count", "alpha_word_count",
       "positional_fingerprint", "token_stats", "winnow_fingerprint",
-      "word_ngrams"))
+      "word_ngrams", "term_counts", "block_hash", "iscale"))
     // constructing the injector must not throw
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
