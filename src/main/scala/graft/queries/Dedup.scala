@@ -579,13 +579,32 @@ object Dedup {
         .components(pairs, docs.select(col("doc_id")), method = "star")
         .select(col("id").as("doc_id"), col("cid").as("cluster_id"))
         .orderBy(col("doc_id"))
-    }, Some(ccOracleSql))
+    }, Some(ccOracleSql)),
+
+    // END-TO-END near-dedup: LSH pairs → connected components → keep
+    // the min-id representative per cluster → the surviving corpus.
+    // This is the whole production dedup pipeline as ONE gate (the
+    // stages are individually gated by q24/q56; this pins their
+    // composition — the `deduplicate` front door users actually call).
+    // 100 TB shape: every stage is the already-audited one (banded
+    // equi-join, O(diameter) CC rounds, equi-join back on doc_id);
+    // nothing new is collected or broadcast.
+    Q("q78_dedup_survivors", (s, d) => {
+      deduplicate(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      $ccCtes
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+      WHERE COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) = d.doc_id
+      ORDER BY d.doc_id"""))
   )
 
-  /** Transitive-closure clustering oracle shared by q56 (min-label)
-    * and q65 (large/small-star): near-dup pairs at j ≥ 0.5 → min
-    * reachable doc id per component, singletons labeling themselves. */
-  private lazy val ccOracleSql: String = s"""
+  /** Transitive-closure CTE chain shared by the clustering/dedup
+    * oracles: near-dup pairs at j ≥ 0.5 → `comp(u, mv)` = min doc id
+    * reachable from u (u omitted for singletons). */
+  private lazy val ccCtes: String = s"""
       WITH RECURSIVE $tkCte, $shCte, $mhCte,
       bands AS (
         SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
@@ -605,7 +624,12 @@ object Dedup {
       r(u, v) AS (SELECT u, v FROM e
                   UNION
                   SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
-      comp AS (SELECT u, min(v) mv FROM r GROUP BY u)
+      comp AS (SELECT u, min(v) mv FROM r GROUP BY u)"""
+
+  /** q56/q65 oracle: min reachable doc id per component, singletons
+    * labeling themselves. */
+  private lazy val ccOracleSql: String = s"""
+      $ccCtes
       SELECT d.doc_id, CAST(COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
       ORDER BY d.doc_id"""

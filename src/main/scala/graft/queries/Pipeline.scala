@@ -21,6 +21,9 @@ import graft.functions.TextExprs
   *  - cross-corpus exact block dedup, the tractable stand-in for
   *    exact substring dedup (q75)
   *  - train/eval n-gram decontamination (q76)
+  *  - deterministic per-stratum sampling with audit accounting (q79)
+  *  - hashed-n-gram importance weighting for domain upsampling, the
+  *    DSIR shape (Xie et al. 2023) with exact rational scores (q80)
   *
   * Shapes are chosen for the 100 TB case: scan-stage expressions plus
   * the minimum number of keyed shuffles; every float that reaches an
@@ -350,6 +353,86 @@ object Pipeline {
       SELECT d.doc_id, CAST(len(sg) AS BIGINT) n_shingles,
              CAST(COALESCE(nh, 0) AS BIGINT) n_contaminated
       FROM docs d LEFT JOIN hits USING (doc_id)
-      WHERE bucket >= 90 ORDER BY doc_id"""))
+      WHERE bucket >= 90 ORDER BY doc_id""")),
+
+    // Deterministic stratified sampling with audit accounting: each
+    // stratum (language) gets its own keep rate, the keep decision is
+    // a pure hash of the doc id (salted independently of q58's split
+    // hash), and the gate reports per-stratum totals plus an id
+    // checksum of the KEPT set — proving membership, not just counts.
+    // This is the downsample-the-dominant-language step of a corpus
+    // mix (e.g. C4/ROOTS rebalancing). 100 TB shape: the decision is
+    // scan-stage per-row arithmetic (no shuffle, streamable, stable
+    // under repartitioning/re-runs); the audit is one tiny groupBy.
+    Q("q79_stratified_sample", (s, d) => {
+      val bucket = hmod(concat(lit("sample:"), col("doc_id").cast("string"))) % 1000
+      val rate = when(col("lang") === "en", 250L).otherwise(600L)
+      val kept = bucket < rate
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          (sum(when(kept, hmod(col("doc_id").cast("string"))).otherwise(0L)) % P)
+            .as("kept_checksum"),
+          sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .orderBy(col("lang"))
+    }, Some(s"""
+      WITH s AS (
+        SELECT lang, n_chars, doc_id,
+          ${sql.hmod("'sample:'||CAST(doc_id AS VARCHAR)")} % 1000
+            < CASE WHEN lang = 'en' THEN 250 ELSE 600 END AS kept
+        FROM documents)
+      SELECT lang, count(*) AS n_total,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN kept THEN ${sql.hmod("CAST(doc_id AS VARCHAR)")}
+                 ELSE 0 END) % ${P} AS BIGINT) AS kept_checksum,
+        CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM s GROUP BY lang ORDER BY lang""")),
+
+    // Hashed-n-gram importance weights (the DSIR shape, Xie et al.
+    // 2023 "Data Selection for Language Models via Importance
+    // Resampling"): hash unigrams into B=128 buckets, estimate
+    // target (lang='en') vs background bucket frequencies with +1
+    // smoothing, score each doc by the ratio of its token-weighted
+    // bucket masses. Exactness: the score is a single IEEE division
+    // of two int64 sums (never a float accumulation, never a log) —
+    // bit-identical across engines and partitionings. 100 TB shape:
+    // the bucket table is BOUNDED at B rows regardless of corpus
+    // size → broadcast hash join against the token stream; per-doc
+    // sums partial-aggregate before the doc_id shuffle (tokens of a
+    // doc are co-located after explode); top-k is TakeOrdered, no
+    // global sort.
+    Q("q80_importance_weights", (s, d) => {
+      val B = 128
+      val ex = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"), (hmod(col("tok")) % B).as("f"))
+      val buckets = ex.groupBy(col("f"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc0"),
+          count(lit(1)).as("ac"))
+        .select(col("f"), (col("tc0") + lit(1L)).as("tc"),
+          (col("ac") - col("tc0") + lit(1L)).as("bc"))
+      ex.join(broadcast(buckets), "f")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tc")).as("num"), sum(col("bc")).as("den"))
+        .withColumn("weight", col("num").cast(DoubleType) / col("den"))
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(25)
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, lang,
+                    list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      ex AS (SELECT doc_id, lang, ${sql.hmod("tok")} % 128 f
+             FROM (SELECT doc_id, lang, unnest(tk) tok FROM tk)),
+      b AS (SELECT f,
+              SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) + 1 tc,
+              COUNT(*) - SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) + 1 bc
+            FROM ex GROUP BY 1),
+      sc AS (SELECT doc_id, CAST(SUM(tc) AS BIGINT) num,
+               CAST(SUM(bc) AS BIGINT) den
+             FROM ex JOIN b USING (f) GROUP BY 1)
+      SELECT doc_id, num, den, CAST(num AS DOUBLE) / den AS weight
+      FROM sc ORDER BY weight DESC, doc_id LIMIT 25"""))
   )
 }

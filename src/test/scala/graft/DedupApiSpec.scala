@@ -167,4 +167,18 @@ class DedupApiSpec extends AnyFunSuite {
     assert(r4 > r1, s"probing 4 of 8 buckets should beat 1: $r1 -> $r4")
     assert(r4 >= 0.5, s"probes=4 recall $r4 — calibration drifted")
   }
+
+  test("q78 survivors = exactly the q56 cluster representatives") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val survivors = SparkEntry.queries("q78_dedup_survivors")(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val clusters = SparkEntry.queries("q56_dup_clusters")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    // one survivor per cluster, and it is the min-id member
+    assert(survivors == clusters.map(_._2).toSet)
+    val total = clusters.length
+    assert(survivors.size < total, "dedup kept everything — pairs lost")
+    assert(survivors.size == clusters.map(_._2).distinct.length)
+  }
 }

@@ -101,4 +101,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == brute)
     assert(got.values.sum > 0, "no contamination found — split or shingles broken")
   }
+
+  test("q79: sampling is per-stratum, membership-checksummed, and hash-pure") {
+    val rows = SparkEntry.queries("q79_stratified_sample")(spark, sf).collect()
+    assert(rows.length == 5)
+    // en is downsampled (rate 250‰) vs everything else (600‰)
+    val frac = rows.map(r => r.getAs[String]("lang") ->
+      r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_total")).toMap
+    val (enF, restF) = (frac("en"), (frac - "en").values)
+    assert(restF.forall(enF < _),
+      s"en $enF should be sampled below every other stratum $frac")
+    // the checksum is the sum-of-id-hashes of the kept set — recompute
+    // membership independently from the documented rule
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+    def h(s: String): Long =
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16).toLong
+    val expect = docs.groupBy(_.getAs[String]("lang")).map { case (lang, ds) =>
+      val kept = ds.filter { r =>
+        val id = r.getAs[Long]("doc_id")
+        h(s"sample:$id") % P % 1000 < (if (lang == "en") 250 else 600)
+      }
+      lang -> (kept.map(r => h(r.getAs[Long]("doc_id").toString) % P).sum % P)
+    }
+    val got = rows.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Long]("kept_checksum")).toMap
+    assert(got == expect)
+  }
+
+  test("q80: importance weights are exact rationals favoring the target lang") {
+    val rows = SparkEntry.queries("q80_importance_weights")(spark, sf).collect()
+    assert(rows.length == 25)
+    // weight is literally num/den (one IEEE division, no accumulation)
+    assert(rows.forall { r =>
+      r.getAs[Double]("weight") ==
+        r.getAs[Long]("num").toDouble / r.getAs[Long]("den")
+    })
+    // importance ranking must ENRICH the target distribution: the
+    // target-lang share of the top-25 exceeds its corpus base rate
+    // (hashed 128-bucket features mix languages, so dominance is not
+    // expected — enrichment is the property DSIR actually claims)
+    val langOf = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val nEn = rows.count(r => langOf(r.getAs[Long]("doc_id")) == "en")
+    val baseRate = langOf.values.count(_ == "en").toDouble / langOf.size
+    assert(nEn.toDouble / 25 > baseRate,
+      s"top-25 en share ${nEn / 25.0} does not beat base rate $baseRate")
+    // decision is partition-pure: same result from a repartitioned scan
+    val again = SparkEntry.queries("q80_importance_weights")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
