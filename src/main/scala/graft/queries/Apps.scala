@@ -27,6 +27,40 @@ object Apps {
         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) v
       FROM embeddings)"""
 
+  /** Shared by q77/q81: the full 3-round k-means trajectory (exact
+    * int64 distances, HALF_UP rational means, argmin ties on cid —
+    * the KMeansOp.fit contract) as a recursive CTE; `fin` = final
+    * centroids. Callers prepend WITH RECURSIVE. */
+  private val kmCtes = s"""$ivCte,
+      cents AS (
+        SELECT 0 AS iter, CAST(vec_id AS BIGINT) AS cid, v AS cv
+        FROM iv WHERE vec_id < 4
+        UNION ALL
+        SELECT it + 1 AS iter, cid, list(m ORDER BY dim) AS cv
+        FROM (
+          SELECT it, cid, dim,
+                 CASE WHEN SUM(vd) >= 0
+                   THEN (2*SUM(vd) + COUNT(*)) // (2*COUNT(*))
+                   ELSE -((2*(-SUM(vd)) + COUNT(*)) // (2*COUNT(*)))
+                 END AS m
+          FROM (
+            SELECT it, cid, unnest(generate_series(1, len(v))) AS dim,
+                   unnest(v) AS vd
+            FROM (
+              SELECT it, cid, v FROM (
+                SELECT it, vec_id, cid, v, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dist, cid) AS rn
+                FROM (
+                  SELECT c.iter AS it, iv.vec_id, c.cid, iv.v,
+                         CAST(list_sum(list_transform(generate_series(1, len(iv.v)),
+                           i -> (iv.v[i]-c.cv[i])*(iv.v[i]-c.cv[i]))) AS BIGINT) AS dist
+                  FROM iv, cents c WHERE c.iter < 3) d0) d1
+              WHERE rn = 1) asg) ex
+          GROUP BY 1, 2, 3) mm
+        GROUP BY it, cid),
+      fin AS (SELECT cid, cv FROM cents WHERE iter = 3)"""
+
   val entries: Vector[Q] = Vector(
 
     // k-means: one assignment step, centroids = vectors 0..3
@@ -166,35 +200,7 @@ object Apps {
           "cluster_id")
         .orderBy(col("cluster_id"))
     }, Some(s"""
-      WITH RECURSIVE $ivCte,
-      cents AS (
-        SELECT 0 AS iter, CAST(vec_id AS BIGINT) AS cid, v AS cv
-        FROM iv WHERE vec_id < 4
-        UNION ALL
-        SELECT it + 1 AS iter, cid, list(m ORDER BY dim) AS cv
-        FROM (
-          SELECT it, cid, dim,
-                 CASE WHEN SUM(vd) >= 0
-                   THEN (2*SUM(vd) + COUNT(*)) // (2*COUNT(*))
-                   ELSE -((2*(-SUM(vd)) + COUNT(*)) // (2*COUNT(*)))
-                 END AS m
-          FROM (
-            SELECT it, cid, unnest(generate_series(1, len(v))) AS dim,
-                   unnest(v) AS vd
-            FROM (
-              SELECT it, cid, v FROM (
-                SELECT it, vec_id, cid, v, dist,
-                       row_number() OVER (PARTITION BY vec_id
-                         ORDER BY dist, cid) AS rn
-                FROM (
-                  SELECT c.iter AS it, iv.vec_id, c.cid, iv.v,
-                         CAST(list_sum(list_transform(generate_series(1, len(iv.v)),
-                           i -> (iv.v[i]-c.cv[i])*(iv.v[i]-c.cv[i]))) AS BIGINT) AS dist
-                  FROM iv, cents c WHERE c.iter < 3) d0) d1
-              WHERE rn = 1) asg) ex
-          GROUP BY 1, 2, 3) mm
-        GROUP BY it, cid),
-      fin AS (SELECT cid, cv FROM cents WHERE iter = 3),
+      WITH RECURSIVE $kmCtes,
       asg AS (
         SELECT cid AS cluster_id, dist FROM (
           SELECT vec_id, cid, dist,
@@ -210,6 +216,80 @@ object Apps {
                    CAST(SUM(dist) AS DOUBLE)/count(*) AS avg_dist
             FROM asg GROUP BY 1) a
       JOIN fin f ON a.cluster_id = f.cid
-      ORDER BY a.cluster_id"""))
+      ORDER BY a.cluster_id""")),
+
+    // SemDeDup (Abbas et al. 2023 "SemDeDup: Data-efficient learning
+    // at web-scale through semantic deduplication"): cluster the
+    // embedding space with k-means (the EXACT q77 trajectory — same
+    // seeds, rounds, rounding), then prune within each cluster any
+    // vector that has a smaller-id partner at cosine ≥ 0.35. The
+    // cluster partition is what makes semantic dedup tractable at
+    // scale: the pair join is an EQUI-join on cluster_id (never a
+    // corpus cartesian), and at 100 TB k grows with n to keep
+    // per-cluster pair counts bounded — the same skew contract as the
+    // LSH buckets. Gate reports per-cluster size, prune count, and a
+    // membership checksum of the pruned set.
+    Q("q81_semdedup", (s, d) => {
+      val iv = t(s, d, "embeddings")
+        .select(col("vec_id"), iscale(col("embedding")).as("v"))
+      val res = graft.operators.KMeansOp.fit(iv, "vec_id", "v",
+        k = 4, maxIter = 3, tol = -1.0)
+      import s.implicits._
+      val centDf = res.centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv")
+      val dist = graft.functions.VectorExprs.longSqDist(col("v"), col("cv"))
+      val assign = iv.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), struct(dist.as("dist"), col("cid")).as("dc"))
+        .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"))
+      val withV = assign.join(iv, "vec_id").withColumn("nrm", inorm(col("v")))
+      val a = withV.select(col("cid"), col("vec_id").as("a_id"),
+        col("v").as("av"), col("nrm").as("an"))
+      val b = withV.select(col("cid"), col("vec_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val pruned = a.join(b, Seq("cid"))
+        .filter(col("a_id") < col("b_id") &&
+          icosine(col("av"), col("bv"), col("an"), col("bn")) >= lit(0.35))
+        .select(col("cid"), col("b_id")).distinct()
+      val sizes = assign.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      sizes.join(
+          pruned.groupBy(col("cid"))
+            .agg(count(lit(1)).as("np"),
+              (sum(hmod(col("b_id").cast("string"))) % P).as("cs")),
+          Seq("cid"), "left")
+        .select(col("cid").as("cluster_id"), col("n"),
+          coalesce(col("np"), lit(0L)).as("n_pruned"),
+          coalesce(col("cs"), lit(0L)).as("pruned_checksum"))
+        .orderBy(col("cluster_id"))
+    }, Some(s"""
+      WITH RECURSIVE $kmCtes,
+      asgv AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM (
+            SELECT iv.vec_id, f.cid,
+                   CAST(list_sum(list_transform(generate_series(1, len(iv.v)),
+                     i -> (iv.v[i]-f.cv[i])*(iv.v[i]-f.cv[i]))) AS BIGINT) AS dist
+            FROM iv, fin f) d0) d1
+        WHERE rn = 1),
+      wv AS (
+        SELECT a.vec_id, a.cid, iv.v,
+               sqrt(CAST(list_sum([x*x for x in iv.v]) AS DOUBLE)) nrm
+        FROM asgv a JOIN iv USING (vec_id)),
+      pr AS (
+        SELECT DISTINCT x.cid, y.vec_id b_id
+        FROM wv x JOIN wv y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE CAST(list_sum(list_transform(generate_series(1, len(x.v)),
+                i -> x.v[i]*y.v[i])) AS DOUBLE) / (x.nrm*y.nrm) >= 0.35::DOUBLE),
+      ps AS (SELECT cid, count(*) np,
+                    SUM(${graft.functions.ExactCols.sql.hmod("CAST(b_id AS VARCHAR)")}) % ${P} cs
+             FROM pr GROUP BY 1)
+      SELECT sz.cid AS cluster_id, CAST(sz.n AS BIGINT) AS n,
+             CAST(COALESCE(np, 0) AS BIGINT) AS n_pruned,
+             CAST(COALESCE(cs, 0) AS BIGINT) AS pruned_checksum
+      FROM (SELECT cid, count(*) n FROM asgv GROUP BY 1) sz
+      LEFT JOIN ps USING (cid)
+      ORDER BY cluster_id"""))
   )
 }

@@ -168,6 +168,60 @@ class DedupApiSpec extends AnyFunSuite {
     assert(r4 >= 0.5, s"probes=4 recall $r4 — calibration drifted")
   }
 
+  test("q81 semdedup prunes within clusters against a brute recompute") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ExactCols
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q81_semdedup")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 500, "cluster sizes must cover the corpus")
+    assert(rows.forall(r => r.getAs[Long]("n_pruned") < r.getAs[Long]("n")),
+      "a cluster lost every member — prune rule broken")
+    assert(rows.map(_.getAs[Long]("n_pruned")).sum > 0,
+      "nothing pruned at cosine 0.35 — calibration drifted")
+    // brute: every pruned vec must have a smaller-id partner in ITS
+    // cluster at cosine >= 0.35, computed independently
+    val iv = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), ExactCols.iscale(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("v").toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    // recover the assignment through the same gate's sibling (q77 runs
+    // the identical fit): group vec ids by their pruned-checksum cluster
+    val fit = graft.operators.KMeansOp.fit(
+      Tables.t(spark, sf, "embeddings")
+        .select(col("vec_id"), ExactCols.iscale(col("embedding")).as("v")),
+      "vec_id", "v", k = 4, maxIter = 3, tol = -1.0)
+    val cents = fit.centroids
+    def assign(v: Array[Long]): Int = cents.indices.minBy { c =>
+      var s = BigInt(0); var i = 0
+      while (i < v.length) { val dd = v(i) - cents(c)(i); s += BigInt(dd)*BigInt(dd); i += 1 }
+      (s, c)
+    }
+    val byCluster = iv.toSeq.groupBy { case (_, v) => assign(v) }
+    val brutePruned = byCluster.flatMap { case (_, ms) =>
+      val sorted = ms.sortBy(_._1)
+      sorted.filter { case (id, v) =>
+        sorted.exists { case (id2, v2) => id2 < id && cos(v2, v) >= 0.35 }
+      }.map(_._1)
+    }.toSet
+    val gotStats = rows.map(r => r.getAs[Long]("cluster_id") ->
+      (r.getAs[Long]("n_pruned"), r.getAs[Long]("pruned_checksum"))).toMap
+    def h(s: String): Long =
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16).toLong % ExactCols.P
+    val expStats = byCluster.map { case (c, ms) =>
+      val pruned = ms.map(_._1).filter(brutePruned).sorted
+      c.toLong -> (pruned.size.toLong, pruned.map(id => h(id.toString)).sum % ExactCols.P)
+    }
+    assert(gotStats == expStats)
+  }
+
   test("q78 survivors = exactly the q56 cluster representatives") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
