@@ -54,6 +54,30 @@ object Pipeline {
         (sum(col("hred")) % P).as("redacted_sum"))
   }
 
+  /** Decontamination oracle shared by q76 (shuffled-equi form) and
+    * q82 (Bloom-prefiltered form) — same exact output, two physical
+    * strategies. */
+  private lazy val decontOracleSql: String = s"""
+      WITH docs AS (
+        SELECT doc_id,
+          ${sql.hmod("CAST(doc_id AS VARCHAR)")} % 100 bucket,
+          CASE WHEN len(tk) >= 5
+            THEN list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
+                                for i in generate_series(1, len(tk)-4)])
+            ELSE [] END sg
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+              FROM documents)),
+      train AS (SELECT DISTINCT ${sql.hmod("s")} h
+                FROM (SELECT unnest(sg) s FROM docs WHERE bucket < 80)),
+      test AS (SELECT doc_id, ${sql.hmod("s")} h
+               FROM (SELECT doc_id, unnest(sg) s FROM docs WHERE bucket >= 90)),
+      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) nh
+               FROM test WHERE h IN (SELECT h FROM train) GROUP BY 1)
+      SELECT d.doc_id, CAST(len(sg) AS BIGINT) n_shingles,
+             CAST(COALESCE(nh, 0) AS BIGINT) n_contaminated
+      FROM docs d LEFT JOIN hits USING (doc_id)
+      WHERE bucket >= 90 ORDER BY doc_id"""
+
   private[graft] val funnelStages = Seq("0_all", "1_min_tokens",
     "2_word_len", "3_alpha_ratio", "4_stopwords", "5_repetition")
 
@@ -334,26 +358,7 @@ object Pipeline {
         .agg(count(col("h")).as("n_shingles"),
           coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
         .orderBy(col("doc_id"))
-    }, Some(s"""
-      WITH docs AS (
-        SELECT doc_id,
-          ${sql.hmod("CAST(doc_id AS VARCHAR)")} % 100 bucket,
-          CASE WHEN len(tk) >= 5
-            THEN list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
-                                for i in generate_series(1, len(tk)-4)])
-            ELSE [] END sg
-        FROM (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
-              FROM documents)),
-      train AS (SELECT DISTINCT ${sql.hmod("s")} h
-                FROM (SELECT unnest(sg) s FROM docs WHERE bucket < 80)),
-      test AS (SELECT doc_id, ${sql.hmod("s")} h
-               FROM (SELECT doc_id, unnest(sg) s FROM docs WHERE bucket >= 90)),
-      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) nh
-               FROM test WHERE h IN (SELECT h FROM train) GROUP BY 1)
-      SELECT d.doc_id, CAST(len(sg) AS BIGINT) n_shingles,
-             CAST(COALESCE(nh, 0) AS BIGINT) n_contaminated
-      FROM docs d LEFT JOIN hits USING (doc_id)
-      WHERE bucket >= 90 ORDER BY doc_id""")),
+    }, Some(decontOracleSql)),
 
     // Deterministic stratified sampling with audit accounting: each
     // stratum (language) gets its own keep rate, the keep decision is
@@ -433,6 +438,39 @@ object Pipeline {
                CAST(SUM(bc) AS BIGINT) den
              FROM ex JOIN b USING (f) GROUP BY 1)
       SELECT doc_id, num, den, CAST(num AS DOUBLE) / den AS weight
-      FROM sc ORDER BY weight DESC, doc_id LIMIT 25"""))
+      FROM sc ORDER BY weight DESC, doc_id LIMIT 25""")),
+
+    // Decontamination again (same EXACT output and oracle as q76) but
+    // through the physical strategy that wins when the corpus dwarfs
+    // the eval suite: the eval side is SMALL, so build a Bloom filter
+    // of its shingle hashes on the driver (bounded: |eval shingles| ·
+    // ~10 bits), ship it inside a codegen expression, and prune the
+    // TRAIN side in its scan stage — only probable hits (true matches
+    // + fpp·|train|) survive to the distinct+join, instead of every
+    // distinct train shingle shuffling corpus-wide. The exact
+    // equi-join afterwards eliminates Bloom false positives, so the
+    // gate result is bit-identical to q76's. q76 keeps the
+    // no-prefilter form (right when BOTH sides are large).
+    Q("q82_decontaminate_bloom", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        (hmod(col("doc_id").cast("string")) % 100).as("bucket"),
+        shingles(tokens(col("text")), 5, distinct = true).as("sg"))
+      val testEx = docs.filter(col("bucket") >= 90)
+        .select(col("doc_id"), explode_outer(col("sg")).as("sh"))
+        .select(col("doc_id"), hmod(col("sh")).as("h"))
+      val bf = testEx.filter(col("h").isNotNull)
+        .stat.bloomFilter("h", 100000L, 0.01)
+      val train = docs.filter(col("bucket") < 80)
+        .select(explode(col("sg")).as("sh"))
+        .select(hmod(col("sh")).as("h"))
+        .filter(graft.functions.BloomExprs.mightContain(col("h"), bf))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      testEx.join(train, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("h")).as("n_shingles"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+        .orderBy(col("doc_id"))
+    }, Some(decontOracleSql))
   )
 }

@@ -102,6 +102,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.sum > 0, "no contamination found — split or shingles broken")
   }
 
+  test("q82: bloom-prefiltered decontamination equals the q76 shuffled form") {
+    val a = SparkEntry.queries("q76_decontaminate")(spark, sf).collect()
+    val b = SparkEntry.queries("q82_decontaminate_bloom")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "bloom path diverged from the exact form — FP leak or lost hit")
+    // and the train side really is pruned by the probe, in the plan
+    val plan = SparkEntry.queries("q82_decontaminate_bloom")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), "train scan not Bloom-pruned")
+  }
+
   test("q79: sampling is per-stratum, membership-checksummed, and hash-pure") {
     val rows = SparkEntry.queries("q79_stratified_sample")(spark, sf).collect()
     assert(rows.length == 5)
