@@ -230,36 +230,20 @@ object Apps {
     // LSH buckets. Gate reports per-cluster size, prune count, and a
     // membership checksum of the pruned set.
     Q("q81_semdedup", (s, d) => {
-      val iv = t(s, d, "embeddings")
-        .select(col("vec_id"), iscale(col("embedding")).as("v"))
-      val res = graft.operators.KMeansOp.fit(iv, "vec_id", "v",
-        k = 4, maxIter = 3, tol = -1.0)
-      import s.implicits._
-      val centDf = res.centroids.toSeq.zipWithIndex
-        .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv")
-      val dist = graft.functions.VectorExprs.longSqDist(col("v"), col("cv"))
-      val assign = iv.crossJoin(broadcast(centDf))
-        .select(col("vec_id"), struct(dist.as("dist"), col("cid")).as("dc"))
-        .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cid"))
-      val withV = assign.join(iv, "vec_id").withColumn("nrm", inorm(col("v")))
-      val a = withV.select(col("cid"), col("vec_id").as("a_id"),
-        col("v").as("av"), col("nrm").as("an"))
-      val b = withV.select(col("cid"), col("vec_id").as("b_id"),
-        col("v").as("bv"), col("nrm").as("bn"))
-      val pruned = a.join(b, Seq("cid"))
-        .filter(col("a_id") < col("b_id") &&
-          icosine(col("av"), col("bv"), col("an"), col("bn")) >= lit(0.35))
-        .select(col("cid"), col("b_id")).distinct()
-      val sizes = assign.groupBy(col("cid")).agg(count(lit(1)).as("n"))
-      sizes.join(
-          pruned.groupBy(col("cid"))
-            .agg(count(lit(1)).as("np"),
-              (sum(hmod(col("b_id").cast("string"))) % P).as("cs")),
-          Seq("cid"), "left")
+      // front door ([[Dedup.semdedupPrune]]) with the oracle-replayed
+      // parameters: k fixed at 4 to match the recursive-CTE k-means
+      // trajectory below (q77's exact fit); the cluster cap is a no-op
+      // at 500 vectors (max cluster ≪ 4096) so the oracle needs no cap
+      // term — the same contract as q24's bucket cap
+      val pr = Dedup.semdedupPrune(t(s, d, "embeddings"),
+        threshold = 0.35, k = 4, maxIter = 3)
+      pr.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pruned"), lit(1L)).otherwise(lit(0L))).as("n_pruned"),
+          (sum(when(col("pruned"), hmod(col("vec_id").cast("string")))
+            .otherwise(lit(0L))) % P).as("pruned_checksum"))
         .select(col("cid").as("cluster_id"), col("n"),
-          coalesce(col("np"), lit(0L)).as("n_pruned"),
-          coalesce(col("cs"), lit(0L)).as("pruned_checksum"))
+          col("n_pruned"), col("pruned_checksum"))
         .orderBy(col("cluster_id"))
     }, Some(s"""
       WITH RECURSIVE $kmCtes,

@@ -415,6 +415,72 @@ object Dedup {
     docs.join(reps.filter(col("keep")).select(col("id").as("doc_id")), "doc_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): partition the embedding space with k-means
+    * (KMeansOp — exact int64 distances, deterministic), then prune
+    * within each cluster any vector that has a smaller-id partner at
+    * cosine ≥ `threshold`. Returns one row per input vector:
+    * (vec_id, cid, pruned).
+    *
+    * Scale contract — the same one the LSH buckets enforce:
+    *  - the pair join is an EQUI-join on cluster id, never a corpus
+    *    cartesian (the only nested-loop join in the plan is the
+    *    assignment's broadcast of the k-row centroid table);
+    *  - `k = 0` (auto, the default) derives k from the corpus size so
+    *    E[cluster size] ≈ `targetClusterSize` and Σ cᵢ² pair counts
+    *    stay bounded as n grows — one count() scalar, the same
+    *    corpus-stats planning [[jaccardMode]] does;
+    *  - `maxClusterSize` deterministically truncates the COMPARED
+    *    members of a degenerate cluster (first-by-id, exactly like
+    *    [[LshConfig.maxBucketSize]]), bounding per-cluster work at
+    *    C(cap, 2). Vectors beyond the cap are kept, never pruned — a
+    *    recall tradeoff, not a correctness one; a mega-cluster means
+    *    k is too small for the corpus, and auto-k prevents that.
+    * The cap window partitions on cid, which is low-cardinality only
+    * when k is small; in auto mode k ∝ n so window parallelism grows
+    * with the corpus, and the within-cluster join shuffles on cid
+    * anyway, so the partitioning is reused.
+    */
+  def semdedupPrune(vectors: DataFrame, threshold: Double,
+                    k: Int = 0, maxIter: Int = 3,
+                    targetClusterSize: Int = 1024,
+                    maxClusterSize: Int = 4096): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0, s"cosine threshold out of range: $threshold")
+    require(maxClusterSize > 1, "maxClusterSize out of range")
+    require(targetClusterSize > 0, "targetClusterSize out of range")
+    val iv = vectors.select(col("vec_id"), iscale(col("embedding")).as("v"))
+    val kk =
+      if (k > 0) k
+      else math.max(1, math.min(1 << 20,
+        math.ceil(iv.count().toDouble / targetClusterSize).toInt))
+    val res = graft.operators.KMeansOp.fit(iv, "vec_id", "v",
+      k = kk, maxIter = maxIter, tol = -1.0)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centDf = res.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv")
+    val dist = graft.functions.VectorExprs.longSqDist(col("v"), col("cv"))
+    val assign = iv.crossJoin(broadcast(centDf))
+      .select(col("vec_id"), struct(dist.as("dist"), col("cid")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+    val withV = assign.join(iv, "vec_id").withColumn("nrm", inorm(col("v")))
+    val capped = capBuckets(withV, Seq("cid"), "vec_id", maxClusterSize)
+    val a = capped.select(col("cid"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = capped.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val pruned = a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id") &&
+        icosine(col("av"), col("bv"), col("an"), col("bn")) >= lit(threshold))
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("pruned", lit(true))
+    assign.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("pruned"), lit(false)).as("pruned"))
+  }
+
   // ---- shared oracle CTEs (DuckDB dialect) ----
 
   private val tkCte =

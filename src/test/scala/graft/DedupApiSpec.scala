@@ -168,6 +168,42 @@ class DedupApiSpec extends AnyFunSuite {
     assert(r4 >= 0.5, s"probes=4 recall $r4 — calibration drifted")
   }
 
+  test("semdedup mega-cluster comparisons are capped like the LSH buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 300 near-identical vectors all land in one cluster (k = 1): the
+    // uncapped within-cluster join would be C(300,2) pairs pruning 299
+    // vectors; the cap compares only the first `cap` by id, so exactly
+    // cap-1 are pruned and the rest are KEPT, not dropped
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Seq(1.0f, 0.5f, 0.25f, 0.125f + 0.000001f * i, 0.0625f, 0.03125f))
+    }.toDF("vec_id", "embedding")
+    val c10 = Dedup.semdedupPrune(vecs, 0.9, k = 1, maxClusterSize = 10)
+    val c50 = Dedup.semdedupPrune(vecs, 0.9, k = 1, maxClusterSize = 50)
+    assert(c10.filter(col("pruned")).count() == 9L)
+    assert(c50.filter(col("pruned")).count() == 49L)
+    assert(c10.count() == 300L, "capping must drop comparisons, not vectors")
+  }
+
+  test("semdedup auto-k derives cluster count from corpus size") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three well-separated directions, 60 vectors each; auto-k with
+    // targetClusterSize 60 must pick k = ceil(180/60) = 3 and the
+    // assignment must use all three centroids
+    val vecs = (0 until 180).map { i =>
+      val axis = i % 3
+      val base = Array(0.01f, 0.01f, 0.01f, 0.01f, 0.01f, 0.01f)
+      base(axis) = 1.0f
+      base(axis + 3) = 0.001f * i
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val pr = Dedup.semdedupPrune(vecs, 0.99, targetClusterSize = 60)
+    val cids = pr.select(col("cid")).distinct().collect().map(_.getLong(0)).toSet
+    assert(cids.subsetOf(Set(0L, 1L, 2L)), s"auto-k should cap cids at k=3: $cids")
+    assert(pr.count() == 180L)
+  }
+
   test("q81 semdedup prunes within clusters against a brute recompute") {
     import org.apache.spark.sql.functions.col
     import graft.functions.ExactCols

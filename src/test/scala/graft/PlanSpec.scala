@@ -75,14 +75,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("plan sweep: no unexpected cartesian/nested-loop join in ANY gate query") {
-    // whitelist: labeled brute baselines (q27/q28) and broadcasts of
-    // provably tiny sides — 1-row global stats (q57 BM25, q74 TF-IDF N)
-    // or K-row centroid/probe tables (q39/q45 kmeans/IVF); q62's stats
-    // join became two driver scalars, so it no longer appears here
-    val expectedNested = Set(
-      "q27_dedup_embedding", "q28_ann_brute_topk",
+    // Whitelist, by shape (ANY new gate built on KMeansOp or a K-row
+    // broadcast side belongs in broadcastCentroidGates or the sweep
+    // goes red — the q81 round-5 lesson):
+    //  - broadcastCentroidGates: the assignment crossJoin of a
+    //    provably-tiny K-row centroid/probe table (KMeansOp-based
+    //    gates + IVF);
+    //  - labeled brute baselines (q27/q28);
+    //  - 1-row global-stats broadcasts (q57 BM25, q74 TF-IDF N).
+    // q62's stats join became two driver scalars, so it's absent.
+    val broadcastCentroidGates = Set(
       "q39_kmeans_assign", "q45_ann_ivf_topk",
-      "q57_bm25_topk", "q74_tfidf_top1", "q77_kmeans_iterated")
+      "q77_kmeans_iterated", "q81_semdedup")
+    val expectedNested = broadcastCentroidGates ++ Set(
+      "q27_dedup_embedding", "q28_ann_brute_topk",
+      "q57_bm25_topk", "q74_tfidf_top1")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
