@@ -49,6 +49,18 @@ case class BloomMightContain(child: Expression, bytes: Array[Byte])
     defineCodeGen(ctx, ev, c => s"$ref.mightContain($c)")
   }
 
+  // case-class equality on Array[Byte] is reference-based, which would
+  // make two semantically identical probes never compare equal —
+  // defeating canonicalization/semanticEquals, subexpression
+  // elimination, and exchange reuse. Compare the filter bytes by value.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bytes, b.bytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bytes)
+
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
   override def prettyName: String = "bloom_might_contain"

@@ -19,9 +19,20 @@ import org.apache.spark.sql.functions.udaf
   * the exact tier (groupBy + TopKPerKey) remains the oracle-checkable
   * path.
   */
-final class HeavyHitters(k: Int)
+final class HeavyHitters(k: Int, failOnApprox: Boolean = false)
     extends Aggregator[String, Map[String, Long], Map[String, Long]] {
   require(k > 0)
+
+  // the exact-regime contract, enforced: the moment the MG
+  // decrement/cut path would fire, the summary stops equaling the
+  // true counts — exact mode fails the job loudly instead of
+  // silently diverging from a GROUP BY oracle (the ScaleUp trap:
+  // replicated keys multiply cardinality past k)
+  private def leftExactRegime(): Nothing =
+    throw new IllegalStateException(
+      s"HeavyHitters(k=$k) left the exact regime: a group exceeded $k " +
+        "distinct keys, so counts would become underestimates — raise k " +
+        "above the per-group cardinality or use the sketch tier (apply)")
 
   def zero: Map[String, Long] = Map.empty
 
@@ -30,6 +41,7 @@ final class HeavyHitters(k: Int)
     else b.get(v) match {
       case Some(n) => b.updated(v, n + 1L)
       case None if b.size < k => b.updated(v, 1L)
+      case None if failOnApprox => leftExactRegime()
       case None => // decrement all, drop zeros (the classic MG step)
         b.flatMap { case (key, n) => if (n > 1L) Some(key -> (n - 1L)) else None }
     }
@@ -42,6 +54,7 @@ final class HeavyHitters(k: Int)
       }
     }
     if (summed.size <= k) summed
+    else if (failOnApprox) leftExactRegime()
     else {
       val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
       summed.flatMap { case (key, n) =>
@@ -60,6 +73,15 @@ final class HeavyHitters(k: Int)
 
 object HeavyHitters {
   /** Column form: ≤ k candidate heavy keys of `c` per group with
-    * lower-bound counts. */
+    * lower-bound counts (the sketch tier — never fails, counts may
+    * underestimate by up to n/(k+1)). */
   def apply(c: Column, k: Int): Column = udaf(new HeavyHitters(k)).apply(c)
+
+  /** Exact-regime form: identical output while k exceeds every
+    * group's key cardinality, but FAILS THE JOB the moment the
+    * Misra–Gries decrement would fire — the guard that makes an
+    * oracle-gated use (q66) blow up loudly on ScaleUp-replicated
+    * corpora instead of silently entering the sketch regime. */
+  def exact(c: Column, k: Int): Column =
+    udaf(new HeavyHitters(k, failOnApprox = true)).apply(c)
 }

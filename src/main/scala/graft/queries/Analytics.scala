@@ -260,16 +260,17 @@ object Analytics {
     // partition, not the rows.
     Q("q66_heavy_hitters", (s, d) => {
       import graft.functions.HeavyHitters
-      // EXACTNESS CONTRACT: k must exceed the per-group user
-      // cardinality or Misra-Gries starts decrementing and silently
-      // diverges from the GROUP BY oracle. The driver corpus has ≤150
-      // users per sf (TESTDATA.md); 100000 leaves 600x headroom, and
-      // ScaleUp-replicated runs (shifted keys multiply cardinality)
-      // must raise k with the replication factor or gate elsewhere.
+      // EXACTNESS CONTRACT, enforced at runtime: k must exceed the
+      // per-group user cardinality or Misra-Gries starts decrementing
+      // and silently diverges from the GROUP BY oracle. The driver
+      // corpus has ≤150 users per sf (TESTDATA.md); 100000 leaves
+      // 600x headroom, and HeavyHitters.exact FAILS THE JOB (not the
+      // hash compare) if a ScaleUp-replicated run's shifted keys ever
+      // push cardinality past k — HeavyHittersSpec demonstrates.
       t(s, d, "events")
         .select(col("event_type"), col("user_id").cast("string").as("u"))
         .groupBy(col("event_type"))
-        .agg(HeavyHitters(col("u"), 100000).as("hh"))
+        .agg(HeavyHitters.exact(col("u"), 100000).as("hh"))
         .select(col("event_type"), explode(col("hh")).as(Seq("user_id", "cnt")))
         .orderBy(col("event_type"), col("user_id"))
     }, Some("""

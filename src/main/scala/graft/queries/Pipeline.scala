@@ -54,6 +54,62 @@ object Pipeline {
         (sum(col("hred")) % P).as("redacted_sum"))
   }
 
+  /** Deterministic stratified keep decision + per-stratum audit,
+    * shared by the batch gate (q79) and the streaming variant
+    * (PipelineStream): the keep decision is pure per-row hash
+    * arithmetic — scan-stage, no shuffle, stable under repartitioning
+    * and re-runs, streamable row-by-row — and the audit aggregates
+    * are monoid sums keyed by stratum, so the identical plan runs
+    * incrementally with O(|strata|) state. Rates are per-1000 keep
+    * probabilities by stratum value (default: the gate-calibrated
+    * downsample-English mix). */
+  def stratifiedSampleAudit(docs: DataFrame,
+                            rates: Map[String, Long] = Map("en" -> 250L),
+                            defaultRate: Long = 600L): DataFrame = {
+    val bucket = hmod(concat(lit("sample:"), col("doc_id").cast("string"))) % 1000
+    val rate = rates.foldLeft(lit(defaultRate): Column) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    val kept = bucket < rate
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        (sum(when(kept, hmod(col("doc_id").cast("string"))).otherwise(0L)) % P)
+          .as("kept_checksum"),
+        sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"))
+  }
+
+  /** Stage 1 of DSIR (Xie et al. 2023): the hashed-unigram token
+    * feature stream (doc_id, lang, f) with B buckets — scan-stage
+    * explode + hash, no state. */
+  def dsirFeatures(docs: DataFrame, buckets: Int = 128): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (hmod(col("tok")) % buckets).as("f"))
+
+  /** Stage 2 of DSIR: the +1-smoothed target-vs-background bucket
+    * table. BOUNDED at B rows regardless of corpus size, and every
+    * aggregate is a monoid sum — so the identical plan is a streaming
+    * aggregation with O(B) state (PipelineStream). */
+  def dsirBuckets(ex: DataFrame, target: String = "en"): DataFrame =
+    ex.groupBy(col("f"))
+      .agg(sum(when(col("lang") === target, 1L).otherwise(0L)).as("tc0"),
+        count(lit(1)).as("ac"))
+      .select(col("f"), (col("tc0") + lit(1L)).as("tc"),
+        (col("ac") - col("tc0") + lit(1L)).as("bc"))
+
+  /** Stage 3 of DSIR: per-doc importance weight from a bucket table —
+    * broadcast hash join against the bounded bucket table, per-doc
+    * monoid sums (partial-aggregated before the doc_id shuffle), and
+    * ONE IEEE division of two int64 sums (never a float accumulation,
+    * never a log) — bit-identical across engines and partitionings. */
+  def dsirWeights(ex: DataFrame, buckets: DataFrame): DataFrame =
+    ex.join(broadcast(buckets), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tc")).as("num"), sum(col("bc")).as("den"))
+      .withColumn("weight", col("num").cast(DoubleType) / col("den"))
+
   /** Decontamination oracle shared by q76 (shuffled-equi form) and
     * q82 (Bloom-prefiltered form) — same exact output, two physical
     * strategies. */
@@ -370,16 +426,7 @@ object Pipeline {
     // scan-stage per-row arithmetic (no shuffle, streamable, stable
     // under repartitioning/re-runs); the audit is one tiny groupBy.
     Q("q79_stratified_sample", (s, d) => {
-      val bucket = hmod(concat(lit("sample:"), col("doc_id").cast("string"))) % 1000
-      val rate = when(col("lang") === "en", 250L).otherwise(600L)
-      val kept = bucket < rate
-      t(s, d, "documents")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
-          (sum(when(kept, hmod(col("doc_id").cast("string"))).otherwise(0L)) % P)
-            .as("kept_checksum"),
-          sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      stratifiedSampleAudit(t(s, d, "documents"))
         .orderBy(col("lang"))
     }, Some(s"""
       WITH s AS (
@@ -408,20 +455,8 @@ object Pipeline {
     // doc are co-located after explode); top-k is TakeOrdered, no
     // global sort.
     Q("q80_importance_weights", (s, d) => {
-      val B = 128
-      val ex = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          explode(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), col("lang"), (hmod(col("tok")) % B).as("f"))
-      val buckets = ex.groupBy(col("f"))
-        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc0"),
-          count(lit(1)).as("ac"))
-        .select(col("f"), (col("tc0") + lit(1L)).as("tc"),
-          (col("ac") - col("tc0") + lit(1L)).as("bc"))
-      ex.join(broadcast(buckets), "f")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tc")).as("num"), sum(col("bc")).as("den"))
-        .withColumn("weight", col("num").cast(DoubleType) / col("den"))
+      val ex = dsirFeatures(t(s, d, "documents"))
+      dsirWeights(ex, dsirBuckets(ex))
         .orderBy(col("weight").desc, col("doc_id"))
         .limit(25)
     }, Some(s"""
@@ -458,8 +493,15 @@ object Pipeline {
       val testEx = docs.filter(col("bucket") >= 90)
         .select(col("doc_id"), explode_outer(col("sg")).as("sh"))
         .select(col("doc_id"), hmod(col("sh")).as("h"))
-      val bf = testEx.filter(col("h").isNotNull)
-        .stat.bloomFilter("h", 100000L, 0.01)
+      // construction-time jobs (query BUILDING runs them eagerly, so
+      // plan-only inspections pay them too): one count to SIZE the
+      // filter — a fixed capacity would be a silent fpp/perf cliff
+      // once the eval suite outgrows it — then the bloomFilter
+      // aggregation itself. Both scan only the small eval side; the
+      // downstream exact join keeps the result correct at ANY fpp.
+      val evalHashes = testEx.filter(col("h").isNotNull)
+      val bf = evalHashes.stat.bloomFilter("h",
+        math.max(1000L, evalHashes.count()), 0.01)
       val train = docs.filter(col("bucket") < 80)
         .select(explode(col("sg")).as("sh"))
         .select(hmod(col("sh")).as("h"))

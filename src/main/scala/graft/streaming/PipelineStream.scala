@@ -5,11 +5,13 @@ import org.apache.spark.sql.DataFrame
 import graft.queries.Pipeline
 
 /** Streaming forms of the corpus-preparation gate operators — the
-  * two a streaming ingest actually runs continuously (the rest of
-  * the q71–q76 suite is inherently corpus-wide: block dedup and
-  * decontamination need the full corpus on both sides).
+  * ones a streaming ingest actually runs continuously: PII audit
+  * (q71), quality funnel (q72), stratified sampling (q79), DSIR
+  * bucket stats (q80). The rest of the suite is inherently
+  * corpus-wide: block dedup and decontamination need the full corpus
+  * on both sides.
   *
-  * Both reuse the EXACT batch plan functions from
+  * All reuse the EXACT batch plan functions from
   * [[graft.queries.Pipeline]] — that equivalence is the point, and
   * it is only possible because those aggregations were designed as
   * monoid sums from the start (order-independent partial aggregation
@@ -26,6 +28,8 @@ import graft.queries.Pipeline
   *    streaming aggregation is not incrementally executable);
   *    consumers unpivot the wide row with
   *    [[graft.queries.Pipeline.funnelTable]] on the sink side.
+  *  - Stratified sampling: one state row per stratum — O(|strata|).
+  *  - DSIR buckets: B state rows (128) — O(B), corpus-size-free.
   *
   * Run both with `outputMode("complete")` (or `update`): the
   * aggregates are monoids, so Spark's state store merges each
@@ -45,4 +49,30 @@ object PipelineStream {
     * t0..t5 tokens per stage) over an unbounded document feed. */
   def funnelStatsStream(docs: DataFrame, textCol: String): DataFrame =
     Pipeline.funnelStats(docs, textCol)
+
+  /** Per-stratum sampling audit (gate q79's exact batch plan) over an
+    * unbounded document feed: the keep decision is scan-stage per-row
+    * hash arithmetic (each row's fate is decided the moment it
+    * arrives — nothing ever reverses it, the property that makes
+    * sampling streamable at all) and the audit aggregates are monoid
+    * sums — O(|strata|) state. */
+  def stratifiedSampleStream(docs: DataFrame,
+                             rates: Map[String, Long] = Map("en" -> 250L),
+                             defaultRate: Long = 600L): DataFrame =
+    Pipeline.stratifiedSampleAudit(docs, rates, defaultRate)
+
+  /** Cumulative DSIR bucket table (gate q80's stage 1+2) over an
+    * unbounded document feed — O(B) state regardless of stream
+    * length; each micro-batch's per-bucket partial sums merge in the
+    * state store exactly like batch map-side partials. Per-doc
+    * scoring (stage 3) composes on the sink side:
+    * `Pipeline.dsirWeights(ex, streamedBuckets)` — a stacked
+    * aggregate→join→aggregate is not incrementally executable in one
+    * streaming query, and the weights of ALL docs change whenever the
+    * bucket table does, so re-scoring against the current table is
+    * the semantically honest form (PipelineStreamSpec proves it
+    * reproduces the batch gate bit-exactly). */
+  def dsirBucketsStream(docs: DataFrame, buckets: Int = 128,
+                        target: String = "en"): DataFrame =
+    Pipeline.dsirBuckets(Pipeline.dsirFeatures(docs, buckets), target)
 }

@@ -161,8 +161,14 @@ class PipelineSpec extends AnyFunSuite {
     val baseRate = langOf.values.count(_ == "en").toDouble / langOf.size
     assert(nEn.toDouble / 25 > baseRate,
       s"top-25 en share ${nEn / 25.0} does not beat base rate $baseRate")
-    // decision is partition-pure: same result from a repartitioned scan
-    val again = SparkEntry.queries("q80_importance_weights")(spark, sf).collect()
+    // decision is partition-pure: the same weights come back when the
+    // input is actually scattered across a different partitioning
+    // (int64 sums + one final division — no accumulation-order float)
+    val ex = graft.queries.Pipeline.dsirFeatures(
+      Tables.t(spark, sf, "documents").repartition(7))
+    val again = graft.queries.Pipeline
+      .dsirWeights(ex, graft.queries.Pipeline.dsirBuckets(ex))
+      .orderBy(col("weight").desc, col("doc_id")).limit(25).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 }

@@ -3,8 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Scale-independence guard: a sample of gate queries must run green
-  * at BOTH driver scale factors with identical schemas (CLAUDE.md's
-  * cross-check, pinned in CI). Catches operators whose construction
+  * at BOTH driver scale factors with identical schemas (the working
+  * notes' cross-check, pinned in CI). Catches operators whose construction
   * breaks away from the sf it was calibrated on — driver-collected
   * stats, hard-coded thresholds, partition-count assumptions — before
   * the driver's CORRECTNESS gate does.

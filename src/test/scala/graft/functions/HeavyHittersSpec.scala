@@ -48,6 +48,31 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got("hot") >= 9000L - 10000L / 11)
   }
 
+  test("exact mode fails LOUDLY when cardinality exceeds k (the ScaleUp trap)") {
+    import spark.implicits._
+    // 40 distinct keys against k=8 models a ScaleUp-replicated corpus
+    // whose shifted keys multiplied cardinality past the calibrated k:
+    // the sketch tier would silently underestimate and the gate's hash
+    // compare would be the first (delayed, cryptic) symptom — exact
+    // mode turns it into an immediate job failure naming the cause
+    val wide = (1 to 40).map(i => s"u$i").toDF("v").repartition(4)
+    val e = intercept[Exception] {
+      wide.agg(HeavyHitters.exact(col("v"), 8)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("left the exact regime")), e.toString)
+    // same data, same k, sketch tier: succeeds with bounded summaries
+    val got = wide.agg(HeavyHitters(col("v"), 8).as("hh"))
+      .collect().head.getAs[Map[String, Long]]("hh")
+    assert(got.size <= 8)
+    // and exact mode in its contract regime (k > cardinality) matches
+    // the true counts bit-for-bit
+    val okK = wide.agg(HeavyHitters.exact(col("v"), 64).as("hh"))
+      .collect().head.getAs[Map[String, Long]]("hh")
+    assert(okK == (1 to 40).map(i => s"u$i" -> 1L).toMap)
+  }
+
   test("works per group (one summary per key)") {
     import spark.implicits._
     // "a" count (~333 per group) must be strictly above n/(k+1) = 200

@@ -33,6 +33,7 @@ For local development without an assembly jar:
     MIWJob('sbt "runMain graft.miw.MiwCli', suffix='"')
 """
 import logging
+import shlex
 from subprocess import call
 
 formatter = logging.Formatter(
@@ -59,23 +60,27 @@ def multi_replace(text, word_dict):
 class MIWJob:
     """Runs one or more miw jobs through the Spark CLI."""
 
-    def __init__(self, launcher, miw_command='', suffix=''):
+    def __init__(self, launcher, miw_command='', suffix='', shell=False):
         self.launcher = launcher
         self.suffix = suffix
         self.miw_command = miw_command if miw_command else DEFAULT_COMMAND
+        # SECURITY: by default the expanded command is shlex-split and
+        # run WITHOUT a shell, so template-expanded option values can't
+        # inject pipes/redirects/; into a shell line (the reference shim
+        # runs shell=True unconditionally — python/miw_job.py). Pass
+        # shell=True only for launcher strings that genuinely need shell
+        # features, and then only with TRUSTED options.
+        self.shell = shell
 
     def build_command(self, miw_options):
         local_command = multi_replace(self.miw_command, miw_options)
         return self.launcher + ' ' + local_command + self.suffix
 
     def run(self, miw_options):
-        # SECURITY: options are template-expanded into a shell command
-        # (shell=True mirrors the reference shim's semantics, incl.
-        # launcher strings with pipes/redirects) — callers must pass
-        # TRUSTED options only, exactly as with the reference job runner.
         cmd = self.build_command(miw_options)
         logger.debug("MIW job command=%s" % cmd)
-        call_output = call(cmd, shell=True)
+        call_output = call(cmd if self.shell else shlex.split(cmd),
+                           shell=self.shell)
         if call_output == 0:
             logger.debug('Successfully MIW job %s' % cmd)
         else:
@@ -106,6 +111,17 @@ def _selftest():
     assert dev.build_command({"$file": "x.log", "$fmt": "f.json"}) == \
         'sbt "runMain graft.miw.MiwCli -fnames x.log -format_name f.json ' \
         '-output_format mem"'
+    # the quoted runMain argument survives shlex as ONE argv token
+    assert shlex.split(dev.build_command(
+        {"$file": "x.log", "$fmt": "f.json"}))[1].startswith("runMain ")
+    # shell=False default: an option value with shell metacharacters is
+    # passed as argv data, never interpreted by a shell
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        marker = os.path.join(td, "pwned")
+        rc = MIWJob("true", "-ofname $o").run({"$o": "x; touch " + marker})
+        assert rc == 0 and not os.path.exists(marker), "shell injection!"
     print("miw_job selftest OK")
 
 
