@@ -173,13 +173,52 @@ object Dedup {
   // ------------------------------------------------------ front doors
 
   /** Near-duplicate document pairs with exact jaccard verification.
-    * DEFAULT ROUTE: MinHash+LSH — shuffles on band signature only,
-    * candidates materialize inside colliding (capped) buckets, exact
-    * jaccard runs on candidates. `brute = true` opts into the labeled
-    * O(n²) all-pairs baseline (recall audits, tiny corpora only);
-    * never the default, and never a nested-loop join otherwise. */
+    * DEFAULT ROUTE: exact-clone collapse, then MinHash+LSH over one
+    * representative per distinct text — shuffles on band signature
+    * only, candidates materialize inside colliding (capped) buckets,
+    * exact jaccard runs on candidates, and the full id space is
+    * recovered by expansion (clone pairs at exactly 1.0, cross pairs
+    * carrying the rep jaccard verbatim). The expansion honors the
+    * SAME output-bound contract as the buckets: at most
+    * cfg.maxBucketSize members per clone group participate
+    * (deterministic first-by-id) — uncollapsed, clones beyond the cap
+    * never entered a bucket either, so a degenerate all-clones corpus
+    * still bounds at C(cap, 2) pairs. `brute = true` opts into the
+    * labeled O(n²) all-pairs baseline (recall audits, tiny corpora
+    * only); never the default, and never a nested-loop join
+    * otherwise. */
   def nearDupPairs(docs: DataFrame, cfg: LshConfig = LshConfig(),
-                   brute: Boolean = false): DataFrame = {
+                   brute: Boolean = false): DataFrame =
+    if (brute) nearDupPairsDistinct(docs, cfg, brute = true)
+    else {
+      val hasShingles = size(tokens(col("text"))) >= cfg.shingleSize
+      val shingled = docs.filter(hasShingles)
+        .withColumn("gid",
+          min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      val members = capBuckets(shingled.select(col("gid"), col("doc_id")),
+          Seq("gid"), "doc_id", cfg.maxBucketSize)
+        .localCheckpoint(false) // referenced 4x (intra self-join + expansion)
+      val reps = shingled.filter(col("doc_id") === col("gid"))
+        .select(col("doc_id"), col("text"))
+      val repPairs = nearDupPairsDistinct(reps, cfg, brute = false)
+      val intra = members.as("a")
+        .join(members.as("b"),
+          col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          lit(1.0).as("jaccard"))
+      val cross = repPairs
+        .join(members.select(col("gid").as("a_id"), col("doc_id").as("xa")), "a_id")
+        .join(members.select(col("gid").as("b_id"), col("doc_id").as("xb")), "b_id")
+        .select(least(col("xa"), col("xb")).as("a_id"),
+          greatest(col("xa"), col("xb")).as("b_id"), col("jaccard"))
+      cross.unionByName(intra)
+    }
+
+  /** [[nearDupPairs]] without the clone collapse — the primitive the
+    * collapse-owning callers ([[deduplicate]], [[clusters]], the
+    * public wrapper) run over an already-distinct corpus. */
+  private def nearDupPairsDistinct(docs: DataFrame, cfg: LshConfig,
+                                   brute: Boolean): DataFrame = {
     val shTbl = docs
       .select(col("doc_id"),
         shingles(tokens(col("text")), cfg.shingleSize, distinct = true).as("sh"))
@@ -320,7 +359,29 @@ object Dedup {
                         cfg: LshConfig = LshConfig(),
                         maxDocFreq: Int = 100,
                         mode: String = "auto"): DataFrame = {
-    val hset = docs
+    // Exact-clone collapse (same argument as [[deduplicate]]): jaccard
+    // is a function of text alone, so the pair computation runs over
+    // ONE representative per distinct text (gid = group min doc_id)
+    // and the full pair set is recovered by expansion — intra-group
+    // pairs at exactly 1.0 (identical kept sets), cross-group pairs
+    // carrying the rep pair's jaccard double verbatim. A corpus with c
+    // clones per text otherwise feeds Θ(c²·df²) co-occurrence rows
+    // through the inverted-index join for zero information. DOCUMENT
+    // FREQUENCY SEMANTICS: df is counted over distinct texts — clone
+    // replication cannot promote a discriminative shingle into the
+    // stop-shingle (df > maxDocFreq) regime. Docs too short to shingle
+    // never pair (unchanged); intra-group expansion applies only to
+    // groups with ≥ 1 surviving shingle, matching the uncollapsed
+    // behavior for all-stop-shingle docs.
+    val hasShingles = size(tokens(col("text"))) >= cfg.shingleSize
+    val shingled = docs.filter(hasShingles)
+      .withColumn("gid",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = shingled.select(col("gid"), col("doc_id"))
+      .localCheckpoint(false) // referenced 4x (intra self-join + expansion)
+    val reps = shingled.filter(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+    val hset = reps
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
       .select(col("doc_id"), hmod(col("sg")).as("h"))
@@ -342,7 +403,7 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"ngramJaccardPairs mode must be auto|count|prefix, got $other")
     }
-    if (!prefixFilter) {
+    val repPairs = if (!prefixFilter) {
       // co-occurrence counting: Σ df² narrow rows through one codegen
       // HashAggregate — optimal while distinct candidate pairs stay
       // close to co-occurrence rows (true of this corpus at every
@@ -403,6 +464,58 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("a_id"), col("b_id"), col("jaccard"))
     }
+    // expansion back to the full doc-id space: intra-group clone pairs
+    // (kept sets identical ⇒ jaccard ≡ n/(2n−n) = 1.0 exactly, the
+    // same IEEE double the uncollapsed division produces), then every
+    // cross-group rep pair fanned out to its members' id pairs with
+    // the rep jaccard verbatim. Both are equi-joins on group/pair ids;
+    // on an all-distinct corpus members ≡ reps, intra is empty and the
+    // expansion joins are identities.
+    val activeG = kept.select(col("doc_id").as("gid")).distinct()
+    val intra = members.join(activeG, "gid").as("a")
+      .join(members.as("b"),
+        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("gid").as("a_id"), col("doc_id").as("xa")), "a_id")
+      .join(members.select(col("gid").as("b_id"), col("doc_id").as("xb")), "b_id")
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** Per-doc near-dup cluster labels (min doc id reachable through
+    * jaccard ≥ cfg.jaccardThreshold pairs; singletons label
+    * themselves). Same exact-clone collapse as [[deduplicate]]: LSH
+    * pairs + connected components run over one representative per
+    * distinct text, and every doc inherits its group's component —
+    * identical labels (the component minimum over doc ids equals the
+    * minimum over group ids), minus the clone-pair explosion. On
+    * clone-heavy corpora this is also MORE faithful than the
+    * uncollapsed form at scale: a clone group larger than the LSH
+    * bucket cap can never lose members to the cap, because group
+    * membership is exact, not bucketed. `method` forwards to
+    * [[graft.operators.ConnectedComponents]] ("minlabel" | "star"). */
+  def clusters(docs: DataFrame, cfg: LshConfig = LshConfig(),
+               method: String = "minlabel"): DataFrame = {
+    val hasShingles = size(tokens(col("text"))) >= cfg.shingleSize
+    val shingled = docs.filter(hasShingles)
+      .withColumn("gid",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = shingled.select(col("gid"), col("doc_id"))
+    val reps = shingled.filter(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+    val pairs = nearDupPairsDistinct(reps, cfg, brute = false)
+      .select(col("a_id"), col("b_id"))
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, reps.select(col("doc_id")), method = method)
+    val byGroup = members
+      .join(comp.select(col("id").as("gid"), col("cid")), "gid")
+      .select(col("doc_id"), col("cid"))
+    docs.join(byGroup, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .drop("cid")
   }
 
   /** End-to-end dedup: exact-clone collapse → near-dup pairs →
@@ -428,7 +541,8 @@ object Dedup {
     val reps = docs.filter(hasShingles)
       .groupBy(col("text")).agg(min(col("doc_id")).as("gid"))
       .select(col("gid").as("doc_id"), col("text"))
-    val pairs = nearDupPairs(reps, cfg).select(col("a_id"), col("b_id"))
+    val pairs = nearDupPairsDistinct(reps, cfg, brute = false)
+      .select(col("a_id"), col("b_id"))
     val keepReps = graft.operators.ConnectedComponents
       .representatives(pairs, reps.select(col("doc_id")))
       .filter(col("keep")).select(col("id").as("doc_id"))
@@ -647,11 +761,8 @@ object Dedup {
     // duplicate clusters: q24 near-dup pairs → connected components
     // (min-label propagation; oracle = recursive transitive closure)
     Q("q56_dup_clusters", (s, d) => {
-      val docs = t(s, d, "documents")
-      val pairs = nearDupPairs(docs).select(col("a_id"), col("b_id"))
-      graft.operators.ConnectedComponents
-        .components(pairs, docs.select(col("doc_id")))
-        .select(col("id").as("doc_id"), col("cid").as("cluster_id"))
+      clusters(t(s, d, "documents"))
+        .select(col("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
     }, Some(ccOracleSql)),
 
@@ -661,11 +772,8 @@ object Dedup {
     // equivalence on real data (the property specs pin it on
     // adversarial chains)
     Q("q65_dup_clusters_star", (s, d) => {
-      val docs = t(s, d, "documents")
-      val pairs = nearDupPairs(docs).select(col("a_id"), col("b_id"))
-      graft.operators.ConnectedComponents
-        .components(pairs, docs.select(col("doc_id")), method = "star")
-        .select(col("id").as("doc_id"), col("cid").as("cluster_id"))
+      clusters(t(s, d, "documents"), method = "star")
+        .select(col("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
     }, Some(ccOracleSql)),
 

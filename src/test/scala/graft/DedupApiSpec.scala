@@ -168,6 +168,55 @@ class DedupApiSpec extends AnyFunSuite {
     assert(r4 >= 0.5, s"probes=4 recall $r4 — calibration drifted")
   }
 
+  test("exact-clone collapse: pairs and clusters match the uncollapsed semantics on a cloned corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3 clones of text A, 2 clones of near-dup A' (shingle jaccard
+    // 3/5 = 0.6), one unrelated doc — ids deliberately interleaved so
+    // group mins and least/greatest expansion are exercised
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (4L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    // pairs vs a brute per-doc-pair recompute (jaccard is text-pure)
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val byId = Seq(0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "alpha beta gamma delta epsilon zeta",
+      5L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon eta",
+      4L -> "alpha beta gamma delta epsilon eta",
+      3L -> "one two three four five six").toMap
+    val expectedPairs = (for {
+      a <- byId.keys; b <- byId.keys if a < b
+      inter = (sh(byId(a)) & sh(byId(b))).size
+      union = (sh(byId(a)) | sh(byId(b))).size
+      j = inter.toDouble / union if j >= 0.3
+    } yield (a, b, j)).toSet
+    val got = Dedup.ngramJaccardPairs(docs, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expectedPairs)
+    assert(got.count(_._3 == 1.0) == 4) // C(3,2) + C(2,2) clone pairs
+    // clusters vs the uncollapsed formulation run directly
+    val uncollapsed = graft.operators.ConnectedComponents
+      .components(Dedup.nearDupPairs(docs).select(col("a_id"), col("b_id")),
+        docs.select(col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val collapsed = Dedup.clusters(docs)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(collapsed == uncollapsed)
+    // and clones of one text always share a cluster even when caps
+    // would truncate LSH buckets — group membership is exact
+    val capped = Dedup.clusters(docs, LshConfig(maxBucketSize = 2))
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Set(0L, 1L, 5L).map(capped) == Set(capped(0L)))
+  }
+
   test("semdedup mega-cluster comparisons are capped like the LSH buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
