@@ -309,20 +309,37 @@ object Pipeline {
     // the per-doc argmax as a plain struct-min aggregate with the
     // tie-break encoded in field order (no window, no per-doc sort).
     Q("q74_tfidf_top1", (s, d) => {
+      // exact-clone collapse (the Dedup-family doctrine): tf and the
+      // top term are functions of text alone, and df — the number of
+      // DOCS containing a term, the oracle's definition — equals the
+      // sum of group sizes over the distinct texts containing it. The
+      // exploded (doc_id, term) aggregation, this suite's one genuine
+      // big shuffle (8.6× wall at sf10 in r5), shrinks by the clone
+      // factor; every value is bit-identical (same integers into the
+      // same double arithmetic), so the oracle is unchanged.
       val docs = t(s, d, "documents")
-      val ex = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val tf = ex.groupBy(col("doc_id"), col("term"))
+      val withGid = docs.withColumn("gid",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      val members = withGid.select(col("gid"), col("doc_id"))
+        .localCheckpoint(false) // referenced by sizes and the expansion
+      val reps = withGid.filter(col("doc_id") === col("gid"))
+        .select(col("gid"), col("text"))
+      val sizes = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+      val ex = reps.select(col("gid"), explode(tokens(col("text"))).as("term"))
+      val tf = ex.groupBy(col("gid"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dfc = tf.join(sizes, "gid")
+        .groupBy(col("term")).agg(sum(col("gsz")).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(dfc, "term").crossJoin(broadcast(n))
         .withColumn("score",
           col("tf").cast(DoubleType) *
             ((col("n").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
               (col("df").cast(DoubleType) + lit(0.5))))
-      scored.groupBy(col("doc_id"))
+      val top = scored.groupBy(col("gid"))
         .agg(min(struct((-col("score")).as("ns"), col("term").as("term"),
           col("tf").as("tf"), col("df").as("df"))).as("m"))
+      members.join(top, "gid")
         .select(col("doc_id"), col("m.term").as("top_term"),
           col("m.tf").as("tf"), col("m.df").as("df"),
           (-col("m.ns")).as("score"))
