@@ -109,16 +109,53 @@ object Dedup {
       min((lit(2L * j + 1) * col("h") + lit(j.toLong * j + 7)) % P).as(s"mh$j")
     }
 
-  /** doc_id → mh0..mh{n−1} for docs with ≥1 shingle. */
+  /** (gid, doc_id) clone-group table + (doc_id = gid, text)
+    * representative table for the exact-clone collapse: gid = min
+    * doc_id per distinct text. Every signature / pair / cluster value
+    * in this file is a function of text alone, so computing over the
+    * reps and expanding through the group table is result-identical
+    * while the heavy work scales with DISTINCT texts, not corpus
+    * size. One window pass (high-cardinality text key — parallelism
+    * tracks the corpus). */
+  private def cloneGroups(docs: DataFrame): (DataFrame, DataFrame) = {
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    (withGid.select(col("gid"), col("doc_id")),
+      withGid.filter(col("doc_id") === col("gid"))
+        .select(col("doc_id"), col("text")))
+  }
+
+  /** doc_id → mh0..mh{n−1} for docs with ≥1 shingle. Exact-clone
+    * collapsed: signatures compute once per distinct text and expand
+    * through the group table (identical text ⇒ identical signature). */
   def minhashSignatures(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+    val (members, reps) = cloneGroups(docs)
+    members.join(minhashSignaturesDistinct(reps, cfg)
+        .withColumnRenamed("doc_id", "gid"), "gid")
+      .select(col("doc_id") +:
+        (0 until cfg.numHashes).map(j => col(s"mh$j")): _*)
+  }
+
+  /** [[minhashSignatures]] without the collapse — the primitive run
+    * over an already-distinct corpus (band table, collapsed callers). */
+  private def minhashSignaturesDistinct(docs: DataFrame, cfg: LshConfig): DataFrame = {
     val aggs = mhAggs(cfg.numHashes)
     shingleHashes(docs, cfg.shingleSize, distinct = true)
       .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** doc_id → simBits-bit simhash for ALL docs (empty-shingle docs →
-    * 0), bit-sums as plain codegen'd sum() aggregates. */
+    * 0), exact-clone collapsed like [[minhashSignatures]]. */
   def simhashSignatures(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+    val (members, reps) = cloneGroups(docs)
+    members.join(simhashSignaturesDistinct(reps, cfg)
+        .withColumnRenamed("doc_id", "gid"), "gid")
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** [[simhashSignatures]] without the collapse: bit-sums as plain
+    * codegen'd sum() aggregates over one row per shingle occurrence. */
+  private def simhashSignaturesDistinct(docs: DataFrame, cfg: LshConfig): DataFrame = {
     val bitSums = (0 until cfg.simBits).map { k =>
       sum(shiftright(col("h"), k).bitwiseAND(lit(1L))).as(s"c$k")
     }
@@ -232,7 +269,7 @@ object Dedup {
           .join(broadcast(shTbl.select(col("doc_id").as("b_id"))),
             col("a_id") < col("b_id"))
       else {
-        val bands = bandTable(minhashSignatures(docs, cfg), cfg)
+        val bands = bandTable(minhashSignaturesDistinct(docs, cfg), cfg)
         collidingPairs(
           if (cfg.persistSignatures) bands.persist() else bands,
           Seq("band", "sig"))
@@ -249,7 +286,13 @@ object Dedup {
 
   /** SimHash near-dup pairs at hamming ≤ cfg.maxHamming via
     * (maxHamming+1)-block pigeonhole — bucketed equi-join on block
-    * value (capped), never n² pairs. */
+    * value (capped), never n² pairs. The SIGNATURE stage rides the
+    * clone collapse (via [[simhashSignatures]]); the pair stage
+    * deliberately does not: hamming verification is a single
+    * codegen'd bit_count (nothing to save per clone pair, unlike
+    * jaccard), so the block caps alone already bound clone buckets —
+    * measured 8.1 s collapsed-expanded vs 4.4 s capped-buckets at
+    * sf10, so the bucket form stays. */
   def simhashPairs(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
     val sim = simhashSignatures(docs, cfg)
     val nb = cfg.maxHamming + 1
