@@ -48,6 +48,18 @@ object Bench {
     // count() would let Catalyst prune the per-row compute of
     // projection-only queries and overstate throughput.
     // A failed query reports -1, never its (near-zero) elapsed time.
+    // Adaptive GC barrier: one gc+100ms does NOT clear the debt a
+    // heavy predecessor leaves behind (measured at sf10: q79 read
+    // 10.7 s isolated directly after a 372 s query vs 0.74 s solo) —
+    // after a long session pass, gc twice and give concurrent
+    // collection/shuffle cleanup a proportionally longer quiet window.
+    def barrier(prevSec: Double): Unit = {
+      System.gc()
+      if (prevSec > 10) {
+        Thread.sleep(500); System.gc()
+        Thread.sleep(math.min(2000L, (prevSec * 20).toLong))
+      } else Thread.sleep(100)
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val okSession = run(fn, name)
@@ -55,7 +67,7 @@ object Bench {
       val tIsolated =
         if (sessionOnly) tSession
         else {
-          System.gc(); Thread.sleep(100)
+          barrier(math.max(tSession, 0.0))
           val t1 = System.nanoTime()
           val ok = okSession && run(fn, name)
           if (ok) (System.nanoTime() - t1) / 1e9 else -1.0
