@@ -528,6 +528,65 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Asymmetric containment near-dup pairs (Broder 1997, "On the
+    * resemblance and containment of documents"): containment =
+    * |A∩B| / min(|A|,|B|) ≥ threshold. Catches fragment/superset
+    * duplicates that symmetric jaccard structurally misses when sizes
+    * differ — a 10-shingle fragment inside a 1000-shingle doc has
+    * jaccard ≈ 0.01 but containment 1.0 (the quote-extraction /
+    * boilerplate-wrapper case a training pipeline must catch). Same
+    * collapsed inverted-index co-occurrence machinery as
+    * [[ngramJaccardPairs]]'s count mode (distinct-text df cap, exact
+    * integer counts, one codegen HashAggregate, clone expansion at
+    * exactly 1.0); AllPairs prefix filtering does NOT apply — its
+    * pruning bound assumes the jaccard denominator — so there is no
+    * prefix mode. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       cfg: LshConfig = LshConfig(),
+                       maxDocFreq: Int = 100): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold out of range: $threshold")
+    val hasShingles = size(tokens(col("text"))) >= cfg.shingleSize
+    val shingled = docs.filter(hasShingles)
+      .withColumn("gid",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = shingled.select(col("gid"), col("doc_id"))
+      .localCheckpoint(false) // referenced 4x (intra self-join + expansion)
+    val reps = shingled.filter(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+    val hset = reps
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
+      .select(col("doc_id"), hmod(col("sg")).as("h"))
+      .distinct()
+    val rare = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("h"))
+    val kept = hset.join(rare, "h")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val repPairs = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+    val activeG = kept.select(col("doc_id").as("gid")).distinct()
+    val intra = members.join(activeG, "gid").as("a")
+      .join(members.as("b"),
+        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        lit(1.0).as("containment"))
+    val cross = repPairs
+      .join(members.select(col("gid").as("a_id"), col("doc_id").as("xa")), "a_id")
+      .join(members.select(col("gid").as("b_id"), col("doc_id").as("xb")), "b_id")
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("containment"))
+    cross.unionByName(intra)
+  }
+
   /** Per-doc near-dup cluster labels (min doc id reachable through
     * jaccard ≥ cfg.jaccardThreshold pairs; singletons label
     * themselves). Same exact-clone collapse as [[deduplicate]]: LSH
@@ -800,6 +859,34 @@ object Dedup {
         SELECT a_id, b_id, CAST(inter AS DOUBLE)/(x.n+y.n-inter) jaccard
         FROM shared JOIN sz x ON a_id=x.doc_id JOIN sz y ON b_id=y.doc_id)
       WHERE jaccard >= 0.3 ORDER BY a_id, b_id""")),
+
+    // asymmetric containment pairs: |A∩B|/min(|A|,|B|) — the
+    // fragment/superset near-dup detector jaccard structurally misses
+    // (Broder 1997); same inverted-index machinery as q55, different
+    // denominator. On this corpus the 25 planted near-dup pairs are
+    // edit-pairs whose smaller shingle set is FULLY contained in the
+    // larger (containment exactly 1.0; the next tier is 0.27), so
+    // 0.5 is a stable gate threshold.
+    Q("q83_containment", (s, d) => {
+      containmentPairs(t(s, d, "documents"), 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }, Some(s"""
+      WITH $tkCte, $shCte,
+      hs AS (SELECT doc_id,
+               list_distinct([('0x'||substring(md5(s),1,15))::BIGINT % $P
+                              for s in shingles]) h
+             FROM sh WHERE len(shingles) > 0),
+      ex AS (SELECT doc_id, unnest(h) hh FROM hs),
+      rare AS (SELECT hh FROM ex GROUP BY hh HAVING count(*) <= 100),
+      kept AS (SELECT doc_id, hh FROM ex JOIN rare USING (hh)),
+      sz AS (SELECT doc_id, count(*) n FROM kept GROUP BY 1),
+      shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+                 FROM kept a JOIN kept b ON a.hh=b.hh AND a.doc_id<b.doc_id
+                 GROUP BY 1, 2)
+      SELECT a_id, b_id, containment FROM (
+        SELECT a_id, b_id, CAST(inter AS DOUBLE)/least(x.n, y.n) containment
+        FROM shared JOIN sz x ON a_id=x.doc_id JOIN sz y ON b_id=y.doc_id)
+      WHERE containment >= 0.5::DOUBLE ORDER BY a_id, b_id""")),
 
     // duplicate clusters: q24 near-dup pairs → connected components
     // (min-label propagation; oracle = recursive transitive closure)

@@ -217,6 +217,33 @@ class DedupApiSpec extends AnyFunSuite {
     assert(Set(0L, 1L, 5L).map(capped) == Set(capped(0L)))
   }
 
+  test("containment catches fragment duplicates that jaccard misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 1 is a strict 6-token fragment of 30-token doc 0: its 4
+    // shingles are all inside doc 0's 28 → containment 1.0, jaccard
+    // 4/28 ≈ 0.14. doc 3 clones the fragment (clone expansion at 1.0).
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val frag = (1 to 6).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, long), (1L, frag), (3L, frag),
+      (2L, "totally unrelated content about something else entirely x")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jac = pairs(Dedup.ngramJaccardPairs(docs, 0.3))
+    assert(!jac.exists(p => p._1 == 0L && p._2 == 1L),
+      s"jaccard should miss the fragment pair: $jac")
+    val cont = pairs(Dedup.containmentPairs(docs, 0.8))
+    assert(cont == Set((0L, 1L, 1.0), (0L, 3L, 1.0), (1L, 3L, 1.0)), cont.toString)
+    // symmetric near-identical docs score the same as jaccard would
+    // rank them: containment >= jaccard always (min <= union)
+    val jAll = pairs(Dedup.ngramJaccardPairs(docs, 0.01))
+    val cAll = pairs(Dedup.containmentPairs(docs, 0.01))
+    for ((a, b, j) <- jAll; (ca, cb, c) <- cAll if ca == a && cb == b)
+      assert(c >= j - 1e-12, s"containment($a,$b)=$c < jaccard=$j")
+  }
+
   test("semdedup mega-cluster comparisons are capped like the LSH buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
