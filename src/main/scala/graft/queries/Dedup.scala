@@ -587,6 +587,46 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Per-doc duplicate-shingle statistics — the corpus-level
+    * duplication signal quality pipelines threshold on (the
+    * "duplicate n-gram fraction" family in Gopher/Dolma data-quality
+    * audits; reference computes per-key dup counts in its compacter,
+    * simple_log_compacter.cc): for each document, how many of its
+    * distinct shingles also occur in at least one OTHER distinct
+    * text, and the fraction. Unlike the pairwise detectors
+    * (q24/q55/q83) this needs no pair join at all — one inverted
+    * index groupBy gives per-shingle document frequency, one join
+    * back gives per-doc counts; cost is Θ(corpus shingle volume),
+    * never Θ(pairs).
+    *
+    * DOCUMENT FREQUENCY SEMANTICS: df is counted over DISTINCT TEXTS
+    * (the clone collapse — dup stats are a function of text alone, so
+    * stats compute once per distinct text and expand; clone
+    * replication cannot make a document "duplicated against its own
+    * copies"). Shingle-less docs report (0, 0, 0.0). The fraction is
+    * ONE IEEE division of two exact int64 counts — bit-identical
+    * across engines and partitionings. */
+  def dupNgramStats(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+    val (members, reps) = cloneGroups(docs)
+    val hset = reps
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
+      .select(col("doc_id"), hmod(col("sg")).as("h"))
+      .distinct()
+    val dfs = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val per = hset.join(dfs, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    members.join(per.withColumnRenamed("doc_id", "gid"), Seq("gid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_sh") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast(DoubleType) / col("n_sh")))
+  }
+
   /** Per-doc near-dup cluster labels (min doc id reachable through
     * jaccard ≥ cfg.jaccardThreshold pairs; singletons label
     * themselves). Same exact-clone collapse as [[deduplicate]]: LSH
@@ -651,6 +691,32 @@ object Dedup {
     val survivorIds = keepReps
       .union(docs.filter(!hasShingles).select(col("doc_id")))
     docs.join(survivorIds, "doc_id")
+  }
+
+  /** Near-dedup keeping the BEST document per duplicate cluster
+    * instead of the min-id one — the production policy when near-dups
+    * differ in quality (RefinedWeb/FineWeb keep the longest /
+    * highest-scoring member; [[deduplicate]]'s min-id rule is the
+    * reproducibility-first default). Quality here = token count
+    * (longest member), tie-broken by min doc_id; both sides of the
+    * argmax are exact integers, so selection is deterministic and
+    * oracle-reproducible. Returns one row per cluster:
+    * (doc_id, cluster_id, ntok) for the kept member.
+    *
+    * 100 TB shape: [[clusters]]'s audited stages (collapsed LSH + CC)
+    * plus ONE extra groupBy on cluster_id with a struct-max argmax —
+    * no window over the corpus, no new join family. The struct-max
+    * (max ntok, then max −doc_id ≡ min doc_id) partial-aggregates
+    * map-side like any min/max. */
+  def deduplicateKeepBest(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+    val lab = clusters(docs, cfg)
+      .select(col("doc_id"), col("cluster_id"),
+        size(tokens(col("text"))).cast(LongType).as("ntok"))
+    val best = lab.groupBy(col("cluster_id"))
+      .agg(max(struct(col("ntok"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nd")).as("doc_id"))
+    lab.join(best, Seq("cluster_id", "doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("ntok"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 "SemDeDup:
@@ -924,7 +990,58 @@ object Dedup {
       SELECT d.doc_id, d.lang, d.n_chars
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
       WHERE COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) = d.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // per-doc duplicate-shingle fraction — the no-pair-join corpus
+    // duplication signal (df over distinct texts; one inverted-index
+    // groupBy + join-back, cost Θ(shingle volume) never Θ(pairs))
+    Q("q84_dup_ngram_fraction", (s, d) => {
+      dupNgramStats(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH r AS (SELECT text, min(doc_id) gid FROM documents GROUP BY text),
+      rtk AS (SELECT gid, list_filter(string_split(text,' '), x->x<>'') tk FROM r),
+      rsh AS (SELECT gid,
+                CASE WHEN len(tk)>=3
+                  THEN list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                                      for i in generate_series(1,len(tk)-2)])
+                  ELSE [] END shingles
+              FROM rtk),
+      hs AS (SELECT gid, list_distinct([('0x'||substring(md5(s),1,15))::BIGINT % $P
+                                        for s in shingles]) h
+             FROM rsh),
+      ex AS (SELECT gid, unnest(h) hh FROM hs),
+      dfreq AS (SELECT hh, count(*) df FROM ex GROUP BY 1),
+      per AS (SELECT gid, CAST(count(*) AS BIGINT) n_sh,
+                     CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) n_dup
+              FROM ex JOIN dfreq USING (hh) GROUP BY 1),
+      g AS (SELECT d.doc_id, r.gid FROM documents d JOIN r USING (text))
+      SELECT g.doc_id,
+        CAST(COALESCE(p.n_sh, 0) AS BIGINT) AS n_sh,
+        CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+        CASE WHEN COALESCE(p.n_sh, 0) = 0 THEN 0.0::DOUBLE
+             ELSE CAST(p.n_dup AS DOUBLE) / p.n_sh END AS dup_frac
+      FROM g LEFT JOIN per p USING (gid) ORDER BY doc_id""")),
+
+    // keep-BEST-member dedup policy (longest doc, min-id tie-break)
+    // — q56's cluster labels + one struct-max argmax groupBy; the
+    // oracle replays the argmax as a row_number argmin per the
+    // cross-engine tie-break rule
+    Q("q86_dedup_keep_best", (s, d) => {
+      deduplicateKeepBest(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      $ccCtes,
+      lab AS (SELECT d.doc_id,
+                CAST(COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) AS BIGINT) cluster_id,
+                CAST(len(t.tk) AS BIGINT) ntok
+              FROM documents d
+              JOIN tk t ON d.doc_id = t.doc_id
+              LEFT JOIN comp c ON d.doc_id = c.u),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY ntok DESC, doc_id ASC) rn
+             FROM lab)
+      SELECT doc_id, cluster_id, ntok FROM rk WHERE rn = 1 ORDER BY doc_id"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -79,6 +79,82 @@ object Pipeline {
         sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"))
   }
 
+  /** Token-budget source mixing (the C4/ROOTS/Pile recipe stage:
+    * given per-source target SHARES of a total token budget, compute
+    * per-source keep rates and sample deterministically): rate_s =
+    * min(1000, budget·share_s div tokens_s) per-mille, keep decision
+    * = per-row hash arithmetic (same stable rule as
+    * [[stratifiedSampleAudit]]). Returns the per-source audit with
+    * the derived rate, kept counts/tokens and a membership checksum.
+    *
+    * Exactness: the rate is INTEGER floor division of exact int64s
+    * (`div` — never a float ratio, so engines agree bit-for-bit);
+    * shares are per-mille of `budgetTokens`. 100 TB shape: stage 1 is
+    * one bounded groupBy (|sources| rows), stage 2 broadcasts that
+    * table back and decides per row in the scan stage, stage 3 is a
+    * monoid audit — no corpus-wide shuffle anywhere. */
+  def sourceMixSample(docs: DataFrame, budgetTokens: Long,
+                      shares: Map[String, Long],
+                      defaultShare: Long): DataFrame = {
+    require(budgetTokens > 0 && defaultShare >= 0 &&
+      shares.values.forall(_ >= 0), "budget/shares out of range")
+    val share = shares.foldLeft(lit(defaultShare): Column) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val rates = docs
+      .select(col("source"), size(tokens(col("text"))).cast(LongType).as("ntok"))
+      .groupBy(col("source"))
+      .agg(sum(col("ntok")).as("src_tokens"))
+      .withColumn("share", share)
+      .withColumn("rate",
+        least(lit(1000L), expr(s"(CAST($budgetTokens AS BIGINT) * share) div src_tokens")))
+      .select(col("source"), col("src_tokens"), col("rate"))
+    val kept =
+      (hmod(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000) < col("rate")
+    docs
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("ntok"))
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(max(col("src_tokens")).as("src_tokens"), // constant per source
+        max(col("rate")).as("rate"),
+        count(lit(1)).as("n_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("ntok")).otherwise(0L)).as("kept_tokens"),
+        (sum(when(kept, hmod(col("doc_id").cast("string"))).otherwise(0L)) % P)
+          .as("kept_checksum"))
+  }
+
+  /** Deterministic global shuffle into training shards: shard =
+    * hash(doc_id) mod numShards, intra-shard order = a second
+    * independent hash (min-id tie-break). Returns the per-shard audit
+    * (doc count + an ORDER-SENSITIVE checksum Σ pos·h mod P, which
+    * pins the exact permutation, not just membership) — the
+    * reproducible-shuffle contract a tokenized-shard writer needs
+    * (every re-run, any partitioning, yields byte-identical shards).
+    *
+    * 100 TB shape: assignment is scan-stage hash arithmetic; the only
+    * shuffle is the per-shard sort (row_number windows on the shard
+    * key), which is INHERENT to producing a per-shard total order —
+    * parallelism equals numShards, so size numShards to the desired
+    * output-file count (hash sharding keeps them balanced). The
+    * checksum products stay far below 2^63 (pos ≤ shard size,
+    * h < 10^6). */
+  def shardAudit(docs: DataFrame, numShards: Int = 32): DataFrame = {
+    require(numShards > 0, s"numShards out of range: $numShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        (hmod(concat(lit("shard:"), col("doc_id").cast("string"))) % numShards)
+          .as("shard"),
+        hmod(concat(lit("pos:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum((col("pos") * (hmod(col("doc_id").cast("string")) % 1000000L)) % P) % P)
+          .as("order_checksum"))
+  }
+
   /** Stage 1 of DSIR (Xie et al. 2023): the hashed-unigram token
     * feature stream (doc_id, lang, f) with B buckets — scan-stage
     * explode + hash, no state. */
@@ -530,6 +606,57 @@ object Pipeline {
         .agg(count(col("h")).as("n_shingles"),
           coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
         .orderBy(col("doc_id"))
-    }, Some(decontOracleSql))
+    }, Some(decontOracleSql)),
+
+    // token-budget source mixing: bounded per-source totals →
+    // integer-div rates (src0's boosted share caps at 1000 ‰, src1
+    // lands mid-range, the default share downsamples the rest) →
+    // scan-stage keep decision + monoid audit
+    Q("q85_source_mix", (s, d) => {
+      sourceMixSample(t(s, d, "documents"), 8000L,
+        Map("src0" -> 200L, "src1" -> 150L), 30L)
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH tk AS (SELECT source, doc_id,
+                    CAST(len(list_filter(string_split(text,' '), x->x<>'')) AS BIGINT) ntok
+                  FROM documents),
+      tot AS (SELECT source, CAST(SUM(ntok) AS BIGINT) src_tokens FROM tk GROUP BY 1),
+      rt AS (SELECT source, src_tokens,
+               CAST(least(1000, (8000 * (CASE source WHEN 'src0' THEN 200
+                                         WHEN 'src1' THEN 150 ELSE 30 END)) // src_tokens)
+                    AS BIGINT) rate
+             FROM tot),
+      s AS (SELECT t.source, t.doc_id, t.ntok, r.src_tokens, r.rate,
+              ${sql.hmod("'mix:'||CAST(doc_id AS VARCHAR)")} % 1000 < r.rate AS kept
+            FROM tk t JOIN rt r USING (source))
+      SELECT source,
+        CAST(max(src_tokens) AS BIGINT) AS src_tokens,
+        CAST(max(rate) AS BIGINT) AS rate,
+        count(*) AS n_total,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        CAST(SUM(CASE WHEN kept THEN ${sql.hmod("CAST(doc_id AS VARCHAR)")}
+                 ELSE 0 END) % ${P} AS BIGINT) AS kept_checksum
+      FROM s GROUP BY source ORDER BY source""")),
+
+    // deterministic global shuffle into 32 training shards — the
+    // order-sensitive checksum pins the exact permutation each shard
+    // writer would emit
+    Q("q87_shard_shuffle", (s, d) => {
+      shardAudit(t(s, d, "documents"))
+        .orderBy(col("shard"))
+    }, Some(s"""
+      WITH a AS (SELECT doc_id,
+                   ${sql.hmod("'shard:'||CAST(doc_id AS VARCHAR)")} % 32 shard,
+                   ${sql.hmod("'pos:'||CAST(doc_id AS VARCHAR)")} skey
+                 FROM documents),
+      p AS (SELECT shard, doc_id,
+              CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                   AS BIGINT) pos
+            FROM a)
+      SELECT shard, count(*) AS n_docs,
+        CAST(SUM((pos * (${sql.hmod("CAST(doc_id AS VARCHAR)")} % 1000000)) % ${P})
+             % ${P} AS BIGINT) AS order_checksum
+      FROM p GROUP BY shard ORDER BY shard"""))
   )
 }

@@ -217,6 +217,53 @@ class DedupApiSpec extends AnyFunSuite {
     assert(Set(0L, 1L, 5L).map(capped) == Set(capped(0L)))
   }
 
+  test("dupNgramStats: hand-computed fractions, clone invariance, shingle-less zeros") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // distinct texts A and B share exactly the shingle "a b c"; doc 7
+    // clones A (stats must be IDENTICAL to A's — df counts distinct
+    // texts, so clones can't inflate their own duplication); doc 9 is
+    // too short to shingle
+    val docs = Seq(
+      (0L, "a b c d e"), // shingles {abc,bcd,cde}
+      (1L, "a b c x y"), // shingles {abc,bcx,cxy}
+      (7L, "a b c d e"), // clone of A
+      (9L, "a b")        // shingle-less
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val third = 1.0 / 3
+    assert(got == Map(
+      0L -> ((3L, 1L, third)), 1L -> ((3L, 1L, third)),
+      7L -> ((3L, 1L, third)), 9L -> ((0L, 0L, 0.0))), got.toString)
+    // no pair join anywhere in the plan (the operator's whole point)
+    noNestedLoop(Dedup.dupNgramStats(docs))
+  }
+
+  test("deduplicateKeepBest keeps the longest cluster member, min-id tie-break") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster {0,1}: doc 1 is LONGER (an extra trailing token keeps
+    // jaccard at 7/10 ≥ 0.5) → policy must keep 1 where min-id
+    // dedup keeps 0; cluster {2,3}: equal lengths → tie-break keeps 2;
+    // 4 is a singleton
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog today extra"),
+      (2L, "entirely different content about spark catalyst plans"),
+      (3L, "entirely different content about spark catalyst rules"),
+      (4L, "unrelated text one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.deduplicateKeepBest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept == Set((1L, 0L, 11L), (2L, 2L, 7L), (4L, 4L, 9L)), kept.toString)
+    // min-id policy on the same corpus keeps 0 — the two front doors
+    // agree on cluster structure, differ only in the selection rule
+    val minId = Dedup.deduplicate(docs).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(minId == Set(0L, 2L, 4L))
+  }
+
   test("containment catches fragment duplicates that jaccard misses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -171,4 +171,65 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy(col("weight").desc, col("doc_id")).limit(25).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("q85: mix rates are exact integer division, the cap fires, audits reconcile") {
+    val rows = SparkEntry.queries("q85_source_mix")(spark, sf).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val share = r.getAs[String]("source") match {
+        case "src0" => 200L; case "src1" => 150L; case _ => 30L
+      }
+      // rate replays the integer floor division, capped at 1000 ‰
+      assert(r.getAs[Long]("rate") ==
+        math.min(1000L, 8000L * share / r.getAs[Long]("src_tokens")))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("src_tokens"))
+    }
+    // the boosted src0 share exceeds its token mass → cap fires →
+    // EVERY src0 doc kept; the default share genuinely downsamples
+    val bySrc = rows.map(r => r.getAs[String]("source") -> r).toMap
+    assert(bySrc("src0").getAs[Long]("rate") == 1000L)
+    assert(bySrc("src0").getAs[Long]("n_kept") == bySrc("src0").getAs[Long]("n_total"))
+    assert(rows.count(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_total")) >= 15)
+    // decision is partition-pure: identical audit from a scattered scan
+    val again = graft.queries.Pipeline.sourceMixSample(
+      Tables.t(spark, sf, "documents").repartition(7),
+      8000L, Map("src0" -> 200L, "src1" -> 150L), 30L)
+      .orderBy(col("source")).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q87: shard audit partitions the corpus and pins a stable permutation") {
+    val rows = SparkEntry.queries("q87_shard_shuffle")(spark, sf).collect()
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(rows.length == 32 && rows.forall(_.getAs[Long]("n_docs") > 0))
+    // hash sharding balances: no shard above 3× the mean at n=500
+    val max = rows.map(_.getAs[Long]("n_docs")).max
+    assert(max <= 3 * total / 32, s"shard skew: max $max of $total")
+    // the permutation (not just membership) is partition-independent:
+    // same order checksums from a scattered scan
+    val again = graft.queries.Pipeline.shardAudit(
+      Tables.t(spark, sf, "documents").repartition(7))
+      .orderBy(col("shard")).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // and the checksum is genuinely order-sensitive: reversing the
+    // intra-shard sort direction changes it (membership identical)
+    val rev = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("skey").desc, col("doc_id").desc)
+      Tables.t(spark, sf, "documents")
+        .select(col("doc_id"),
+          (hmod(concat(lit("shard:"), col("doc_id").cast("string"))) % 32).as("shard"),
+          hmod(concat(lit("pos:"), col("doc_id").cast("string"))).as("skey"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy(col("shard"))
+        .agg((sum((col("pos") * (hmod(col("doc_id").cast("string")) % 1000000L)) % P) % P)
+          .as("order_checksum"))
+        .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("order_checksum")).toMap
+    }
+    val fwd = rows.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("order_checksum")).toMap
+    assert(rev != fwd, "checksum failed to distinguish shard orderings")
+  }
 }
