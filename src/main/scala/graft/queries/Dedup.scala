@@ -237,6 +237,7 @@ object Dedup {
         .localCheckpoint(false) // referenced 4x (intra self-join + expansion)
       val reps = shingled.filter(col("doc_id") === col("gid"))
         .select(col("doc_id"), col("text"))
+        .localCheckpoint(false) // band self-join sides + shingle verify
       val repPairs = nearDupPairsDistinct(reps, cfg, brute = false)
       val intra = members.as("a")
         .join(members.as("b"),
@@ -438,7 +439,11 @@ object Dedup {
     // scan+groupBy subtree per reference
     val dfs = if (mode == "auto") dfs0.localCheckpoint() else dfs0
     val rare = dfs.select(col("h"))
-    val kept = hset.join(rare, "h")
+    // lazy checkpoint: kept feeds the per-doc sizes AND both sides of
+    // the co-occurrence (or prefix) self-join — one shingling +
+    // distinct pass instead of one per reference; one narrow row per
+    // (distinct text, surviving shingle)
+    val kept = hset.join(rare, "h").localCheckpoint(false)
     val prefixFilter = mode match {
       case "auto"   => jaccardModeFromStats(dfs) == "prefix"
       case "prefix" => true
@@ -561,7 +566,10 @@ object Dedup {
       .distinct()
     val rare = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("h"))
-    val kept = hset.join(rare, "h")
+    // lazy checkpoint: kept feeds sizes, both self-join sides and the
+    // active-group projection — one shingling + distinct pass instead
+    // of four (see [[ngramJaccardPairs]])
+    val kept = hset.join(rare, "h").localCheckpoint(false)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val repPairs = kept.as("a").join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -608,11 +616,14 @@ object Dedup {
     * across engines and partitionings. */
   def dupNgramStats(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
     val (members, reps) = cloneGroups(docs)
+    // lazy checkpoint: hset feeds the df aggregate AND the join-back —
+    // one shingling + distinct pass instead of two corpus-window
+    // recomputes; one narrow row per (distinct text, shingle)
     val hset = reps
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
       .select(col("doc_id"), hmod(col("sg")).as("h"))
-      .distinct()
+      .distinct().localCheckpoint(false)
     val dfs = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val per = hset.join(dfs, "h")
       .groupBy(col("doc_id"))
@@ -645,9 +656,14 @@ object Dedup {
     val shingled = docs.filter(hasShingles)
       .withColumn("gid",
         min(col("doc_id")).over(Window.partitionBy(col("text"))))
-    val members = shingled.select(col("gid"), col("doc_id"))
+    // lazy checkpoints: members feeds the final expansion, reps feeds
+    // the band self-join (2 sides), CC vertices and the shingle-set
+    // verify — without them each reference re-runs the corpus-wide
+    // window (measured 1.6× on q56 at sf10). Ids-only members stays
+    // cheap to store at scale; reps is one row per DISTINCT text.
+    val members = shingled.select(col("gid"), col("doc_id")).localCheckpoint(false)
     val reps = shingled.filter(col("doc_id") === col("gid"))
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text")).localCheckpoint(false)
     val pairs = nearDupPairsDistinct(reps, cfg, brute = false)
       .select(col("a_id"), col("b_id"))
     val comp = graft.operators.ConnectedComponents
@@ -680,9 +696,12 @@ object Dedup {
     * identical unshingleable docs both survive). */
   def deduplicate(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
     val hasShingles = size(tokens(col("text"))) >= cfg.shingleSize
+    // lazy checkpoint: reps feeds the band self-join (2 sides), the
+    // shingle-set verify and CC vertices — one corpus groupBy instead
+    // of one per reference (see [[clusters]])
     val reps = docs.filter(hasShingles)
       .groupBy(col("text")).agg(min(col("doc_id")).as("gid"))
-      .select(col("gid").as("doc_id"), col("text"))
+      .select(col("gid").as("doc_id"), col("text")).localCheckpoint(false)
     val pairs = nearDupPairsDistinct(reps, cfg, brute = false)
       .select(col("a_id"), col("b_id"))
     val keepReps = graft.operators.ConnectedComponents
@@ -703,20 +722,41 @@ object Dedup {
     * oracle-reproducible. Returns one row per cluster:
     * (doc_id, cluster_id, ntok) for the kept member.
     *
-    * 100 TB shape: [[clusters]]'s audited stages (collapsed LSH + CC)
-    * plus ONE extra groupBy on cluster_id with a struct-max argmax —
-    * no window over the corpus, no new join family. The struct-max
-    * (max ntok, then max −doc_id ≡ min doc_id) partial-aggregates
-    * map-side like any min/max. */
+    * 100 TB shape: the whole selection runs at the REP level (one row
+    * per distinct text — [[deduplicate]]'s collapse): ntok is a
+    * function of text alone, so every clone ties its representative
+    * on ntok and loses the min-id tie-break (the rep IS the group's
+    * min id), and the cluster minimum over doc ids equals the minimum
+    * over rep ids — so the corpus-wide label expansion, the second
+    * corpus-wide groupBy, and the self-join of that heavy subtree
+    * from the [[clusters]]-based formulation all vanish: after the
+    * one collapse groupBy, every stage is O(distinct texts). The
+    * struct-max (max ntok, then max −doc_id ≡ min doc_id)
+    * partial-aggregates map-side like any min/max; docs too short to
+    * shingle can never pair, so each survives as its own singleton
+    * cluster, matching [[deduplicate]]. */
   def deduplicateKeepBest(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
-    val lab = clusters(docs, cfg)
-      .select(col("doc_id"), col("cluster_id"),
-        size(tokens(col("text"))).cast(LongType).as("ntok"))
-    val best = lab.groupBy(col("cluster_id"))
+    val ntok = size(tokens(col("text"))).cast(LongType)
+    val hasShingles = size(tokens(col("text"))) >= cfg.shingleSize
+    // lazy checkpoint: reps feeds the band self-join, CC vertices AND
+    // the argmax re-read (see [[deduplicate]])
+    val reps = docs.filter(hasShingles)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text")).localCheckpoint(false)
+    val pairs = nearDupPairsDistinct(reps, cfg, brute = false)
+      .select(col("a_id"), col("b_id"))
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, reps.select(col("doc_id")))
+      .withColumnRenamed("id", "doc_id")
+    val best = reps.select(col("doc_id"), ntok.as("ntok"))
+      .join(comp, "doc_id")
+      .groupBy(col("cid"))
       .agg(max(struct(col("ntok"), (-col("doc_id")).as("nd"))).as("b"))
-      .select(col("cluster_id"), (-col("b.nd")).as("doc_id"))
-    lab.join(best, Seq("cluster_id", "doc_id"))
-      .select(col("doc_id"), col("cluster_id"), col("ntok"))
+      .select((-col("b.nd")).as("doc_id"), col("cid").as("cluster_id"),
+        col("b.ntok").as("ntok"))
+    val singletons = docs.filter(!hasShingles)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), ntok.as("ntok"))
+    best.unionByName(singletons)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 "SemDeDup:

@@ -247,21 +247,30 @@ class DedupApiSpec extends AnyFunSuite {
     // jaccard at 7/10 ≥ 0.5) → policy must keep 1 where min-id
     // dedup keeps 0; cluster {2,3}: equal lengths → tie-break keeps 2;
     // 4 is a singleton
+    // doc 5 CLONES the short member of cluster {0,1}: it ties its rep
+    // on ntok and loses the min-id tie-break, so the longer doc 1
+    // still wins (the rep-level argmax is exact under cloning);
+    // docs 8/9 are identical but too short to shingle — both survive
+    // as their own singleton clusters ([[deduplicate]]'s semantics)
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),
       (1L, "the quick brown fox jumps over the lazy dog today extra"),
+      (5L, "the quick brown fox jumps over the lazy dog today"),
       (2L, "entirely different content about spark catalyst plans"),
       (3L, "entirely different content about spark catalyst rules"),
-      (4L, "unrelated text one two three four five six seven")
+      (4L, "unrelated text one two three four five six seven"),
+      (8L, "a b"),
+      (9L, "a b")
     ).toDF("doc_id", "text")
     val kept = Dedup.deduplicateKeepBest(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(kept == Set((1L, 0L, 11L), (2L, 2L, 7L), (4L, 4L, 9L)), kept.toString)
+    assert(kept == Set((1L, 0L, 11L), (2L, 2L, 7L), (4L, 4L, 9L),
+      (8L, 8L, 2L), (9L, 9L, 2L)), kept.toString)
     // min-id policy on the same corpus keeps 0 — the two front doors
     // agree on cluster structure, differ only in the selection rule
     val minId = Dedup.deduplicate(docs).select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
-    assert(minId == Set(0L, 2L, 4L))
+    assert(minId == Set(0L, 2L, 4L, 8L, 9L))
   }
 
   test("containment catches fragment duplicates that jaccard misses") {
