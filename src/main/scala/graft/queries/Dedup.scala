@@ -759,6 +759,72 @@ object Dedup {
     best.unionByName(singletons)
   }
 
+  /** Incremental near-dedup — the snapshot-over-snapshot production
+    * shape (process crawl N+1 against the already-kept index WITHOUT
+    * re-deduplicating the index; CCNet/RefinedWeb run per-snapshot
+    * passes of this form): an incoming document group is dropped iff
+    * its text near-dups (jaccard ≥ cfg.jaccardThreshold) an index
+    * text OR an incoming group with smaller gid; the min-id member of
+    * each surviving group is kept. Decisions are per distinct TEXT
+    * (group-greedy — the collapse doctrine: jaccard is a function of
+    * text alone), deterministic under any partitioning, and
+    * shingle-less incoming docs always survive ([[deduplicate]]'s
+    * bypass semantics). Returns surviving incoming docs (all original
+    * columns).
+    *
+    * Group-greedy vs [[deduplicate]]'s connected components: a chain
+    * A–B–C (A ∈ index) drops B against A and C against B even though
+    * C never pairs with A — the same kept set CC produces on chains
+    * whose min lives in the index, without any iterative fixpoint, so
+    * the whole operator is one SQL-expressible pass (what makes the
+    * per-snapshot production cadence cheap).
+    *
+    * 100 TB shape: NEVER an index×index pair — signatures/bands build
+    * over the distinct texts of each side (the index ships only its
+    * distinct-text band table + shingle sets, keyed by h60(text), not
+    * the corpus), the cross join is a banded equi-join with
+    * [[LshConfig.maxBucketSize]] caps on both band tables, and the
+    * incoming self-join is [[nearDupPairs]]'s capped colliding-pairs
+    * shape. Lazy checkpoints on every multiply-referenced table. */
+  def deduplicateIncremental(index: DataFrame, incoming: DataFrame,
+                             cfg: LshConfig = LshConfig()): DataFrame = {
+    val hasShingles = size(tokens(col("text"))) >= cfg.shingleSize
+    def shOf(c: Column) = shingles(tokens(c), cfg.shingleSize, distinct = true)
+    def jacc(a: Column, b: Column) =
+      size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+    val inReps = incoming.filter(hasShingles)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text")).localCheckpoint(false)
+    // index side: distinct texts only (index ids never surface);
+    // h60(text) is a deterministic synthetic id for banding/caps
+    val ixReps = index.filter(hasShingles)
+      .select(col("text")).distinct()
+      .select(h60(col("text")).as("doc_id"), col("text")).localCheckpoint(false)
+    val inBands = bandTable(minhashSignaturesDistinct(inReps, cfg), cfg)
+      .localCheckpoint(false) // self-join sides + the cross join
+    val ixBands = bandTable(minhashSignaturesDistinct(ixReps, cfg), cfg)
+    val inSh = inReps.select(col("doc_id"), shOf(col("text")).as("sh"))
+    val ixSh = ixReps.select(col("doc_id"), shOf(col("text")).as("sh"))
+    val vsIx = inBands.as("a").join(ixBands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("g"), col("b.doc_id").as("x")).distinct()
+      .join(inSh.select(col("doc_id").as("g"), col("sh").as("gsh")), "g")
+      .join(ixSh.select(col("doc_id").as("x"), col("sh").as("xsh")), "x")
+      .filter(jacc(col("gsh"), col("xsh")) >= cfg.jaccardThreshold)
+      .select(col("g"))
+    val vsIn = collidingPairs(inBands, Seq("band", "sig"))
+      .join(inSh.select(col("doc_id").as("a_id"), col("sh").as("ash")), "a_id")
+      .join(inSh.select(col("doc_id").as("b_id"), col("sh").as("bsh")), "b_id")
+      .filter(jacc(col("ash"), col("bsh")) >= cfg.jaccardThreshold)
+      .select(col("b_id").as("g"))
+    val dropped = vsIx.unionByName(vsIn).distinct()
+      .withColumnRenamed("g", "doc_id")
+    val keepIds = inReps.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .unionByName(incoming.filter(!hasShingles).select(col("doc_id")))
+    incoming.join(keepIds, "doc_id")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): partition the embedding space with k-means
@@ -1081,7 +1147,71 @@ object Dedup {
       rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
                                           ORDER BY ntok DESC, doc_id ASC) rn
              FROM lab)
-      SELECT doc_id, cluster_id, ntok FROM rk WHERE rn = 1 ORDER BY doc_id"""))
+      SELECT doc_id, cluster_id, ntok FROM rk WHERE rn = 1 ORDER BY doc_id""")),
+
+    // incremental snapshot dedup: odd doc_ids arrive as the new crawl,
+    // even doc_ids are the already-kept index — group-greedy drops
+    // (vs index, vs earlier incoming group), never an index×index pair
+    Q("q89_incremental_dedup", (s, d) => {
+      val docs = t(s, d, "documents")
+      deduplicateIncremental(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH inr AS (SELECT min(doc_id) gid, text FROM documents
+                   WHERE doc_id % 2 = 1 GROUP BY text),
+      ixr AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+      itk AS (SELECT gid, list_filter(string_split(text,' '), x->x<>'') tk FROM inr),
+      ish AS (SELECT gid, list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                                         for i in generate_series(1,len(tk)-2)]) shingles
+              FROM itk WHERE len(tk) >= 3),
+      xtk AS (SELECT text, list_filter(string_split(text,' '), x->x<>'') tk FROM ixr),
+      xsh AS (SELECT ${sql.h60("text")} xid,
+                     list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                                    for i in generate_series(1,len(tk)-2)]) shingles
+              FROM xtk WHERE len(tk) >= 3),
+      imh AS (SELECT gid, shingles,
+                [COALESCE(list_min([CAST((2*j+1) * (${sql.hmod("s")})
+                                         + (j*j+7) AS BIGINT) % $P for s in shingles]), $P)
+                 for j in generate_series(0,${NH - 1})] mh
+              FROM ish),
+      xmh AS (SELECT xid, shingles,
+                [COALESCE(list_min([CAST((2*j+1) * (${sql.hmod("s")})
+                                         + (j*j+7) AS BIGINT) % $P for s in shingles]), $P)
+                 for j in generate_series(0,${NH - 1})] mh
+              FROM xsh),
+      iband AS (SELECT gid, b,
+                  CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+                FROM imh, generate_series(0,${BANDS - 1}) g(b)),
+      xband AS (SELECT xid, b,
+                  CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+                FROM xmh, generate_series(0,${BANDS - 1}) g(b)),
+      cvx AS (SELECT DISTINCT i.gid, x.xid
+              FROM iband i JOIN xband x ON i.b = x.b AND i.sig = x.sig),
+      dvx AS (SELECT DISTINCT c.gid FROM cvx c
+              JOIN ish a ON a.gid = c.gid JOIN xsh e ON e.xid = c.xid
+              WHERE len(list_intersect(a.shingles, e.shingles))::DOUBLE /
+                    len(list_distinct(a.shingles || e.shingles)) >= 0.5::DOUBLE),
+      cvi AS (SELECT DISTINCT a.gid ga, b.gid gb FROM iband a JOIN iband b
+              ON a.b = b.b AND a.sig = b.sig AND a.gid < b.gid),
+      dvi AS (SELECT DISTINCT c.gb gid FROM cvi c
+              JOIN ish a ON a.gid = c.ga JOIN ish b ON b.gid = c.gb
+              WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                    len(list_distinct(a.shingles || b.shingles)) >= 0.5::DOUBLE),
+      dropped AS (SELECT gid FROM dvx UNION SELECT gid FROM dvi),
+      keepids AS (
+        SELECT gid AS doc_id FROM inr
+        WHERE gid IN (SELECT gid FROM ish)
+          AND gid NOT IN (SELECT gid FROM dropped)
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id % 2 = 1
+          AND len(list_filter(string_split(text,' '), x->x<>'')) < 3)
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM documents d JOIN keepids k USING (doc_id)
+      ORDER BY doc_id"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

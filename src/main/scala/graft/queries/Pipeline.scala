@@ -155,6 +155,46 @@ object Pipeline {
           .as("order_checksum"))
   }
 
+  /** Learned-quality-classifier inference — the fastText-style linear
+    * filter of CCNet (Wenzek et al. 2020) / LLaMA corpus prep: hashed
+    * bag-of-words features × a model weight vector, keep documents
+    * scoring above a threshold. `weights` is the (bucket, w) model
+    * table — `buckets` rows of int64 weights (fixed-point: scale
+    * float model weights at export time) — and features are hashed
+    * token buckets WITH multiplicity (fastText sums token vectors,
+    * then length-normalizes). Returns per-doc (doc_id, ntok,
+    * score_num, score, keep): score_num = Σ w(bucket(tok)) + bias is
+    * an exact int64 sum, score = score_num/ntok is ONE IEEE division
+    * of exact integers, and keep compares score_num ≥ threshold·ntok
+    * in integers only — the keep decision is bit-exact under any
+    * partitioning (same contract as [[stratifiedSampleAudit]]).
+    *
+    * 100 TB shape: explode → broadcast-join → groupBy(doc_id) LOOKS
+    * like a token-volume shuffle but is not — a doc's exploded tokens
+    * stay in its input partition, so the map-side partial aggregate
+    * collapses them to one row per doc before the exchange; shuffle
+    * volume is O(docs), the weight table is an O(buckets) broadcast,
+    * and nothing else moves. Tokenless docs score 0 / keep = false. */
+  def classifierScore(docs: DataFrame, weights: DataFrame,
+                      bias: Long = 0L, threshold: Long = 0L,
+                      buckets: Int = 512): DataFrame = {
+    require(buckets > 0, s"buckets out of range: $buckets")
+    val feats = docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        when(col("tok").isNotNull,
+          hmod(concat(lit("qw:"), col("tok"))) % buckets).as("b"))
+    feats.join(broadcast(weights), feats("b") === weights("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("b")).as("ntok"),
+        (coalesce(sum(col("w")), lit(0L)) + lit(bias)).as("score_num"))
+      .withColumn("score",
+        when(col("ntok") > 0, col("score_num").cast(DoubleType) / col("ntok"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("ntok") > 0 && col("score_num") >= lit(threshold) * col("ntok"))
+  }
+
   /** Stage 1 of DSIR (Xie et al. 2023): the hashed-unigram token
     * feature stream (doc_id, lang, f) with B buckets — scan-stage
     * explode + hash, no state. */
@@ -657,6 +697,35 @@ object Pipeline {
       SELECT shard, count(*) AS n_docs,
         CAST(SUM((pos * (${sql.hmod("CAST(doc_id AS VARCHAR)")} % 1000000)) % ${P})
              % ${P} AS BIGINT) AS order_checksum
-      FROM p GROUP BY shard ORDER BY shard"""))
+      FROM p GROUP BY shard ORDER BY shard""")),
+
+    // learned-quality-classifier inference: hashed bag-of-words ×
+    // broadcast int64 weight table → exact per-doc score + keep
+    // decision (the weights here are a deterministic hash-derived
+    // stand-in for an exported model — the gate pins the INFERENCE
+    // plumbing: featurization, broadcast join, exact scoring)
+    Q("q88_quality_classifier", (s, d) => {
+      val w = s.range(512).select(col("id").as("bucket"),
+        (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L).as("w"))
+      classifierScore(t(s, d, "documents"), w)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      ex AS (SELECT doc_id, unnest(tk) tok FROM tk),
+      f AS (SELECT doc_id, ${sql.hmod("'qw:'||tok")} % 512 b FROM ex),
+      w AS (SELECT b, ${sql.hmod("'w:'||CAST(b AS VARCHAR)")} % 2001 - 1000 w
+            FROM generate_series(0,511) g(b)),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) ntok,
+                     CAST(SUM(w.w) AS BIGINT) score_num
+              FROM f JOIN w USING (b) GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(p.ntok, 0) AS BIGINT) AS ntok,
+        CAST(COALESCE(p.score_num, 0) AS BIGINT) AS score_num,
+        CASE WHEN COALESCE(p.ntok, 0) > 0
+             THEN CAST(p.score_num AS DOUBLE) / p.ntok
+             ELSE 0.0::DOUBLE END AS score,
+        (COALESCE(p.ntok, 0) > 0 AND COALESCE(p.score_num, 0) >= 0) AS keep
+      FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id"""))
   )
 }

@@ -273,6 +273,44 @@ class DedupApiSpec extends AnyFunSuite {
     assert(minId == Set(0L, 2L, 4L, 8L, 9L))
   }
 
+  test("deduplicateIncremental: drops vs index and vs earlier incoming, never re-dedups the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // index holds text A twice (1, 3 — deliberately NOT deduplicated:
+    // the operator must not care) plus novel B
+    val index = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "completely unrelated index content about databases here")
+    ).toDF("doc_id", "text")
+    // incoming: 11 clones A → dropped vs index; 13 near-dups A
+    // (A + one trailing token, jaccard 8/9 — the pair the keep-best
+    // test proves band-collides) → dropped vs index; 15 is novel →
+    // kept; 17/19 near-dup EACH OTHER only (the proven catalyst
+    // plans/rules pair) → 17 kept (lower gid), 19 dropped vs earlier
+    // incoming; 21/23 identical but shingle-less → both survive
+    // (deduplicate's bypass semantics)
+    val incoming = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (13L, "the quick brown fox jumps over the lazy dog today extra"),
+      (15L, "fresh new snapshot material nothing like anything before"),
+      (17L, "entirely different content about spark catalyst plans"),
+      (19L, "entirely different content about spark catalyst rules"),
+      (21L, "a b"),
+      (23L, "a b")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.deduplicateIncremental(index, incoming)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(15L, 17L, 21L, 23L), kept.toString)
+    // no nested-loop/cartesian anywhere (banded equi-joins only)
+    noNestedLoop(Dedup.deduplicateIncremental(index, incoming))
+    // partition-pure: same survivors from scattered scans
+    val again = Dedup.deduplicateIncremental(
+        index.repartition(5), incoming.repartition(7))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("containment catches fragment duplicates that jaccard misses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

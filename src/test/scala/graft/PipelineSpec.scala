@@ -232,4 +232,33 @@ class PipelineSpec extends AnyFunSuite {
     val fwd = rows.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("order_checksum")).toMap
     assert(rev != fwd, "checksum failed to distinguish shard orderings")
   }
+
+  test("q88: classifier score is the exact mean of int64 bucket weights; keep ≡ score ≥ 0") {
+    val rows = SparkEntry.queries("q88_quality_classifier")(spark, sf).collect()
+    val docs = Tables.t(spark, sf, "documents")
+    assert(rows.length == docs.count())
+    for (r <- rows) {
+      val ntok = r.getAs[Long]("ntok")
+      val num = r.getAs[Long]("score_num")
+      assert(ntok > 0) // corpus has no empty docs
+      // score is EXACTLY num/ntok (one IEEE division of exact ints)
+      assert(r.getAs[Double]("score") == num.toDouble / ntok)
+      assert(r.getAs[Boolean]("keep") == (num >= 0L))
+    }
+    // threshold 0 over ~uniform[-1000,1000] weights splits the corpus
+    // (the score actually discriminates — not all-keep/all-drop)
+    val nKeep = rows.count(_.getAs[Boolean]("keep"))
+    assert(nKeep > 0 && nKeep < rows.length, s"degenerate keep: $nKeep")
+    // ntok matches the independent token count
+    val ntoks = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows)
+      assert(r.getAs[Long]("ntok") == ntoks(r.getAs[Long]("doc_id")))
+    // decision is partition-pure: identical rows from a scattered scan
+    val w = spark.range(512).select(col("id").as("bucket"),
+      (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L).as("w"))
+    val again = graft.queries.Pipeline.classifierScore(docs.repartition(7), w)
+      .orderBy(col("doc_id")).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
