@@ -169,25 +169,40 @@ object Pipeline {
     * in integers only — the keep decision is bit-exact under any
     * partitioning (same contract as [[stratifiedSampleAudit]]).
     *
-    * 100 TB shape: explode → broadcast-join → groupBy(doc_id) LOOKS
-    * like a token-volume shuffle but is not — a doc's exploded tokens
-    * stay in its input partition, so the map-side partial aggregate
+    * 100 TB shape: explode → broadcast-join → groupBy LOOKS like a
+    * token-volume shuffle but is not — a doc's exploded tokens stay
+    * in its input partition, so the map-side partial aggregate
     * collapses them to one row per doc before the exchange; shuffle
     * volume is O(docs), the weight table is an O(buckets) broadcast,
-    * and nothing else moves. Tokenless docs score 0 / keep = false. */
+    * and nothing else moves. Tokenless docs score 0 / keep = false.
+    *
+    * Exact-clone collapsed (the Dedup-family doctrine): the score is
+    * a function of text alone, so the per-token hash+join+sum runs
+    * once per DISTINCT text (gid = min doc_id per text, one window
+    * pass) and expands through the (gid, doc_id) group table —
+    * identical results, and the dominant per-token md5 cost scales
+    * with distinct texts, not corpus size, on crawl corpora where
+    * exact clones are the single biggest duplication mode. */
   def classifierScore(docs: DataFrame, weights: DataFrame,
                       bias: Long = 0L, threshold: Long = 0L,
                       buckets: Int = 512): DataFrame = {
     require(buckets > 0, s"buckets out of range: $buckets")
-    val feats = docs
-      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id"))
+    val reps = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("text"))
+    val feats = reps
+      .select(col("gid"), explode_outer(tokens(col("text"))).as("tok"))
+      .select(col("gid"),
         when(col("tok").isNotNull,
           hmod(concat(lit("qw:"), col("tok"))) % buckets).as("b"))
-    feats.join(broadcast(weights), feats("b") === weights("bucket"), "left")
-      .groupBy(col("doc_id"))
+    val per = feats.join(broadcast(weights), feats("b") === weights("bucket"), "left")
+      .groupBy(col("gid"))
       .agg(count(col("b")).as("ntok"),
         (coalesce(sum(col("w")), lit(0L)) + lit(bias)).as("score_num"))
+    members.join(per, "gid")
+      .select(col("doc_id"), col("ntok"), col("score_num"))
       .withColumn("score",
         when(col("ntok") > 0, col("score_num").cast(DoubleType) / col("ntok"))
           .otherwise(lit(0.0)))

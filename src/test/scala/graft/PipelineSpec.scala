@@ -260,5 +260,23 @@ class PipelineSpec extends AnyFunSuite {
     val again = graft.queries.Pipeline.classifierScore(docs.repartition(7), w)
       .orderBy(col("doc_id")).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // clone-collapse pin: on a corpus where every text appears twice
+    // (shifted ids), each clone scores identically to its original —
+    // the collapsed plan is result-identical to the per-doc formula
+    val shift = docs.count()
+    val cloned = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
+    val cscores = graft.queries.Pipeline.classifierScore(cloned, w)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ntok"), r.getAs[Long]("score_num"),
+          r.getAs[Double]("score"), r.getAs[Boolean]("keep")))).toMap
+    assert(cscores.size == 2 * rows.length)
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val expect = (r.getAs[Long]("ntok"), r.getAs[Long]("score_num"),
+        r.getAs[Double]("score"), r.getAs[Boolean]("keep"))
+      assert(cscores(id) == expect)
+      assert(cscores(id + shift) == expect)
+    }
   }
 }
