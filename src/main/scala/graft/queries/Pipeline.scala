@@ -210,6 +210,119 @@ object Pipeline {
         col("ntok") > 0 && col("score_num") >= lit(threshold) * col("ntok"))
   }
 
+  /** Vocabulary construction + out-of-vocabulary audit — the
+    * tokenizer-prep stage (BPE/WordPiece corpora first fix a top-V
+    * vocab, then measure how much of each document it covers; docs
+    * with high OOV mass are noise/wrong-language and get dropped).
+    * Vocab = top `v` tokens by corpus frequency with a TOTAL
+    * deterministic order (count desc, token asc — ties at the cut
+    * cannot flip membership between runs/engines). Returns per-doc
+    * (doc_id, ntok, n_oov, oov_rate, keep): counts are exact int64,
+    * oov_rate is ONE IEEE division, keep compares n_oov·1000 ≤
+    * ntok·maxOovPerMille in integers only.
+    *
+    * 100 TB shape: the corpus count is a map-side-combined
+    * groupBy(token) (shuffle = O(distinct tokens)); top-V is a
+    * bounded global top-k (TakeOrdered — partial heaps per partition,
+    * never a full sort); the vocab is an O(v) broadcast back into the
+    * token stream's scan stage; the per-doc fold partial-aggregates
+    * before its O(docs) exchange. Nothing corpus-sized shuffles
+    * un-combined. Text-pure per doc, so the exact-clone collapse
+    * (q74/q88 doctrine) applies verbatim if distinct-text ratios
+    * warrant the window pass. */
+  def vocabOovAudit(docs: DataFrame, v: Int = 16,
+                    maxOovPerMille: Long = 450L): DataFrame = {
+    require(v > 0 && maxOovPerMille >= 0, "vocab/threshold out of range")
+    val ex = docs.select(col("doc_id"),
+      explode_outer(tokens(col("text"))).as("tok"))
+    val vocab = ex.filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(v)
+      .select(col("tok").as("vtok"), lit(1L).as("inv"))
+    ex.join(broadcast(vocab), ex("tok") === col("vtok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("tok")).as("ntok"),
+        sum(when(col("tok").isNotNull && col("inv").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("ntok") > 0, col("n_oov").cast(DoubleType) / col("ntok"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("ntok") > 0 && col("n_oov") * 1000L <= col("ntok") * maxOovPerMille)
+  }
+
+  /** Unigram-commonness scoring — the exact-arithmetic stand-in for
+    * CCNet's (Wenzek et al. 2020 §4) perplexity filter: score each
+    * document by the mean corpus frequency of its token instances
+    * (rare-token-heavy docs score low, boilerplate scores high).
+    * A real LM filter sums log-probabilities; logs differ in the
+    * last ulp between libm and java.lang.Math (the q57 lesson), so
+    * the score stays rational: num = Σ cnt(tok) over the doc's
+    * instances and score = num/ntok is ONE IEEE division of exact
+    * int64 sums. keep compares num ≥ threshold·ntok in integers.
+    *
+    * Exact-clone collapsed (q74's skeleton verbatim): tf and the
+    * score are text-pure, and corpus frequency = Σ over distinct
+    * texts tf·group_size, so the exploded aggregation — the one
+    * genuine big shuffle — runs over distinct texts only; members/tf
+    * are localCheckpoint'd (each feeds two plan references, the
+    * derived-subtree-reuse rule). Overflow bound: num ≤ ntok·max(cnt)
+    * — at 10^12 corpus tokens a 10^5-token doc stays under 10^17 <
+    * 2^63; beyond that, bucket cnt per-mille first. */
+  def commonnessScore(docs: DataFrame, threshold: Long = 0L): DataFrame = {
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id"))
+      .localCheckpoint(false) // feeds sizes and the expansion join
+    val reps = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("text"))
+    val sizes = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+    val tf = reps.select(col("gid"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("gid"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds freq and the per-doc fold
+    val freq = tf.join(sizes, "gid")
+      .groupBy(col("tok")).agg(sum(col("tf") * col("gsz")).as("cnt"))
+    val per = tf.join(freq, "tok")
+      .groupBy(col("gid"))
+      .agg(sum(col("tf")).as("ntok"),
+        sum(col("tf") * col("cnt")).as("num"))
+    members.join(per, Seq("gid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ntok"), lit(0L)).as("ntok"),
+        coalesce(col("num"), lit(0L)).as("num"))
+      .withColumn("score",
+        when(col("ntok") > 0, col("num").cast(DoubleType) / col("ntok"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("ntok") > 0 && col("num") >= lit(threshold) * col("ntok"))
+  }
+
+  /** Per-source document cap — the RefinedWeb (Penedo et al. 2023
+    * §3.4) per-domain cap: keep at most `k` docs per source, chosen
+    * by a DETERMINISTIC salted hash order (doc_id tie-break) so every
+    * re-run keeps the same set — a cap, not a sample. Returns the
+    * per-source audit (n_total, n_kept, kept membership checksum).
+    *
+    * 100 TB shape: selection goes through [[graft.plans.TopK]]'s
+    * bounded-heap operator — partial heaps carry ≤ k rows per source
+    * per upstream partition into the exchange (the q45 lesson: the
+    * row_number window form sorts the full corpus per source, with no
+    * AQE skew rescue on a hot domain). The audits are monoid sums. */
+  def sourceCapAudit(docs: DataFrame, k: Int = 10): DataFrame = {
+    val keyed = docs.select(col("source"), col("doc_id"),
+      hmod(concat(lit("cap:"), col("doc_id").cast("string"))).as("hkey"))
+    val kept = graft.plans.TopK.perKey(keyed,
+      Seq(col("source")), Seq(col("hkey"), col("doc_id")), k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(hmod(col("doc_id").cast("string"))) % P).as("kept_checksum"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
+  }
+
   /** Stage 1 of DSIR (Xie et al. 2023): the hashed-unigram token
     * feature stream (doc_id, lang, f) with B buckets — scan-stage
     * explode + hash, no state. */
@@ -741,6 +854,80 @@ object Pipeline {
              THEN CAST(p.score_num AS DOUBLE) / p.ntok
              ELSE 0.0::DOUBLE END AS score,
         (COALESCE(p.ntok, 0) > 0 AND COALESCE(p.score_num, 0) >= 0) AS keep
-      FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id"""))
+      FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""")),
+
+    // vocabulary construction + OOV filter: top-16 corpus vocab with
+    // a total tie-break order, broadcast membership, integer keep
+    // decision (this corpus draws from a 31-token pool, so V=16 is
+    // the discriminating half — OOV rates span 0.18-0.77)
+    Q("q90_vocab_oov", (s, d) => {
+      vocabOovAudit(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      ex AS (SELECT doc_id, unnest(tk) tok FROM tk),
+      v AS (SELECT tok FROM (SELECT tok, count(*) c FROM ex
+                             GROUP BY 1 ORDER BY c DESC, tok LIMIT 16)),
+      per AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) ntok,
+                CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  n_oov
+              FROM ex e LEFT JOIN v ON e.tok = v.tok GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(ntok, 0) AS BIGINT) AS ntok,
+        CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+        CASE WHEN COALESCE(ntok, 0) > 0
+             THEN CAST(n_oov AS DOUBLE) / ntok
+             ELSE 0.0::DOUBLE END AS oov_rate,
+        (COALESCE(ntok, 0) > 0 AND COALESCE(n_oov, 0) * 1000 <= ntok * 450)
+          AS keep
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // unigram-commonness score (the rational perplexity-filter
+    // stand-in): mean corpus frequency of each doc's token instances,
+    // threshold 900 splits this corpus 415 keep / 85 drop
+    Q("q91_commonness", (s, d) => {
+      commonnessScore(t(s, d, "documents"), threshold = 900L)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      ex AS (SELECT doc_id, unnest(tk) tok FROM tk),
+      freq AS (SELECT tok, CAST(count(*) AS BIGINT) cnt FROM ex GROUP BY 1),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) ntok,
+                CAST(SUM(cnt) AS BIGINT) num
+              FROM ex JOIN freq USING (tok) GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(ntok, 0) AS BIGINT) AS ntok,
+        CAST(COALESCE(num, 0) AS BIGINT) AS num,
+        CASE WHEN COALESCE(ntok, 0) > 0
+             THEN CAST(num AS DOUBLE) / ntok
+             ELSE 0.0::DOUBLE END AS score,
+        (COALESCE(ntok, 0) > 0 AND COALESCE(num, 0) >= 900 * ntok) AS keep
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // per-source doc cap through the TopKPerKey bounded-heap
+    // operator: 20 sources × 25 docs capped at 10 — the membership
+    // checksum pins WHICH ten survive, proving the deterministic
+    // hash order, not just the counts
+    Q("q92_source_cap", (s, d) => {
+      sourceCapAudit(t(s, d, "documents"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH a AS (SELECT source, doc_id,
+                   ${sql.hmod("'cap:'||CAST(doc_id AS VARCHAR)")} hkey
+                 FROM documents),
+      r AS (SELECT source, doc_id,
+              row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) rk
+            FROM a),
+      kept AS (SELECT source, CAST(count(*) AS BIGINT) n_kept,
+                 CAST(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}) % ${P}
+                      AS BIGINT) kept_checksum
+               FROM r WHERE rk <= 10 GROUP BY 1)
+      SELECT t.source, t.n_total,
+        CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        CAST(COALESCE(kept_checksum, 0) AS BIGINT) AS kept_checksum
+      FROM (SELECT source, count(*) n_total FROM documents GROUP BY 1) t
+      LEFT JOIN kept USING (source) ORDER BY source"""))
   )
 }

@@ -279,4 +279,73 @@ class PipelineSpec extends AnyFunSuite {
       assert(cscores(id + shift) == expect)
     }
   }
+
+  test("q90: vocab membership is total-ordered and OOV accounting closes") {
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = graft.queries.Pipeline.vocabOovAudit(docs).collect()
+    assert(rows.length == docs.count())
+    // accounting: n_oov <= ntok, rate consistent, keep matches the integers
+    for (r <- rows) {
+      val (ntok, noov) = (r.getAs[Long]("ntok"), r.getAs[Long]("n_oov"))
+      assert(noov <= ntok)
+      if (ntok > 0)
+        assert(r.getAs[Double]("oov_rate") == noov.toDouble / ntok)
+      assert(r.getAs[Boolean]("keep") == (ntok > 0 && noov * 1000 <= ntok * 450))
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")) &&
+      rows.exists(!_.getAs[Boolean]("keep")), "thresholds dead")
+    // determinism: same result from a repartitioned scan (vocab ties
+    // at the cut are broken by the total (count desc, token) order)
+    val again = graft.queries.Pipeline.vocabOovAudit(docs.repartition(7))
+      .orderBy(col("doc_id")).collect()
+    assert(rows.sortBy(_.getAs[Long]("doc_id")).map(_.toString).toSeq ==
+      again.map(_.toString).toSeq)
+  }
+
+  test("q91: collapsed commonness equals the direct uncollapsed formula") {
+    val docs = Tables.t(spark, sf, "documents")
+    val got = graft.queries.Pipeline.commonnessScore(docs, threshold = 900L)
+      .orderBy(col("doc_id")).collect()
+    // independent uncollapsed reference: explode all docs, join freq
+    val ex = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ref = ex.join(freq, "tok").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ntok"), sum(col("cnt")).as("num"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ntok"), r.getAs[Long]("num")))).toMap
+    assert(got.length == docs.count())
+    for (r <- got; if r.getAs[Long]("ntok") > 0) {
+      val (ntok, num) = ref(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("ntok") == ntok && r.getAs[Long]("num") == num)
+      assert(r.getAs[Double]("score") == num.toDouble / ntok)
+      assert(r.getAs[Boolean]("keep") == (num >= 900L * ntok))
+    }
+    // and on a corpus with exact clones, a clone scores as its original
+    val shift = docs.count()
+    val cloned = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
+    val cs = graft.queries.Pipeline.commonnessScore(cloned)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ntok"), r.getAs[Long]("num")))).toMap
+    assert(cs.size == 2 * shift)
+    for ((id, v) <- cs; if id < shift) assert(cs(id + shift) == v)
+  }
+
+  test("q92: source cap keeps min(k, total) per source, deterministically") {
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = graft.queries.Pipeline.sourceCapAudit(docs, k = 10).collect()
+    val totals = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == totals.size)
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_total") == totals(src))
+      assert(r.getAs[Long]("n_kept") == math.min(10L, totals(src)))
+    }
+    // the checksum (membership, not just count) survives repartitioning
+    val again = graft.queries.Pipeline.sourceCapAudit(docs.repartition(7), k = 10)
+      .orderBy(col("source")).collect()
+    assert(rows.sortBy(_.getAs[String]("source")).map(_.toString).toSeq ==
+      again.map(_.toString).toSeq)
+  }
 }
