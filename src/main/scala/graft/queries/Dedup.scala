@@ -676,6 +676,38 @@ object Dedup {
       .drop("cid")
   }
 
+  /** Leakage-safe train/validation/test split: the split decision
+    * hashes the near-dup CLUSTER id, not the doc id — a doc-level
+    * hash split (q58) puts two near-duplicates of the same page on
+    * opposite sides of the train/eval boundary, which is exactly the
+    * contamination q76 exists to detect; splitting by cluster makes
+    * the leak structurally impossible (subset = f(cluster_id), so a
+    * cluster cannot straddle). The GPT-3 §5 post-hoc dedup of eval
+    * overlaps is this operator done up front.
+    *
+    * Returns the per-subset audit (distinct clusters, docs, doc
+    * membership checksum). 100 TB shape: clustering is the audited
+    * [[clusters]] path (collapse → banded LSH → O(log d) CC); the
+    * subset decision is scan-stage hash arithmetic over its output,
+    * and the audit is one O(|subsets|) aggregate — the split adds
+    * NOTHING to the dedup cost. Percent bounds are integer
+    * per-cent thresholds on the same salted hash as q79/q85. */
+  def clusterSplitAudit(docs: DataFrame, cfg: LshConfig = LshConfig(),
+                        trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"split bounds out of range: $trainPct/$validPct")
+    val h = hmod(concat(lit("split:"), col("cluster_id").cast("string"))) % 100
+    clusters(docs, cfg)
+      .select(col("doc_id"), col("cluster_id"),
+        when(h < trainPct, "train")
+          .when(h < trainPct + validPct, "valid")
+          .otherwise("test").as("subset"))
+      .groupBy(col("subset"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        (sum(hmod(col("doc_id").cast("string"))) % P).as("docs_checksum"))
+  }
+
   /** End-to-end dedup: exact-clone collapse → near-dup pairs →
     * connected components → keep the min-id representative per
     * cluster. Returns the deduplicated corpus (all original columns).
@@ -1211,7 +1243,32 @@ object Dedup {
           AND len(list_filter(string_split(text,' '), x->x<>'')) < 3)
       SELECT d.doc_id, d.lang, d.n_chars
       FROM documents d JOIN keepids k USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // leakage-safe split: subset = hash(CLUSTER id), so near-dups
+    // can never straddle train/eval — the audit's membership
+    // checksums pin exactly which docs landed where
+    Q("q93_cluster_split", (s, d) => {
+      clusterSplitAudit(t(s, d, "documents"))
+        .orderBy(col("subset"))
+    }, Some(s"""
+      $ccCtes,
+      cl AS (SELECT d.doc_id,
+               COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) cluster_id
+             FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+      sp AS (SELECT doc_id, cluster_id,
+               CASE WHEN ${sql.hmod("'split:'||CAST(cluster_id AS VARCHAR)")}
+                         % 100 < 80 THEN 'train'
+                    WHEN ${sql.hmod("'split:'||CAST(cluster_id AS VARCHAR)")}
+                         % 100 < 90 THEN 'valid'
+                    ELSE 'test' END subset
+             FROM cl)
+      SELECT subset,
+        CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        count(*) AS n_docs,
+        CAST(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}) % ${P} AS BIGINT)
+          AS docs_checksum
+      FROM sp GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -441,4 +441,39 @@ class DedupApiSpec extends AnyFunSuite {
     assert(survivors.size < total, "dedup kept everything — pairs lost")
     assert(survivors.size == clusters.map(_._2).distinct.length)
   }
+
+  test("q93: no near-dup cluster straddles a split boundary; a doc-hash split does") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val cl = SparkEntry.queries("q56_dup_clusters")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    def md5h(s: String): Long =
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16).toLong % graft.functions.ExactCols.P
+    def bucket(s: String): Long = md5h(s) % 100
+    def subsetOf(h: Long): String =
+      if (h < 80) "train" else if (h < 90) "valid" else "test"
+    // cluster-keyed assignment: every cluster lands in exactly one subset
+    val byCluster = cl.groupBy(_._2).map { case (cid, ms) =>
+      cid -> ms.map(m => subsetOf(bucket(s"split:$cid"))).distinct
+    }
+    assert(byCluster.values.forall(_.size == 1))
+    // and the audit's totals reconcile with the direct recompute
+    val audit = SparkEntry.queries("q93_cluster_split")(spark, sf).collect()
+      .map(r => r.getAs[String]("subset") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    val expect = cl.groupBy { case (_, cid) => subsetOf(bucket(s"split:$cid")) }
+      .map { case (sub, ms) => sub -> ((ms.map(_._2).distinct.length.toLong,
+        ms.length.toLong)) }
+    assert(audit == expect)
+    assert(audit.keySet == Set("train", "valid", "test"), "a subset is empty")
+    // the NAIVE doc-hash split does straddle at least one multi-doc
+    // cluster on this corpus — the leak this operator exists to close
+    val straddled = cl.groupBy(_._2).values.exists { ms =>
+      ms.length > 1 &&
+        ms.map(m => subsetOf(bucket(s"split:${m._1}"))).distinct.size > 1
+    }
+    assert(straddled, "doc-hash split did not straddle — corpus no longer adversarial")
+  }
 }
