@@ -38,6 +38,15 @@ object ExactCols {
   /** h60 folded into [0, P). */
   def hmod(c: Column): Column = h60(c) % P
 
+  /** JVM-side mirror of [[hmod]] (md5 first-15-hex → int64, % P) for
+    * per-row imperative paths (typed streaming maps) that must agree
+    * bit-for-bit with the columnar expression. */
+  def hmodJvm(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16) % P
+
   /** Whitespace tokens, empties dropped (same as the wordcount path).
     * array_remove, NOT filter(_ =!= "") — ArrayRemove is codegen while
     * the filter lambda is an interpreted per-token closure; identical

@@ -7,7 +7,8 @@ import graft.queries.Pipeline
 /** Streaming forms of the corpus-preparation gate operators — the
   * ones a streaming ingest actually runs continuously: PII audit
   * (q71), quality funnel (q72), stratified sampling (q79), DSIR
-  * bucket stats (q80). The rest of the suite is inherently
+  * bucket stats (q80), quality-classifier inference (q88,
+  * stateless). The rest of the suite is inherently
   * corpus-wide: block dedup and decontamination need the full corpus
   * on both sides.
   *
@@ -30,6 +31,7 @@ import graft.queries.Pipeline
   *    [[graft.queries.Pipeline.funnelTable]] on the sink side.
   *  - Stratified sampling: one state row per stratum — O(|strata|).
   *  - DSIR buckets: B state rows (128) — O(B), corpus-size-free.
+  *  - Classifier inference: a stateless typed map — zero state.
   *
   * Run both with `outputMode("complete")` (or `update`): the
   * aggregates are monoids, so Spark's state store merges each
@@ -75,4 +77,33 @@ object PipelineStream {
   def dsirBucketsStream(docs: DataFrame, buckets: Int = 128,
                         target: String = "en"): DataFrame =
     Pipeline.dsirBuckets(Pipeline.dsirFeatures(docs, buckets), target)
+
+  /** Per-doc quality-classifier inference (gate q88's semantics) over
+    * an unbounded feed — STATELESS: the model is a broadcast-closure
+    * Map (bounded at `buckets` entries, exactly the table the batch
+    * plan broadcasts), a doc's whole token bag arrives in its one
+    * row, and the score is row-local arithmetic — so this is a typed
+    * map with ZERO streaming state, append-mode safe, the strongest
+    * possible state bound. The imperative per-row loop (instead of
+    * the batch explode→join→reagg) is what keeps it stateless;
+    * [[graft.functions.ExactCols.hmodJvm]] mirrors the columnar hash
+    * bit-for-bit and PipelineStreamSpec pins stream ≡ q88 batch
+    * output exactly, column for column. */
+  def classifierScoreStream(docs: DataFrame, weights: Map[Long, Long],
+                            bias: Long = 0L, threshold: Long = 0L,
+                            buckets: Int = 512): DataFrame = {
+    import graft.functions.ExactCols.hmodJvm
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(docs("doc_id").cast("long"), docs("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val ntok = toks.length.toLong
+        var num = bias
+        for (t <- toks) num += weights.getOrElse(hmodJvm("qw:" + t) % buckets, 0L)
+        val score = if (ntok > 0) num.toDouble / ntok else 0.0
+        (id, ntok, num, score, ntok > 0 && num >= threshold * ntok)
+      }
+      .toDF("doc_id", "ntok", "score_num", "score", "keep")
+  }
 }

@@ -130,4 +130,39 @@ class PipelineStreamSpec extends AnyFunSuite {
         gate.collect().map(_.toString).toSeq)
     } finally q.stop()
   }
+
+  test("stateless streaming classifier inference equals the q88 batch gate, append mode") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ExactCols.{hmod, P}
+    // the q88 gate's hash-derived weight table, collected to the
+    // bounded closure map the streaming form broadcasts
+    val wDf = spark.range(512).select(col("id").as("bucket"),
+      (hmod(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("w:"),
+        col("id").cast("string"))) % 2001L - 1000L).as("w"))
+    val weights = wDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hmodJvm really mirrors the columnar hash
+    for ((b, w) <- weights.take(5))
+      assert(graft.functions.ExactCols.hmodJvm(s"w:$b") % 2001L - 1000L == w)
+
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = PipelineStream
+      .classifierScoreStream(in.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start() // stateless: append is legal
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val gate = graft.SparkEntry.queries("q88_quality_classifier")(spark, sf)
+      assert(rowsOf(spark.table("clf_stream")) == rowsOf(gate))
+      assert(spark.table("clf_stream").count() == docs.length)
+    } finally q.stop()
+  }
 }
