@@ -1268,7 +1268,65 @@ object Dedup {
         count(*) AS n_docs,
         CAST(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}) % ${P} AS BIGINT)
           AS docs_checksum
-      FROM sp GROUP BY 1 ORDER BY 1"""))
+      FROM sp GROUP BY 1 ORDER BY 1""")),
+
+    // END-TO-END corpus prep as ONE gate (the q78 pattern over the
+    // whole pipeline): near-dedup survivors → Gopher stage-5 quality
+    // keep → stratified language sample → deterministic shard
+    // assignment, reporting the per-shard permutation audit of the
+    // FINAL corpus. Every stage is the individually-gated one
+    // (q78/q72/q79/q87); this pins their composition — filters are
+    // scan-stage predicates over the survivor scan, so the extra
+    // stages add zero shuffles beyond the audited dedup + the
+    // inherent per-shard sort.
+    Q("q94_corpus_prep_e2e", (s, d) => {
+      val kept = deduplicate(t(s, d, "documents"))
+        .filter(Pipeline.gopherKeep(col("text")))
+        .filter((hmod(concat(lit("sample:"), col("doc_id").cast("string"))) % 1000) <
+          when(col("lang") === "en", 250L).otherwise(600L))
+      Pipeline.shardAudit(kept, numShards = 8)
+        .orderBy(col("shard"))
+    }, Some(s"""
+      $ccCtes,
+      surv AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+               LEFT JOIN comp c ON d.doc_id = c.u
+               WHERE COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) = d.doc_id),
+      fpd AS (SELECT doc_id, lang,
+                CAST(len(ftk) AS BIGINT) ntok,
+                CAST(len(list_filter(ftk, t -> regexp_matches(t, '[A-Za-z]')))
+                     AS BIGINT) nalpha,
+                CAST(length(replace(text, ' ', '')) AS BIGINT) wlen,
+                CAST(len(list_filter(ftk, t -> list_contains(${Pipeline.stopSetSql}, t)))
+                     AS BIGINT) nstop,
+                CAST(len(fsg) AS BIGINT) ntotal,
+                CAST(len(list_distinct(fsg)) AS BIGINT) ndist
+              FROM (SELECT doc_id, lang, text, ftk,
+                      CASE WHEN len(ftk) >= 3
+                        THEN [ftk[i]||' '||ftk[i+1]||' '||ftk[i+2]
+                              for i in generate_series(1, len(ftk)-2)]
+                        ELSE [] END fsg
+                    FROM (SELECT doc_id, lang, text,
+                            list_filter(string_split(text,' '), x->x<>'') ftk
+                          FROM surv))),
+      fk AS (SELECT doc_id, lang FROM fpd
+             WHERE ntok >= 10 AND wlen >= ntok*3 AND wlen <= ntok*10
+               AND nalpha*5 >= ntok*4 AND nstop >= 2
+               AND (ntotal-ndist)*10 < ntotal*3),
+      sk AS (SELECT doc_id FROM fk
+             WHERE ${sql.hmod("'sample:'||CAST(doc_id AS VARCHAR)")} % 1000
+                   < CASE WHEN lang = 'en' THEN 250 ELSE 600 END),
+      sa AS (SELECT doc_id,
+               ${sql.hmod("'shard:'||CAST(doc_id AS VARCHAR)")} % 8 shard,
+               ${sql.hmod("'pos:'||CAST(doc_id AS VARCHAR)")} skey
+             FROM sk),
+      spp AS (SELECT shard, doc_id,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                     AS BIGINT) pos
+              FROM sa)
+      SELECT shard, count(*) AS n_docs,
+        CAST(SUM((pos * (${sql.hmod("CAST(doc_id AS VARCHAR)")} % 1000000)) % ${P})
+             % ${P} AS BIGINT) AS order_checksum
+      FROM spp GROUP BY shard ORDER BY shard"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -33,8 +33,28 @@ import graft.functions.TextExprs
 object Pipeline {
 
   /** Same list as Text's quality scoring — the funnel gates on it. */
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
-  private val stopSetSql = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+  private[queries] val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[queries] val stopSetSql = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** The cumulative Gopher stage-5 keep decision as ONE scan-stage
+    * predicate over raw text — the per-doc form of [[funnelStats]]'s
+    * c5 (same kernels, same integer-exact thresholds; PipelineSpec
+    * pins filter-count ≡ the funnel's stage-5 row so the two
+    * formulations cannot drift). This is the predicate a pipeline
+    * actually FILTERS with, where funnelStats is the report. */
+  def gopherKeep(text: Column): Column = {
+    val toks = tokens(text)
+    val sg = shingles(toks, 3, distinct = false)
+    val ntok = size(toks).cast(LongType)
+    val nalpha = TextExprs.alphaWordCount(toks)
+    val wlen = length(translate(text, " ", "")).cast(LongType)
+    val nstop = TextExprs.setHitCount(toks, stopwords)
+    val ntotal = size(sg).cast(LongType)
+    val ndist = size(array_distinct(sg)).cast(LongType)
+    ntok >= 10 && wlen >= ntok * 3 && wlen <= ntok * 10 &&
+      nalpha * 5 >= ntok * 4 && nstop >= 2 &&
+      (ntotal - ndist) * 10 < ntotal * 3
+  }
 
   /** PII audit aggregation shared by the batch gate (q71) and the
     * streaming variant (PipelineStream): scan-stage regex match +

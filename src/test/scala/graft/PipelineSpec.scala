@@ -348,4 +348,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.sortBy(_.getAs[String]("source")).map(_.toString).toSeq ==
       again.map(_.toString).toSeq)
   }
+
+  test("gopherKeep predicate ≡ the funnel's cumulative stage 5 (no drift)") {
+    val docs = Tables.t(spark, sf, "documents")
+    val viaPredicate = docs
+      .filter(graft.queries.Pipeline.gopherKeep(col("text"))).count()
+    val stage5 = graft.queries.Pipeline
+      .funnelTable(graft.queries.Pipeline.funnelStats(docs, "text"))
+      .filter(col("stage") === "5_repetition").collect()(0)
+    assert(viaPredicate == stage5.getAs[Long]("docs"))
+  }
+
+  test("q94: end-to-end prep audit reconciles with its composed stages") {
+    val docs = Tables.t(spark, sf, "documents")
+    val kept = graft.queries.Dedup.deduplicate(docs)
+      .filter(graft.queries.Pipeline.gopherKeep(col("text")))
+      .filter((hmod(concat(lit("sample:"), col("doc_id").cast("string"))) % 1000) <
+        when(col("lang") === "en", 250L).otherwise(600L))
+    val nKept = kept.count()
+    val audit = SparkEntry.queries("q94_corpus_prep_e2e")(spark, sf).collect()
+    assert(audit.map(_.getAs[Long]("n_docs")).sum == nKept)
+    assert(nKept > 0 && nKept < docs.count(),
+      "composition filtered nothing (or everything) — stages dead")
+    // and the per-shard audit is exactly shardAudit of the kept set
+    val direct = graft.queries.Pipeline.shardAudit(kept, numShards = 8)
+      .orderBy(col("shard")).collect()
+    assert(audit.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+  }
 }
