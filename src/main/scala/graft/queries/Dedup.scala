@@ -1326,7 +1326,70 @@ object Dedup {
       SELECT shard, count(*) AS n_docs,
         CAST(SUM((pos * (${sql.hmod("CAST(doc_id AS VARCHAR)")} % 1000000)) % ${P})
              % ${P} AS BIGINT) AS order_checksum
-      FROM spp GROUP BY shard ORDER BY shard"""))
+      FROM spp GROUP BY shard ORDER BY shard""")),
+
+    // pipeline observability: per-doc FIRST-FAILING-STAGE attribution
+    // over the same q94 stage chain (the drop-reason report every
+    // production pipeline publishes next to its retention table).
+    // The dedup membership arrives as an O(docs) equi-join of the
+    // audited survivor set; quality and sampling are scan-stage
+    // predicates — reasons are mutually exclusive by construction, so
+    // the per-reason counts + membership checksums partition the
+    // corpus exactly (PipelineSpec pins 0_kept ≡ q94's shard total).
+    Q("q95_drop_reasons", (s, d) => {
+      val docs = t(s, d, "documents")
+      val survivors = deduplicate(docs).select(col("doc_id"), lit(1L).as("surv"))
+      docs.join(survivors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("surv").isNull, "1_duplicate")
+            .when(!Pipeline.gopherKeep(col("text")), "2_quality")
+            .when((hmod(concat(lit("sample:"), col("doc_id").cast("string"))) % 1000) >=
+              when(col("lang") === "en", 250L).otherwise(600L), "3_sampled_out")
+            .otherwise("0_kept").as("reason"))
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n"),
+          (sum(hmod(col("doc_id").cast("string"))) % P).as("docs_checksum"))
+        .orderBy(col("reason"))
+    }, Some(s"""
+      $ccCtes,
+      surv AS (SELECT d.doc_id FROM documents d
+               LEFT JOIN comp c ON d.doc_id = c.u
+               WHERE COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) = d.doc_id),
+      fpd AS (SELECT doc_id,
+                CAST(len(ftk) AS BIGINT) ntok,
+                CAST(len(list_filter(ftk, t -> regexp_matches(t, '[A-Za-z]')))
+                     AS BIGINT) nalpha,
+                CAST(length(replace(text, ' ', '')) AS BIGINT) wlen,
+                CAST(len(list_filter(ftk, t -> list_contains(${Pipeline.stopSetSql}, t)))
+                     AS BIGINT) nstop,
+                CAST(len(fsg) AS BIGINT) ntotal,
+                CAST(len(list_distinct(fsg)) AS BIGINT) ndist
+              FROM (SELECT doc_id, text, ftk,
+                      CASE WHEN len(ftk) >= 3
+                        THEN [ftk[i]||' '||ftk[i+1]||' '||ftk[i+2]
+                              for i in generate_series(1, len(ftk)-2)]
+                        ELSE [] END fsg
+                    FROM (SELECT doc_id, text,
+                            list_filter(string_split(text,' '), x->x<>'') ftk
+                          FROM documents))),
+      q AS (SELECT doc_id FROM fpd
+            WHERE ntok >= 10 AND wlen >= ntok*3 AND wlen <= ntok*10
+              AND nalpha*5 >= ntok*4 AND nstop >= 2
+              AND (ntotal-ndist)*10 < ntotal*3),
+      rr AS (SELECT d.doc_id,
+               CASE WHEN s.doc_id IS NULL THEN '1_duplicate'
+                    WHEN qq.doc_id IS NULL THEN '2_quality'
+                    WHEN ${sql.hmod("'sample:'||CAST(d.doc_id AS VARCHAR)")} % 1000
+                         >= CASE WHEN d.lang = 'en' THEN 250 ELSE 600 END
+                      THEN '3_sampled_out'
+                    ELSE '0_kept' END reason
+             FROM documents d
+             LEFT JOIN surv s ON d.doc_id = s.doc_id
+             LEFT JOIN q qq ON d.doc_id = qq.doc_id)
+      SELECT reason, count(*) AS n,
+        CAST(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}) % ${P} AS BIGINT)
+          AS docs_checksum
+      FROM rr GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

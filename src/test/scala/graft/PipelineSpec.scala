@@ -375,4 +375,16 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy(col("shard")).collect()
     assert(audit.map(_.toString).toSeq == direct.map(_.toString).toSeq)
   }
+
+  test("q95: drop reasons partition the corpus; 0_kept ≡ q94's shard total") {
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = SparkEntry.queries("q95_drop_reasons")(spark, sf).collect()
+      .map(r => r.getAs[String]("reason") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("docs_checksum")))).toMap
+    assert(rows.values.map(_._1).sum == docs.count(), "reasons do not partition")
+    assert(rows.size == 4, s"degenerate stage among ${rows.keySet}")
+    val keptViaQ94 = SparkEntry.queries("q94_corpus_prep_e2e")(spark, sf)
+      .collect().map(_.getAs[Long]("n_docs")).sum
+    assert(rows("0_kept")._1 == keptViaQ94)
+  }
 }
