@@ -247,23 +247,41 @@ object Pipeline {
     * never a full sort); the vocab is an O(v) broadcast back into the
     * token stream's scan stage; the per-doc fold partial-aggregates
     * before its O(docs) exchange. Nothing corpus-sized shuffles
-    * un-combined. Text-pure per doc, so the exact-clone collapse
-    * (q74/q88 doctrine) applies verbatim if distinct-text ratios
-    * warrant the window pass. */
+    * un-combined.
+    *
+    * Exact-clone collapsed (the q74/q88 doctrine): vocab counts are
+    * Σ tf·group_size over distinct texts (≡ the uncollapsed corpus
+    * count — clone multiplicity still votes on the vocab), and the
+    * per-doc OOV fold is text-pure, so both exploded aggregations run
+    * over distinct texts and expand through the (gid, doc_id) table.
+    * A clone corpus scales every vocab count uniformly, so the top-V
+    * set — and every doc's OOV — is invariant under cloning
+    * (PipelineSpec pins both). */
   def vocabOovAudit(docs: DataFrame, v: Int = 16,
                     maxOovPerMille: Long = 450L): DataFrame = {
     require(v > 0 && maxOovPerMille >= 0, "vocab/threshold out of range")
-    val ex = docs.select(col("doc_id"),
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id"))
+      .localCheckpoint(false) // feeds sizes and the expansion join
+    val reps = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("text"))
+    val sizes = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+    val ex = reps.select(col("gid"),
       explode_outer(tokens(col("text"))).as("tok"))
-    val vocab = ex.filter(col("tok").isNotNull)
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tf = ex.filter(col("tok").isNotNull)
+      .groupBy(col("gid"), col("tok")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.join(sizes, "gid")
+      .groupBy(col("tok")).agg(sum(col("tf") * col("gsz")).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(v)
       .select(col("tok").as("vtok"), lit(1L).as("inv"))
-    ex.join(broadcast(vocab), ex("tok") === col("vtok"), "left")
-      .groupBy(col("doc_id"))
+    val perRep = ex.join(broadcast(vocab), ex("tok") === col("vtok"), "left")
+      .groupBy(col("gid"))
       .agg(count(col("tok")).as("ntok"),
         sum(when(col("tok").isNotNull && col("inv").isNull, 1L)
           .otherwise(0L)).as("n_oov"))
+    members.join(perRep, "gid")
+      .select(col("doc_id"), col("ntok"), col("n_oov"))
       .withColumn("oov_rate",
         when(col("ntok") > 0, col("n_oov").cast(DoubleType) / col("ntok"))
           .otherwise(lit(0.0)))

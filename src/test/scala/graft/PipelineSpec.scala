@@ -300,6 +300,23 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect()
     assert(rows.sortBy(_.getAs[Long]("doc_id")).map(_.toString).toSeq ==
       again.map(_.toString).toSeq)
+    // clone invariance: doubling the corpus scales every vocab count
+    // uniformly, so the top-V set — and every original doc's row —
+    // is unchanged, and each clone matches its original
+    val shift = docs.count()
+    val cloned = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
+    val cv = graft.queries.Pipeline.vocabOovAudit(cloned)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ntok"), r.getAs[Long]("n_oov"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(cv.size == 2 * rows.length)
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val expect = (r.getAs[Long]("ntok"), r.getAs[Long]("n_oov"),
+        r.getAs[Boolean]("keep"))
+      assert(cv(id) == expect && cv(id + shift) == expect)
+    }
   }
 
   test("q91: collapsed commonness equals the direct uncollapsed formula") {
