@@ -136,7 +136,7 @@ class PlanSpec extends AnyFunSuite {
     // the window-formulation alternative sorts every row within each
     // key (5-value event_type ⇒ parallelism 5 at 100×); the operator
     // keeps ≤ k rows per key per partition across the exchange
-    for (q <- Seq("q50_topk_operator", "q64_bottomk_sample")) {
+    for (q <- Seq("q50_topk_operator", "q64_bottomk_sample", "q92_source_cap")) {
       val p = plan(q)
       assert("TopKPerKey".r.findAllIn(p).size >= 2,
         s"$q lacks partial+final TopKPerKeyExec:\n$p")
