@@ -361,6 +361,55 @@ object Pipeline {
         coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
   }
 
+  /** C4-style DESTRUCTIVE span dedup (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring
+    * more than once"), over the same non-overlapping b-token blocks
+    * as the q75 report: a block occurrence survives iff it is the
+    * corpus-wide FIRST occurrence of its hash — smallest
+    * (doc_id, block_pos), an argmin the plan computes as one
+    * partial+final struct-min groupBy, never a window sort — and each
+    * document is rewritten from its surviving blocks plus the
+    * always-kept short tail. Where q75 REPORTS duplication, this is
+    * the operator that REMOVES it. Returns the per-doc audit:
+    * block/removal counts, the rewritten token count, and a
+    * POSITIONAL membership checksum (Σ ((h mod 10⁶)·pos) mod P over
+    * kept blocks) pinning exactly which blocks survive at which
+    * positions — the membership-checksum doctrine the destructive
+    * gates share (q79/q87/q92).
+    *
+    * 100 TB shape: scan-stage BlockHash kernel → partial+final
+    * groupBy(h) struct-min (map-side combine absorbs a boilerplate
+    * hot block before the shuffle) → 1:1 equi-join back on h (AQE
+    * skew-splittable) → map-side-combined per-doc monoid sums. No
+    * windows, no driver traffic; the checksum terms are modded per
+    * term so ANSI sums cannot overflow on million-block docs. */
+  def spanDedupAudit(docs: DataFrame, b: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("ntok"),
+        TextExprs.blockHash(col("tk"), b).as("bs"))
+    val ex = base.select(col("doc_id"), posexplode(col("bs")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("j"),
+        col("col").as("h"))
+    val fo = ex.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("j"))).as("f"))
+    val per = ex.join(fo, "h")
+      .select(col("doc_id"), col("j"), col("h"),
+        (col("f.doc_id") === col("doc_id") && col("f.j") === col("j"))
+          .as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        (sum(when(col("kept"), ((col("h") % 1000000L) * col("j")) % P)
+          .otherwise(0L)) % P).as("kept_checksum"))
+    base.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("ntok") - lit(b.toLong) * coalesce(col("n_removed"), lit(0L)))
+          .as("kept_tokens"),
+        coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
+  }
+
   /** Stage 1 of DSIR (Xie et al. 2023): the hashed-unigram token
     * feature stream (doc_id, lang, f) with B buckets — scan-stage
     * explode + hash, no state. */
@@ -966,6 +1015,47 @@ object Pipeline {
         CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
         CAST(COALESCE(kept_checksum, 0) AS BIGINT) AS kept_checksum
       FROM (SELECT source, count(*) n_total FROM documents GROUP BY 1) t
-      LEFT JOIN kept USING (source) ORDER BY source"""))
+      LEFT JOIN kept USING (source) ORDER BY source""")),
+
+    // C4 §2.2 destructive span dedup: keep only the corpus-wide FIRST
+    // occurrence of each 8-token block (argmin via struct-min, not a
+    // window sort), rewritten token count + positional membership
+    // checksum. 144 block instances across 24 docs lose to an earlier
+    // occurrence on this corpus (the planted near-dup pairs' shared
+    // runs ≥ 8 tokens — same signal q75 counts, here removed)
+    Q("q96_span_dedup", (s, d) => {
+      spanDedupAudit(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      bl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) ntok,
+               CASE WHEN len(tk) >= 8
+                 THEN [{'j': j,
+                        'h': ${sql.hmod("array_to_string(tk[(j-1)*8+1 : j*8], ' ')")}}
+                       for j in generate_series(1, len(tk)//8)]
+                 ELSE [] END bs
+             FROM tk),
+      ex AS (SELECT doc_id, u.j j, u.h h
+             FROM (SELECT doc_id, unnest(bs) u FROM bl)),
+      fo AS (SELECT h, doc_id fd, j fj FROM (
+               SELECT h, doc_id, j,
+                      row_number() OVER (PARTITION BY h ORDER BY doc_id, j) rn
+               FROM ex)
+             WHERE rn = 1),
+      per AS (SELECT e.doc_id,
+                CAST(count(*) AS BIGINT) n_blocks,
+                CAST(SUM(CASE WHEN e.doc_id = f.fd AND e.j = f.fj
+                         THEN 0 ELSE 1 END) AS BIGINT) n_removed,
+                CAST(SUM(CASE WHEN e.doc_id = f.fd AND e.j = f.fj
+                         THEN ((e.h % 1000000) * e.j) % ${P} ELSE 0 END)
+                     % ${P} AS BIGINT) kept_checksum
+              FROM ex e JOIN fo f USING (h) GROUP BY 1)
+      SELECT b.doc_id,
+        CAST(COALESCE(n_blocks, 0) AS BIGINT) AS n_blocks,
+        CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+        CAST(b.ntok - 8*COALESCE(n_removed, 0) AS BIGINT) AS kept_tokens,
+        CAST(COALESCE(kept_checksum, 0) AS BIGINT) AS kept_checksum
+      FROM bl b LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
   )
 }

@@ -53,4 +53,28 @@ object DedupStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
+
+  /** Streaming form of the C4 destructive span dedup
+    * (`Pipeline.spanDedupAudit`): explode each arriving document into
+    * its non-overlapping b-token block hashes (the same scan-stage
+    * BlockHash kernel, 1-based positions carried) and keep the
+    * first-SEEN occurrence per block hash within the watermark
+    * horizon — the dedupExact state contract at block granularity,
+    * one state-store entry per distinct in-horizon block hash. Emits
+    * the surviving (doc_id, j, h) block stream a downstream writer
+    * reassembles documents from. Exactly one occurrence survives per
+    * distinct hash (as in batch); WHICH doc keeps a cross-doc dup is
+    * arrival order here vs global min (doc_id, pos) in batch — the
+    * two agree whenever ingest follows doc_id order, and
+    * DedupStreamSpec pins that correspondence per hash. */
+  def spanDedupBlocks(docs: DataFrame, tsCol: String, textCol: String,
+                      watermark: String, b: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), col(tsCol),
+        posexplode(graft.functions.TextExprs.blockHash(
+          tokens(col(textCol)), b)))
+      .select(col("doc_id"), col(tsCol),
+        (col("pos") + 1).cast("long").as("j"), col("col").as("h"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("h")
 }

@@ -404,4 +404,51 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("n_docs")).sum
     assert(rows("0_kept")._1 == keptViaQ94)
   }
+
+  test("q96: span dedup keeps exactly one occurrence per distinct block") {
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = graft.queries.Pipeline.spanDedupAudit(docs).collect()
+    // accounting identity: removals = block instances − distinct hashes
+    // (first-occurrence keep ⇒ one survivor per distinct block hash)
+    val ex = docs.select(explode(
+      graft.functions.TextExprs.blockHash(tokens(col("text")), 8)).as("h"))
+    val total = ex.count()
+    val distinct = ex.distinct().count()
+    assert(rows.map(_.getAs[Long]("n_blocks")).sum == total)
+    assert(rows.map(_.getAs[Long]("n_removed")).sum == total - distinct)
+    // rewritten length: kept_tokens = ntok − 8·n_removed, tail kept
+    val ntoks = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ntok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows)
+      assert(r.getAs[Long]("kept_tokens") ==
+        ntoks(r.getAs[Long]("doc_id")) - 8 * r.getAs[Long]("n_removed"))
+    // membership checksum (not just counts) survives repartitioning
+    val again = graft.queries.Pipeline.spanDedupAudit(docs.repartition(7))
+      .orderBy(col("doc_id")).collect()
+    assert(rows.sortBy(_.getAs[Long]("doc_id")).map(_.toString).toSeq ==
+      again.map(_.toString).toSeq)
+  }
+
+  test("q96: the survivor is the corpus-wide FIRST occurrence") {
+    import spark.implicits._
+    // doc 1 = A...A (intra-doc dup at j=2), doc 2 repeats doc 1's
+    // block A, doc 3 is clean; 8-token blocks, tails < 8 always kept
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $a tail1 tail2"),     // blocks: A@1, A@2 → keep j=1 only
+      (2L, s"$a extra"),              // block A@1 → removed (doc 1 first)
+      (3L, c)                         // block C@1 → kept
+    ).toDF("doc_id", "text")
+    val r = graft.queries.Pipeline.spanDedupAudit(docs)
+      .orderBy(col("doc_id")).collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_blocks"),
+      x.getAs[Long]("n_removed"), x.getAs[Long]("kept_tokens"))).toSeq ==
+      Seq((1L, 2L, 1L, 10L), (2L, 1L, 1L, 1L), (3L, 1L, 0L, 8L)))
+    // doc 2's block is removed, doc 1's j=1 copy survives — so doc 1's
+    // checksum carries h·1 and doc 2's is zero
+    assert(r(1).getAs[Long]("kept_checksum") == 0L)
+    assert(r(0).getAs[Long]("kept_checksum") > 0L)
+  }
 }

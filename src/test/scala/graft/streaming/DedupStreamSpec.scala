@@ -49,4 +49,47 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(ids.toSeq == Seq(1L, 3L))
     } finally q.stop()
   }
+
+  test("streaming span dedup ≡ batch first-occurrence when ingest follows doc_id order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols.tokens
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    // batch truth: per block hash, the argmin (doc_id, j) occurrence —
+    // the exact rule Pipeline.spanDedupAudit scores against
+    val ex = docs.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.blockHash(tokens(col("text")), 8)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("j"),
+        col("col").as("h"))
+    val batchKept = ex.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("j"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = DedupStream.spanDedupBlocks(
+      in.toDF().toDF("doc_id", "ts", "text"), "ts", "text",
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("span_stream")
+      .outputMode("append").start()
+    try {
+      // doc_id-ordered micro-batches make cross-doc first-seen = min doc_id
+      docs.grouped(50).zipWithIndex.foreach { case (chunk, i) =>
+        in.addData(chunk.map { case (id, t) => (id, ts(i), t) }.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("span_stream").collect()
+        .map(r => r.getAs[Long]("h") -> r.getAs[Long]("doc_id"))
+      // one survivor per distinct hash, and each hash's keeper doc is
+      // the batch argmin doc (intra-doc ties share the doc either way)
+      assert(streamed.length == batchKept.size, "not one survivor per hash")
+      assert(streamed.toMap == batchKept)
+    } finally q.stop()
+  }
 }
