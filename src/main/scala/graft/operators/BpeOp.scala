@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactCols.tokens
+
+/** BPE merge-rule learning (Sennrich et al. 2016 "Neural Machine
+  * Translation of Rare Words with Subword Units" §3.2) — the
+  * tokenizer-TRAINING stage of a data pipeline, next to the vocab
+  * construction (q90) and BPE-style segmentation (q32) that consume
+  * its output: count corpus words once, then iterate argmax-pair →
+  * merge over the distinct-word table.
+  *
+  * Distribution is the industrial trainer shape: the ONE corpus-wide
+  * shuffle is the map-side-combined word count (same as q90's vocab
+  * count); every round after that runs over the |vocab|-row word
+  * table — an explode of adjacent symbol pairs, a partial+final
+  * groupBy(pair) weighted count, and a scan-stage merge rewrite. The
+  * driver holds one argmax row per round (the KMeansOp centroid
+  * contract); segmentations never leave executors, and each round
+  * localCheckpoints the word table so lineage stays flat (the
+  * ConnectedComponents rule).
+  *
+  * Exactness: a word's segmentation is kept as a single string with
+  * U+001F double-separators (`␟␟sym␟␟…`), so applying a merge is ONE
+  * sequential left-to-right non-overlapping `replace` of
+  * `␟a␟␟b␟` with `␟ab␟` — byte-identical semantics in Spark
+  * (UTF8String.replace) and DuckDB (q97's oracle replays the whole
+  * trajectory in a recursive CTE with the same replace), including
+  * the greedy-leftmost overlap rule for left==right runs
+  * (`aaa → [aa, a]`; BpeSpec pins it). Pair counts weight every
+  * adjacent position by word frequency (the reference get_stats
+  * semantics: `aaa` contributes (a,a) twice); ties break
+  * (count desc, left asc, right asc). All counts are int64; nothing
+  * floats.
+  */
+object BpeOp {
+
+  /** Symbol separator — outside every token alphabet (tokens are
+    * whitespace-split, so they cannot contain a control char). */
+  val Sep = "\u001f"
+  private val Sep2 = Sep + Sep
+
+  final case class Merge(round: Int, left: String, right: String,
+                         pairN: Long, nSyms: Long)
+
+  /** Learn `rounds` merge rules from the documents' `text` column.
+    * Returns one Merge per round: the rule, its weighted pair count,
+    * and the corpus-wide distinct-symbol count AFTER applying it.
+    * Fails loudly (require) if a round has no adjacent pair left —
+    * the q66 exact-regime doctrine, not a silent short vocabulary. */
+  def train(docs: DataFrame, rounds: Int): Seq[Merge] = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    var seg = words.select(col("word"), col("n"),
+      concat(lit(Sep2),
+        array_join(regexp_extract_all(col("word"), lit("(.)"), lit(1)), Sep2),
+        lit(Sep2)).as("t"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    for (r <- 1 to rounds) {
+      val sy = array_remove(split(col("t"), Sep), "")
+      val best = seg
+        .select(col("n"), sy.as("sy"))
+        .select(col("n"), explode(arrays_zip(
+          slice(col("sy"), lit(1), size(col("sy")) - 1),
+          slice(col("sy"), lit(2), size(col("sy")) - 1))).as("p"))
+        .select(col("n"), col("p.0").as("pa"), col("p.1").as("pb"))
+        .groupBy("pa", "pb").agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), asc("pa"), asc("pb")).limit(1).collect()
+      require(best.nonEmpty,
+        s"BPE round $r: no adjacent pairs left — corpus fully merged; " +
+          s"lower `rounds` below $rounds")
+      val (pa, pb, cnt) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      seg = seg.withColumn("t",
+        replace(col("t"), lit(Sep + pa + Sep2 + pb + Sep),
+          lit(Sep + pa + pb + Sep)))
+        .localCheckpoint()
+      val nSyms = seg
+        .select(explode(array_remove(split(col("t"), Sep), "")).as("s"))
+        .agg(count_distinct(col("s"))).collect()(0).getLong(0)
+      out += Merge(r, pa, pb, cnt, nSyms)
+    }
+    out.result()
+  }
+}

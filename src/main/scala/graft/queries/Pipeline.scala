@@ -1056,6 +1056,68 @@ object Pipeline {
         CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
         CAST(b.ntok - 8*COALESCE(n_removed, 0) AS BIGINT) AS kept_tokens,
         CAST(COALESCE(kept_checksum, 0) AS BIGINT) AS kept_checksum
-      FROM bl b LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+      FROM bl b LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // BPE merge-rule training (Sennrich 2016): 8 argmax-pair→merge
+    // rounds over the corpus word table; the oracle replays the WHOLE
+    // trajectory in a recursive CTE (the q77 pattern) — same ␟␟
+    // string segmentation, same sequential replace, same
+    // (count desc, pair asc) tie-break. Output is the learned rule
+    // per round + weighted pair count + corpus distinct-symbol count
+    // after the merge; on this corpus the trajectory runs e+r, i+n,
+    // o+w, o+r, s+t, m+er, a+t, l+u with non-increasing counts
+    Q("q97_bpe_train", (s, d) => {
+      import s.implicits._
+      graft.operators.BpeOp.train(t(s, d, "documents"), rounds = 8)
+        .map(m => (m.round.toLong, m.left, m.right, m.pairN, m.nSyms))
+        .toDF("round", "left_sym", "right_sym", "pair_n", "n_syms")
+        .orderBy(col("round"))
+    }, Some(s"""
+      WITH RECURSIVE
+      w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) n
+            FROM (SELECT unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+                  FROM documents) GROUP BY 1),
+      seg AS (
+        SELECT 0 AS iter, word, n,
+               chr(31)||chr(31)||
+                 array_to_string([word[i] for i in generate_series(1,len(word))],
+                                 chr(31)||chr(31))||chr(31)||chr(31) AS t,
+               NULL::VARCHAR AS ml, NULL::VARCHAR AS mr, NULL::BIGINT AS mc
+        FROM w
+        UNION ALL
+        SELECT p.iter+1, p.word, p.n,
+               replace(p.t, chr(31)||FIRST_VALUE(p.u.pa) OVER win||chr(31)||chr(31)||
+                            FIRST_VALUE(p.u.pb) OVER win||chr(31),
+                            chr(31)||FIRST_VALUE(p.u.pa) OVER win||
+                            FIRST_VALUE(p.u.pb) OVER win||chr(31)) AS t,
+               FIRST_VALUE(p.u.pa) OVER win AS ml,
+               FIRST_VALUE(p.u.pb) OVER win AS mr,
+               CAST(FIRST_VALUE(p.cnt) OVER win AS BIGINT) AS mc
+        FROM (
+            SELECT iter, word, n, t, u,
+                   CASE WHEN u.pa IS NULL THEN NULL
+                        ELSE SUM(n) OVER (PARTITION BY u.pa, u.pb) END AS cnt
+            FROM (
+              SELECT iter, word, n, t,
+                unnest(CASE WHEN len(sy) >= 2
+                  THEN [{'pa': sy[i], 'pb': sy[i+1]}
+                        for i in generate_series(1, len(sy)-1)]
+                  ELSE [{'pa': NULL, 'pb': NULL}] END) AS u
+              FROM (SELECT iter, word, n, t,
+                           list_filter(string_split(t, chr(31)), x -> x <> '') AS sy
+                    FROM seg)) e0) p
+        WHERE p.iter < 8
+        WINDOW win AS (ORDER BY p.cnt DESC NULLS LAST, p.u.pa, p.u.pb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        QUALIFY row_number() OVER (PARTITION BY p.word ORDER BY p.u.pa, p.u.pb) = 1
+      ),
+      ex2 AS (SELECT iter, ml, mr, mc,
+                     unnest(list_filter(string_split(t, chr(31)), x -> x <> '')) AS sym
+              FROM seg WHERE iter >= 1)
+      SELECT CAST(iter AS BIGINT) AS round,
+             MIN(ml) AS left_sym, MIN(mr) AS right_sym,
+             CAST(MIN(mc) AS BIGINT) AS pair_n,
+             CAST(COUNT(DISTINCT sym) AS BIGINT) AS n_syms
+      FROM ex2 GROUP BY 1 ORDER BY 1"""))
   )
 }
