@@ -86,4 +86,51 @@ object BpeOp {
     }
     out.result()
   }
+
+  /** Apply learned merges — Sennrich's apply_bpe rule: fold the rules
+    * over each word IN LEARNED ORDER, each application the same
+    * sequential greedy-leftmost replace as training (so encoding the
+    * training corpus reproduces the training-final segmentation
+    * exactly; BpeSpec pins it). Returns the per-doc audit: token and
+    * subtoken counts, fertility (ONE IEEE division of two int64s),
+    * and an order-independent segmentation checksum (Σ hmod(seg
+    * string) over token instances, mod P).
+    *
+    * 100 TB shape: the whole merge fold is ONE scan-stage projection
+    * over the DISTINCT-word table (R nested codegen replaces — no
+    * loop actions, no driver traffic, the exact-clone-collapse
+    * doctrine applied at word granularity), then an explode + word
+    * equi-join (broadcast when the vocab is small, AQE otherwise)
+    * and a map-side-combined per-doc monoid aggregation. */
+  def encode(docs: DataFrame,
+             merges: Seq[(String, String)]): DataFrame = {
+    import graft.functions.ExactCols.{hmod, P}
+    val t0 = concat(lit(Sep2),
+      array_join(regexp_extract_all(col("tok"), lit("(.)"), lit(1)), Sep2),
+      lit(Sep2))
+    val tFinal = merges.foldLeft(t0) { case (t, (a, b)) =>
+      replace(t, lit(Sep + a + Sep2 + b + Sep), lit(Sep + a + b + Sep))
+    }
+    val wk = docs.select(explode(tokens(col("text"))).as("tok"))
+      .distinct()
+      .select(col("tok"), tFinal.as("t"))
+      .select(col("tok"),
+        size(array_remove(split(col("t"), Sep), "")).cast("long").as("k"),
+        hmod(col("t")).as("h"))
+    val per = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(wk, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ntok"),
+        sum(col("k")).as("n_subtok"),
+        (sum(col("h")) % P).as("subtok_checksum"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ntok"), lit(0L)).as("ntok"),
+        coalesce(col("n_subtok"), lit(0L)).as("n_subtok"),
+        when(coalesce(col("ntok"), lit(0L)) > 0,
+          col("n_subtok").cast("double") / col("ntok"))
+          .otherwise(lit(0.0)).as("fertility"),
+        coalesce(col("subtok_checksum"), lit(0L)).as("subtok_checksum"))
+  }
 }

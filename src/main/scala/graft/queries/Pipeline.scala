@@ -441,6 +441,50 @@ object Pipeline {
       .agg(sum(col("tc")).as("num"), sum(col("bc")).as("den"))
       .withColumn("weight", col("num").cast(DoubleType) / col("den"))
 
+  /** The 8-round BPE training trajectory as a recursive CTE (the q77
+    * replay pattern), shared by q97 (the merge rules) and q98 (the
+    * encode — round-8 segmentations ARE the encoding of the training
+    * corpus). Symbol strings use chr(31) double-separators and the
+    * same sequential replace as `BpeOp` — byte-identical semantics. */
+  private lazy val bpeCtes: String = s"""
+      w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) n
+            FROM (SELECT unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+                  FROM documents) GROUP BY 1),
+      seg AS (
+        SELECT 0 AS iter, word, n,
+               chr(31)||chr(31)||
+                 array_to_string([word[i] for i in generate_series(1,len(word))],
+                                 chr(31)||chr(31))||chr(31)||chr(31) AS t,
+               NULL::VARCHAR AS ml, NULL::VARCHAR AS mr, NULL::BIGINT AS mc
+        FROM w
+        UNION ALL
+        SELECT p.iter+1, p.word, p.n,
+               replace(p.t, chr(31)||FIRST_VALUE(p.u.pa) OVER win||chr(31)||chr(31)||
+                            FIRST_VALUE(p.u.pb) OVER win||chr(31),
+                            chr(31)||FIRST_VALUE(p.u.pa) OVER win||
+                            FIRST_VALUE(p.u.pb) OVER win||chr(31)) AS t,
+               FIRST_VALUE(p.u.pa) OVER win AS ml,
+               FIRST_VALUE(p.u.pb) OVER win AS mr,
+               CAST(FIRST_VALUE(p.cnt) OVER win AS BIGINT) AS mc
+        FROM (
+            SELECT iter, word, n, t, u,
+                   CASE WHEN u.pa IS NULL THEN NULL
+                        ELSE SUM(n) OVER (PARTITION BY u.pa, u.pb) END AS cnt
+            FROM (
+              SELECT iter, word, n, t,
+                unnest(CASE WHEN len(sy) >= 2
+                  THEN [{'pa': sy[i], 'pb': sy[i+1]}
+                        for i in generate_series(1, len(sy)-1)]
+                  ELSE [{'pa': NULL, 'pb': NULL}] END) AS u
+              FROM (SELECT iter, word, n, t,
+                           list_filter(string_split(t, chr(31)), x -> x <> '') AS sy
+                    FROM seg)) e0) p
+        WHERE p.iter < 8
+        WINDOW win AS (ORDER BY p.cnt DESC NULLS LAST, p.u.pa, p.u.pb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        QUALIFY row_number() OVER (PARTITION BY p.word ORDER BY p.u.pa, p.u.pb) = 1
+      )"""
+
   /** Decontamination oracle shared by q76 (shuffled-equi form) and
     * q82 (Bloom-prefiltered form) — same exact output, two physical
     * strategies. */
@@ -1073,44 +1117,7 @@ object Pipeline {
         .toDF("round", "left_sym", "right_sym", "pair_n", "n_syms")
         .orderBy(col("round"))
     }, Some(s"""
-      WITH RECURSIVE
-      w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) n
-            FROM (SELECT unnest(list_filter(string_split(text,' '), x->x<>'')) tok
-                  FROM documents) GROUP BY 1),
-      seg AS (
-        SELECT 0 AS iter, word, n,
-               chr(31)||chr(31)||
-                 array_to_string([word[i] for i in generate_series(1,len(word))],
-                                 chr(31)||chr(31))||chr(31)||chr(31) AS t,
-               NULL::VARCHAR AS ml, NULL::VARCHAR AS mr, NULL::BIGINT AS mc
-        FROM w
-        UNION ALL
-        SELECT p.iter+1, p.word, p.n,
-               replace(p.t, chr(31)||FIRST_VALUE(p.u.pa) OVER win||chr(31)||chr(31)||
-                            FIRST_VALUE(p.u.pb) OVER win||chr(31),
-                            chr(31)||FIRST_VALUE(p.u.pa) OVER win||
-                            FIRST_VALUE(p.u.pb) OVER win||chr(31)) AS t,
-               FIRST_VALUE(p.u.pa) OVER win AS ml,
-               FIRST_VALUE(p.u.pb) OVER win AS mr,
-               CAST(FIRST_VALUE(p.cnt) OVER win AS BIGINT) AS mc
-        FROM (
-            SELECT iter, word, n, t, u,
-                   CASE WHEN u.pa IS NULL THEN NULL
-                        ELSE SUM(n) OVER (PARTITION BY u.pa, u.pb) END AS cnt
-            FROM (
-              SELECT iter, word, n, t,
-                unnest(CASE WHEN len(sy) >= 2
-                  THEN [{'pa': sy[i], 'pb': sy[i+1]}
-                        for i in generate_series(1, len(sy)-1)]
-                  ELSE [{'pa': NULL, 'pb': NULL}] END) AS u
-              FROM (SELECT iter, word, n, t,
-                           list_filter(string_split(t, chr(31)), x -> x <> '') AS sy
-                    FROM seg)) e0) p
-        WHERE p.iter < 8
-        WINDOW win AS (ORDER BY p.cnt DESC NULLS LAST, p.u.pa, p.u.pb
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        QUALIFY row_number() OVER (PARTITION BY p.word ORDER BY p.u.pa, p.u.pb) = 1
-      ),
+      WITH RECURSIVE $bpeCtes,
       ex2 AS (SELECT iter, ml, mr, mc,
                      unnest(list_filter(string_split(t, chr(31)), x -> x <> '')) AS sym
               FROM seg WHERE iter >= 1)
@@ -1118,6 +1125,41 @@ object Pipeline {
              MIN(ml) AS left_sym, MIN(mr) AS right_sym,
              CAST(MIN(mc) AS BIGINT) AS pair_n,
              CAST(COUNT(DISTINCT sym) AS BIGINT) AS n_syms
-      FROM ex2 GROUP BY 1 ORDER BY 1"""))
+      FROM ex2 GROUP BY 1 ORDER BY 1""")),
+
+    // BPE encoding with the learned rules (Sennrich's apply_bpe:
+    // fold merges in learned order): per-doc subtoken counts,
+    // fertility (one int64/int64 IEEE division) and an
+    // order-independent segmentation checksum. Oracle reuses the q97
+    // trajectory CTE — encoding the training corpus IS its round-8
+    // segmentation, so `fin` reads seg at iter = 8
+    Q("q98_bpe_encode", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.BpeOp.train(docs, rounds = 8)
+        .map(m => (m.left, m.right))
+      graft.operators.BpeOp.encode(docs, merges)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $bpeCtes,
+      wk AS (SELECT word,
+               CAST(len(list_filter(string_split(t, chr(31)), x -> x <> ''))
+                    AS BIGINT) k,
+               ${sql.hmod("t")} h
+             FROM seg WHERE iter = 8),
+      ex AS (SELECT doc_id,
+                    unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+             FROM documents),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) ntok,
+                     CAST(SUM(k) AS BIGINT) n_subtok,
+                     CAST(SUM(h) % ${P} AS BIGINT) subtok_checksum
+              FROM ex JOIN wk ON ex.tok = wk.word GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(ntok, 0) AS BIGINT) AS ntok,
+        CAST(COALESCE(n_subtok, 0) AS BIGINT) AS n_subtok,
+        CASE WHEN COALESCE(ntok, 0) > 0
+             THEN CAST(n_subtok AS DOUBLE) / ntok
+             ELSE 0.0::DOUBLE END AS fertility,
+        CAST(COALESCE(subtok_checksum, 0) AS BIGINT) AS subtok_checksum
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
   )
 }

@@ -70,4 +70,42 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no adjacent pairs left"))
   }
+
+  test("encode: hand-computed fertility under full and partial merges") {
+    val corpus = docs("aa aa ab")
+    // full trajectory [(a,a),(a,b)]: aa→[aa], ab→[ab] → 3 subtokens
+    val full = BpeOp.encode(corpus,
+      BpeOp.train(corpus, 2).map(m => (m.left, m.right))).collect()
+    assert(full.map(r => (r.getAs[Long]("ntok"), r.getAs[Long]("n_subtok"),
+      r.getAs[Double]("fertility"))).toSeq == Seq((3L, 3L, 1.0)))
+    // one merge [(a,a)]: aa→[aa] k=1, ab→[a,b] k=2 → 1+1+2 = 4
+    val part = BpeOp.encode(corpus,
+      BpeOp.train(corpus, 1).map(m => (m.left, m.right))).collect()
+    assert(part.map(r => (r.getAs[Long]("ntok"), r.getAs[Long]("n_subtok")))
+      .toSeq == Seq((3L, 4L)))
+  }
+
+  test("encode generalizes to unseen words (rules fold in learned order)") {
+    // learn (a,a) then (aa,b) from "aab"-heavy text; apply to "aaab":
+    // [a,a,a,b] → (a,a) greedy-leftmost → [aa,a,b] → (aa,b) no adjacent
+    // aa,b? positions [aa, a, b] — not adjacent, so k = 3
+    val m = BpeOp.train(docs("aab aab"), rounds = 2)
+      .map(x => (x.left, x.right))
+    assert(m == Seq(("a", "a"), ("aa", "b")))
+    val r = BpeOp.encode(docs("aaab"), m).collect()
+    assert(r.map(_.getAs[Long]("n_subtok")).toSeq == Seq(3L))
+    // while "aab" itself reaches the fully-merged single symbol
+    val r2 = BpeOp.encode(docs("aab"), m).collect()
+    assert(r2.map(_.getAs[Long]("n_subtok")).toSeq == Seq(1L))
+  }
+
+  test("encode audit is partition-independent on the fixture corpus") {
+    val base = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val m = BpeOp.train(base, rounds = 8).map(x => (x.left, x.right))
+    val a = BpeOp.encode(base, m).orderBy("doc_id").collect()
+    val b = BpeOp.encode(base.repartition(7), m).orderBy("doc_id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // fertility > 1 somewhere: 8 merges cannot collapse every word
+    assert(a.exists(_.getAs[Double]("fertility") > 1.0))
+  }
 }
