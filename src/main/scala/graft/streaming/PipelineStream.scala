@@ -32,6 +32,8 @@ import graft.queries.Pipeline
   *  - Stratified sampling: one state row per stratum — O(|strata|).
   *  - DSIR buckets: B state rows (128) — O(B), corpus-size-free.
   *  - Classifier inference: a stateless typed map — zero state.
+  *  - BPE encoding (q98): a stateless typed map — zero state (the
+  *    merge list is a bounded task-closure constant).
   *
   * Run both with `outputMode("complete")` (or `update`): the
   * aggregates are monoids, so Spark's state store merges each
@@ -105,5 +107,41 @@ object PipelineStream {
         (id, ntok, num, score, ntok > 0 && num >= threshold * ntok)
       }
       .toDF("doc_id", "ntok", "score_num", "score", "keep")
+  }
+
+  /** Streaming BPE encoding (q98's batch audit as a STATELESS typed
+    * map — zero streaming state, append-legal): the learned merge
+    * list rides the task closure, and each document folds it
+    * word-by-word with JVM String.replace — the same sequential
+    * left-to-right non-overlapping semantics as the batch plan's
+    * UTF8String.replace and the oracle's DuckDB replace, so stream ≡
+    * gate byte-for-byte (PipelineStreamSpec). Unlike batch there is
+    * no distinct-word collapse (each row is independent — that is
+    * what makes it stateless); the fold costs R replaces per token
+    * instance, the usual streaming CPU-for-state trade. */
+  def bpeEncodeStream(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    import graft.functions.ExactCols.{hmodJvm, P}
+    import graft.operators.BpeOp.Sep
+    val sep2 = Sep + Sep
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(docs("doc_id").cast("long"), docs("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        var nsub = 0L
+        var ck = 0L
+        for (w <- toks) {
+          var t = sep2 + w.toCharArray.mkString(sep2) + sep2
+          for ((a, b) <- merges)
+            t = t.replace(Sep + a + sep2 + b + Sep, Sep + a + b + Sep)
+          nsub += t.split(Sep).count(_.nonEmpty).toLong
+          ck = (ck + hmodJvm(t)) % P
+        }
+        val ntok = toks.length.toLong
+        val fert = if (ntok > 0) nsub.toDouble / ntok else 0.0
+        (id, ntok, nsub, fert, ck)
+      }
+      .toDF("doc_id", "ntok", "n_subtok", "fertility", "subtok_checksum")
   }
 }

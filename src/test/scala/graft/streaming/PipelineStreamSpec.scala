@@ -165,4 +165,28 @@ class PipelineStreamSpec extends AnyFunSuite {
       assert(spark.table("clf_stream").count() == docs.length)
     } finally q.stop()
   }
+
+  test("stateless streaming BPE encode equals the q98 batch gate, append mode") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val batch = graft.Tables.t(spark, sf, "documents")
+    val merges = graft.operators.BpeOp.train(batch, rounds = 8)
+      .map(m => (m.left, m.right))
+    val docs = batch.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = PipelineStream
+      .bpeEncodeStream(in.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start() // stateless: append is legal
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val gate = graft.SparkEntry.queries("q98_bpe_encode")(spark, sf)
+      assert(rowsOf(spark.table("bpe_stream")) == rowsOf(gate))
+      assert(spark.table("bpe_stream").count() == docs.length)
+    } finally q.stop()
+  }
 }
