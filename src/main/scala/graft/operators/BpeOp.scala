@@ -54,9 +54,12 @@ object BpeOp {
     val words = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
+    // (?s): a token CAN carry \n/\r (tokens() splits on spaces only)
+    // and the oracle's word[i] char indexing sees every char — the
+    // dot must too, or the two segmentations diverge off-corpus
     var seg = words.select(col("word"), col("n"),
       concat(lit(Sep2),
-        array_join(regexp_extract_all(col("word"), lit("(.)"), lit(1)), Sep2),
+        array_join(regexp_extract_all(col("word"), lit("(?s)(.)"), lit(1)), Sep2),
         lit(Sep2)).as("t"))
       .localCheckpoint()
     val out = Seq.newBuilder[Merge]
@@ -106,7 +109,7 @@ object BpeOp {
              merges: Seq[(String, String)]): DataFrame = {
     import graft.functions.ExactCols.{hmod, P}
     val t0 = concat(lit(Sep2),
-      array_join(regexp_extract_all(col("tok"), lit("(.)"), lit(1)), Sep2),
+      array_join(regexp_extract_all(col("tok"), lit("(?s)(.)"), lit(1)), Sep2),
       lit(Sep2))
     val tFinal = merges.foldLeft(t0) { case (t, (a, b)) =>
       replace(t, lit(Sep + a + Sep2 + b + Sep), lit(Sep + a + b + Sep))

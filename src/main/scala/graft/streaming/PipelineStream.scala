@@ -118,7 +118,10 @@ object PipelineStream {
     * gate byte-for-byte (PipelineStreamSpec). Unlike batch there is
     * no distinct-word collapse (each row is independent — that is
     * what makes it stateless); the fold costs R replaces per token
-    * instance, the usual streaming CPU-for-state trade. */
+    * instance, the usual streaming CPU-for-state trade. toCharArray
+    * splits at UTF-16 char granularity — identical to the batch
+    * plan's (?s)-dot code-point split over BMP text (supplementary
+    * chars would split into surrogates here). */
   def bpeEncodeStream(docs: DataFrame,
                       merges: Seq[(String, String)]): DataFrame = {
     import graft.functions.ExactCols.{hmodJvm, P}
