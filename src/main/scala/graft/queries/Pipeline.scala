@@ -145,6 +145,62 @@ object Pipeline {
           .as("kept_checksum"))
   }
 
+  /** Epoch planning for data-constrained training (Muennighoff et
+    * al. 2023 "Scaling Data-Constrained Language Models": repeating
+    * data up to ~4 epochs is near-free) — the stage AFTER
+    * [[sourceMixSample]]'s one-epoch rates saturate: when a source's
+    * token budget (budget·share‰) EXCEEDS its corpus, plan
+    * `epochs = budget_s div tokens_s` full passes plus a
+    * deterministically-sampled remainder pass at
+    * `rem_rate = (budget_s mod tokens_s)·1000 div tokens_s` per-mille
+    * (same stable hash rule as every sampling gate). Returns the
+    * per-source audit: tokens, epochs, remainder rate, doc counts,
+    * the planned token total (full passes + sampled remainder) and a
+    * membership checksum of the remainder-pass docs.
+    *
+    * Exactness: all integer floor division on int64s — engines agree
+    * bit-for-bit; nothing floats. 100 TB shape: identical to q85 —
+    * one bounded groupBy (|sources| rows), broadcast back, scan-stage
+    * keep decision, monoid audit; repeating is a WRITER-side loop
+    * (epochs × the same shard stream), never a materialized blow-up. */
+  def epochPlan(docs: DataFrame, budgetTokens: Long,
+                shares: Map[String, Long],
+                defaultShare: Long): DataFrame = {
+    require(budgetTokens > 0 && defaultShare >= 0 &&
+      shares.values.forall(_ >= 0), "budget/shares out of range")
+    val share = shares.foldLeft(lit(defaultShare): Column) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val plan = docs
+      .select(col("source"), size(tokens(col("text"))).cast(LongType).as("ntok"))
+      .groupBy(col("source"))
+      .agg(sum(col("ntok")).as("src_tokens"))
+      .withColumn("share", share)
+      .withColumn("budget_s",
+        expr(s"(CAST($budgetTokens AS BIGINT) * share) div 1000"))
+      .withColumn("epochs", expr("budget_s div src_tokens"))
+      .withColumn("rem_rate",
+        expr("((budget_s % src_tokens) * 1000) div src_tokens"))
+      .select(col("source"), col("src_tokens"), col("epochs"), col("rem_rate"))
+    val kept =
+      (hmod(concat(lit("epoch:"), col("doc_id").cast("string"))) % 1000) <
+        col("rem_rate")
+    docs
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("ntok"))
+      .join(broadcast(plan), "source")
+      .groupBy(col("source"))
+      .agg(max(col("src_tokens")).as("src_tokens"), // constants per source
+        max(col("epochs")).as("epochs"),
+        max(col("rem_rate")).as("rem_rate"),
+        count(lit(1)).as("n_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_sampled"),
+        (max(col("epochs")) * max(col("src_tokens")) +
+          sum(when(kept, col("ntok")).otherwise(0L))).as("planned_tokens"),
+        (sum(when(kept, hmod(col("doc_id").cast("string"))).otherwise(0L)) % P)
+          .as("sampled_checksum"))
+  }
+
   /** Deterministic global shuffle into training shards: shard =
     * hash(doc_id) mod numShards, intra-shard order = a second
     * independent hash (min-id tie-break). Returns the per-shard audit
@@ -1160,6 +1216,50 @@ object Pipeline {
              THEN CAST(n_subtok AS DOUBLE) / ntok
              ELSE 0.0::DOUBLE END AS fertility,
         CAST(COALESCE(subtok_checksum, 0) AS BIGINT) AS subtok_checksum
-      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // epoch planning (data-constrained training): budget 40k tokens
+    // against ~1.4k tokens/source — src0 at 100‰ repeats 2 full
+    // epochs, src1 at 50‰ exactly 1, the default 10‰ stays sub-epoch
+    // (pure sampling): all three regimes live; integer floor
+    // division throughout
+    Q("q99_epoch_plan", (s, d) => {
+      epochPlan(t(s, d, "documents"), 40000L,
+        Map("src0" -> 100L, "src1" -> 50L), 10L)
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH tk AS (SELECT source, doc_id,
+                    CAST(len(list_filter(string_split(text,' '), x->x<>''))
+                         AS BIGINT) ntok
+                  FROM documents),
+      tot AS (SELECT source, CAST(SUM(ntok) AS BIGINT) src_tokens
+              FROM tk GROUP BY 1),
+      pl AS (SELECT source, src_tokens,
+               (CAST(40000 AS BIGINT) *
+                (CASE source WHEN 'src0' THEN 100
+                             WHEN 'src1' THEN 50 ELSE 10 END)) // 1000
+                 AS budget_s
+             FROM tot),
+      p2 AS (SELECT source, src_tokens,
+               budget_s // src_tokens AS epochs,
+               ((budget_s % src_tokens) * 1000) // src_tokens AS rem_rate
+             FROM pl),
+      s AS (SELECT t.source, t.doc_id, t.ntok,
+                   p.src_tokens, p.epochs, p.rem_rate,
+                   ${sql.hmod("'epoch:'||CAST(doc_id AS VARCHAR)")} % 1000
+                     < p.rem_rate AS kept
+            FROM tk t JOIN p2 p USING (source))
+      SELECT source,
+        CAST(max(src_tokens) AS BIGINT) AS src_tokens,
+        CAST(max(epochs) AS BIGINT) AS epochs,
+        CAST(max(rem_rate) AS BIGINT) AS rem_rate,
+        count(*) AS n_total,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(max(epochs) * max(src_tokens) +
+             SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT)
+          AS planned_tokens,
+        CAST(SUM(CASE WHEN kept THEN ${sql.hmod("CAST(doc_id AS VARCHAR)")}
+                 ELSE 0 END) % ${P} AS BIGINT) AS sampled_checksum
+      FROM s GROUP BY source ORDER BY source"""))
   )
 }

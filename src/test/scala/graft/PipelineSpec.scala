@@ -430,6 +430,35 @@ class PipelineSpec extends AnyFunSuite {
       again.map(_.toString).toSeq)
   }
 
+  test("q99: epoch plan replays the integer arithmetic; all regimes live") {
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = graft.queries.Pipeline.epochPlan(docs, 40000L,
+      Map("src0" -> 100L, "src1" -> 50L), 10L).collect()
+    val share = Map("src0" -> 100L, "src1" -> 50L).withDefaultValue(10L)
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      val tok = r.getAs[Long]("src_tokens")
+      val budget = 40000L * share(src) / 1000L
+      assert(r.getAs[Long]("epochs") == budget / tok, s"$src epochs")
+      assert(r.getAs[Long]("rem_rate") == (budget % tok) * 1000L / tok,
+        s"$src rem_rate")
+      // planned = full passes + the sampled remainder (never exceeds
+      // budget by more than one remainder pass of whole docs)
+      assert(r.getAs[Long]("planned_tokens") >=
+        r.getAs[Long]("epochs") * tok, s"$src planned")
+    }
+    // the corpus exercises repeat (≥2), exactly-one, and sub-epoch
+    val eps = rows.map(_.getAs[Long]("epochs")).toSet
+    assert(eps.contains(0L) && eps.contains(1L) && eps.exists(_ >= 2L),
+      s"regimes missing: $eps")
+    // membership checksum survives repartitioning
+    val again = graft.queries.Pipeline.epochPlan(docs.repartition(7), 40000L,
+      Map("src0" -> 100L, "src1" -> 50L), 10L)
+      .orderBy(col("source")).collect()
+    assert(rows.sortBy(_.getAs[String]("source")).map(_.toString).toSeq ==
+      again.map(_.toString).toSeq)
+  }
+
   test("q96: the survivor is the corpus-wide FIRST occurrence") {
     import spark.implicits._
     // doc 1 = A...A (intra-doc dup at j=2), doc 2 repeats doc 1's
