@@ -1260,6 +1260,60 @@ object Pipeline {
           AS planned_tokens,
         CAST(SUM(CASE WHEN kept THEN ${sql.hmod("CAST(doc_id AS VARCHAR)")}
                  ELSE 0 END) % ${P} AS BIGINT) AS sampled_checksum
-      FROM s GROUP BY source ORDER BY source"""))
+      FROM s GROUP BY source ORDER BY source""")),
+
+    // the tokenizer-family capstone (q94's composition pattern):
+    // train BPE (q97) → encode every doc (q98) → pack the SUBTOKEN
+    // stream into fixed 256-subtoken training sequences across 8
+    // shards (q73's shard-window shape over n_subtok instead of
+    // whitespace tokens) — raw text to model-ready sequence
+    // accounting in one audited plan
+    Q("q100_bpe_pack", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.BpeOp.train(docs, rounds = 8)
+        .map(m => (m.left, m.right))
+      val pd = graft.operators.BpeOp.encode(docs, merges)
+        .select(col("doc_id"),
+          (hmod(col("doc_id").cast("string")) % 8).as("shard"),
+          hmod(concat(lit("pack:"), col("doc_id").cast("string"))).as("h"),
+          col("n_subtok"))
+        .filter(col("n_subtok") > 0)
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pd.withColumn("cum", sum(col("n_subtok")).over(w))
+        .withColumn("spans",
+          expr("(cum - n_subtok) div 256") =!= expr("(cum - 1) div 256"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_subtok")).as("total_subtok"),
+          sum(when(col("spans"), 1L).otherwise(0L)).as("n_spanning"),
+          expr("(max(cum) + 255) div 256").as("n_seqs"))
+        .orderBy(col("shard"))
+    }, Some(s"""
+      WITH RECURSIVE $bpeCtes,
+      wk AS (SELECT word,
+               CAST(len(list_filter(string_split(t, chr(31)), x -> x <> ''))
+                    AS BIGINT) k
+             FROM seg WHERE iter = 8),
+      exd AS (SELECT doc_id,
+                     unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+              FROM documents),
+      per AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) n_subtok
+              FROM exd JOIN wk ON exd.tok = wk.word GROUP BY 1),
+      pd AS (SELECT doc_id,
+               ${sql.hmod("CAST(doc_id AS VARCHAR)")} % 8 shard,
+               ${sql.hmod("'pack:'||CAST(doc_id AS VARCHAR)")} h,
+               n_subtok
+             FROM per WHERE n_subtok > 0),
+      cm AS (SELECT shard, n_subtok,
+               SUM(n_subtok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+             FROM pd)
+      SELECT shard, CAST(count(*) AS BIGINT) docs,
+        CAST(SUM(n_subtok) AS BIGINT) total_subtok,
+        CAST(SUM(CASE WHEN (cum - n_subtok) // 256 <> (cum - 1) // 256
+                      THEN 1 ELSE 0 END) AS BIGINT) n_spanning,
+        CAST((MAX(cum) + 255) // 256 AS BIGINT) n_seqs
+      FROM cm GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -459,6 +459,21 @@ class PipelineSpec extends AnyFunSuite {
       again.map(_.toString).toSeq)
   }
 
+  test("q100: subtoken packing reconciles with q98's encode totals") {
+    val pack = SparkEntry.queries("q100_bpe_pack")(spark, sf).collect()
+    val enc = SparkEntry.queries("q98_bpe_encode")(spark, sf).collect()
+    // every subtoken the encoder produced lands in exactly one shard
+    assert(pack.map(_.getAs[Long]("total_subtok")).sum ==
+      enc.map(_.getAs[Long]("n_subtok")).sum)
+    assert(pack.map(_.getAs[Long]("docs")).sum ==
+      enc.count(_.getAs[Long]("n_subtok") > 0))
+    // per shard: the sequence count is the ceil of its subtoken total
+    for (r <- pack)
+      assert(r.getAs[Long]("n_seqs") ==
+        (r.getAs[Long]("total_subtok") + 255) / 256, s"shard ${r.get(0)}")
+    assert(pack.length == 8)
+  }
+
   test("q96: the survivor is the corpus-wide FIRST occurrence") {
     import spark.implicits._
     // doc 1 = A...A (intra-doc dup at j=2), doc 2 repeats doc 1's
