@@ -1314,6 +1314,92 @@ object Pipeline {
         CAST(SUM(CASE WHEN (cum - n_subtok) // 256 <> (cum - 1) // 256
                       THEN 1 ELSE 0 END) AS BIGINT) n_spanning,
         CAST((MAX(cum) + 255) // 256 AS BIGINT) n_seqs
-      FROM cm GROUP BY 1 ORDER BY 1"""))
+      FROM cm GROUP BY 1 ORDER BY 1""")),
+
+    // parallel quality-ensemble vote (the FineWeb/DataComp practice:
+    // independent quality signals each vote, majority keeps — q72's
+    // CASCADE made a parallel combinator): Gopher stage-5, the
+    // learned classifier, OOV rate and commonness each vote per doc,
+    // keep at ≥ 3 of 4. Every vote reuses its audited operator —
+    // three O(docs) equi-joins compose them, nothing recomputes
+    Q("q101_quality_ensemble", (s, d) => {
+      val docs = t(s, d, "documents")
+      val w = s.range(512).select(col("id").as("bucket"),
+        (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L)
+          .as("w"))
+      val g = docs.select(col("doc_id"),
+        gopherKeep(col("text")).as("v_gopher"))
+      val c = classifierScore(docs, w)
+        .select(col("doc_id"), col("keep").as("v_classifier"))
+      val o = vocabOovAudit(docs)
+        .select(col("doc_id"), col("keep").as("v_oov"))
+      val m = commonnessScore(docs, threshold = 900L)
+        .select(col("doc_id"), col("keep").as("v_common"))
+      val nv = Seq("v_gopher", "v_classifier", "v_oov", "v_common")
+        .map(v => when(col(v), 1L).otherwise(0L)).reduce(_ + _)
+      g.join(c, "doc_id").join(o, "doc_id").join(m, "doc_id")
+        .withColumn("n_votes", nv)
+        .withColumn("keep", col("n_votes") >= 3)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, text,
+                    list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      gp AS (SELECT doc_id,
+               (ntok >= 10 AND wlen >= ntok*3 AND wlen <= ntok*10
+                AND nalpha*5 >= ntok*4 AND nstop >= 2
+                AND (ntotal-ndist)*10 < ntotal*3) v_gopher
+             FROM (
+               SELECT doc_id, CAST(len(tk) AS BIGINT) ntok,
+                 CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+                      AS BIGINT) nalpha,
+                 CAST(length(replace(text, ' ', '')) AS BIGINT) wlen,
+                 CAST(len(list_filter(tk, t -> list_contains($stopSetSql, t)))
+                      AS BIGINT) nstop,
+                 CAST(len(sg) AS BIGINT) ntotal,
+                 CAST(len(list_distinct(sg)) AS BIGINT) ndist
+               FROM (SELECT doc_id, text, tk, CASE WHEN len(tk) >= 3
+                       THEN [tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                             for i in generate_series(1, len(tk)-2)]
+                       ELSE [] END sg
+                     FROM tk))),
+      exq AS (SELECT doc_id, unnest(tk) tok FROM tk),
+      fq AS (SELECT doc_id, ${sql.hmod("'qw:'||tok")} % 512 b FROM exq),
+      wq AS (SELECT b, ${sql.hmod("'w:'||CAST(b AS VARCHAR)")} % 2001 - 1000 w
+             FROM generate_series(0,511) g(b)),
+      cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) ntok,
+                    CAST(SUM(wq.w) AS BIGINT) num
+             FROM fq JOIN wq USING (b) GROUP BY 1),
+      vq AS (SELECT tok FROM (SELECT tok, count(*) c FROM exq
+                              GROUP BY 1 ORDER BY c DESC, tok LIMIT 16)),
+      ov AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) ntok,
+                    CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                         AS BIGINT) n_oov
+             FROM exq e LEFT JOIN vq v ON e.tok = v.tok GROUP BY 1),
+      fr AS (SELECT tok, CAST(count(*) AS BIGINT) cnt FROM exq GROUP BY 1),
+      cm2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) ntok,
+                     CAST(SUM(cnt) AS BIGINT) num
+              FROM exq JOIN fr USING (tok) GROUP BY 1),
+      votes AS (SELECT d.doc_id,
+          COALESCE(g.v_gopher, FALSE) AS v_gopher,
+          (COALESCE(c.ntok, 0) > 0 AND COALESCE(c.num, 0) >= 0)
+            AS v_classifier,
+          (COALESCE(o.ntok, 0) > 0 AND COALESCE(o.n_oov, 0) * 1000
+             <= o.ntok * 450) AS v_oov,
+          (COALESCE(m.ntok, 0) > 0 AND COALESCE(m.num, 0) >= 900 * m.ntok)
+            AS v_common
+        FROM documents d
+        LEFT JOIN gp g USING (doc_id) LEFT JOIN cv c USING (doc_id)
+        LEFT JOIN ov o USING (doc_id) LEFT JOIN cm2 m USING (doc_id))
+      SELECT doc_id, v_gopher, v_classifier, v_oov, v_common,
+        CAST((CASE WHEN v_gopher THEN 1 ELSE 0 END +
+              CASE WHEN v_classifier THEN 1 ELSE 0 END +
+              CASE WHEN v_oov THEN 1 ELSE 0 END +
+              CASE WHEN v_common THEN 1 ELSE 0 END) AS BIGINT) AS n_votes,
+        ((CASE WHEN v_gopher THEN 1 ELSE 0 END +
+          CASE WHEN v_classifier THEN 1 ELSE 0 END +
+          CASE WHEN v_oov THEN 1 ELSE 0 END +
+          CASE WHEN v_common THEN 1 ELSE 0 END) >= 3) AS keep
+      FROM votes ORDER BY doc_id"""))
   )
 }

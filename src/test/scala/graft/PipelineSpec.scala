@@ -474,6 +474,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(pack.length == 8)
   }
 
+  test("q101: ensemble votes are exactly the member gates' decisions") {
+    val rows = SparkEntry.queries("q101_quality_ensemble")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // each vote column reproduces its source gate bit-for-bit
+    for (r <- SparkEntry.queries("q88_quality_classifier")(spark, sf).collect())
+      assert(rows(r.getAs[Long]("doc_id")).getAs[Boolean]("v_classifier") ==
+        r.getAs[Boolean]("keep"))
+    for (r <- SparkEntry.queries("q90_vocab_oov")(spark, sf).collect())
+      assert(rows(r.getAs[Long]("doc_id")).getAs[Boolean]("v_oov") ==
+        r.getAs[Boolean]("keep"))
+    for (r <- SparkEntry.queries("q91_commonness")(spark, sf).collect())
+      assert(rows(r.getAs[Long]("doc_id")).getAs[Boolean]("v_common") ==
+        r.getAs[Boolean]("keep"))
+    val gopherCount = rows.values.count(_.getAs[Boolean]("v_gopher"))
+    val stage5 = graft.queries.Pipeline.funnelTable(
+      graft.queries.Pipeline.funnelStats(
+        Tables.t(spark, sf, "documents"), "text"))
+      .filter(col("stage") === "5_repetition").collect()(0).getAs[Long]("docs")
+    assert(gopherCount.toLong == stage5)
+    // majority semantics + a live disagreement spectrum
+    for (r <- rows.values)
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("n_votes") >= 3L))
+    val dist = rows.values.groupBy(_.getAs[Long]("n_votes")).keySet
+    assert(dist.size >= 3, s"vote spectrum degenerate: $dist")
+  }
+
   test("q96: the survivor is the corpus-wide FIRST occurrence") {
     import spark.implicits._
     // doc 1 = A...A (intra-doc dup at j=2), doc 2 repeats doc 1's
