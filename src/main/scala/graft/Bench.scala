@@ -1,5 +1,9 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.GraftSparkShim
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,6 +19,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-stage shuffle/spill counters: wall time on this host swings
+    // ~10× in noise windows, but bytes shuffled are a property of the
+    // PLAN — a scale regression shows as a byte delta even when the
+    // clock lies. Snapshots are taken after draining the (async)
+    // listener bus so stages land on the query that ran them.
+    val shufWrite = new AtomicLong(0L)
+    val shufRead = new AtomicLong(0L)
+    val spill = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    def metricsSnapshot(): (Long, Long, Long) = {
+      GraftSparkShim.drainListenerBus(spark.sparkContext)
+      (shufWrite.get(), shufRead.get(), spill.get())
+    }
     // warmup: JVM/codegen/parquet-footer init paid outside the timings
     // (otherwise the first query measured absorbs ~5 s of session setup)
     try SparkEntry.queries("q01_agg_basic")(spark, sfDir).foreach(_ => ())
@@ -24,20 +50,28 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
-    // Default protocol (round-comparable): each query runs TWICE —
-    // first back-to-back (the session number, which doubles as the
-    // warm pass: plan compile + codegen + JIT), then after a GC
-    // barrier (the isolated number). Session-mode timings absorb GC
-    // debt and JIT state from predecessor queries — fine for a total,
-    // misleading for round-over-round per-query deltas (q56/q59 moved
-    // ±30-80% in r4 with byte-identical code; r5's graded artifact was
-    // session-mode and its "regressions" did not reproduce isolated).
-    // The headline `queries`/`value` are therefore ISOLATED; the
-    // session map/total ride alongside. SPARK_GRAFT_ISOLATED=0 opts
-    // back into the single-pass session-only protocol (half the wall
-    // time, for quick local loops).
+    // Default protocol (round-comparable): each query runs first
+    // back-to-back (the session number, which doubles as the warm
+    // pass: plan compile + codegen + JIT), then SPARK_GRAFT_PASSES
+    // (default 2) isolated passes, each behind a GC barrier; the
+    // headline `queries`/`value` are the per-query MIN of the
+    // isolated passes. Rationale: session-mode timings absorb GC debt
+    // and JIT state from predecessor queries (q56/q59 moved ±30-80%
+    // in r4 with byte-identical code), and the host itself has
+    // documented ~10× slow windows (same q56 binary: 58 s vs 201 s
+    // isolated; a one-pass isolated number nearly caused a wrong
+    // revert of the better q86 plan in r6). min-of-N is the standard
+    // noise-rejection estimator for a deterministic workload under
+    // external interference: interference only ever ADDS time, so the
+    // minimum is the best available estimate of the true cost. The
+    // session map/total and the per-pass worst (`queries_max`) ride
+    // alongside so the noise itself stays observable.
+    // SPARK_GRAFT_ISOLATED=0 opts back into the single-pass
+    // session-only protocol (fastest wall time, for quick local loops);
+    // SPARK_GRAFT_PASSES=1 reproduces the r6 single-isolated protocol.
     val sessionOnly = sys.env.get("SPARK_GRAFT_ISOLATED")
       .exists(v => v == "0" || v.equalsIgnoreCase("false"))
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             name: String): Boolean =
       try { fn(spark, sfDir).foreach(_ => ()); true }
@@ -60,36 +94,50 @@ object Bench {
         Thread.sleep(math.min(2000L, (prevSec * 20).toLong))
       } else Thread.sleep(100)
     }
+    // (name, minIsolated, maxIsolated, session, shufWriteB, shufReadB, spillB)
     val results = selected.map { case (name, fn) =>
+      val (w0, r0, s0) = metricsSnapshot()
       val t0 = System.nanoTime()
       val okSession = run(fn, name)
       val tSession = if (okSession) (System.nanoTime() - t0) / 1e9 else -1.0
-      val tIsolated =
-        if (sessionOnly) tSession
-        else {
+      val (w1, r1, s1) = metricsSnapshot()
+      val iso =
+        if (sessionOnly) Seq(tSession)
+        else (1 to passes).map { _ =>
           barrier(math.max(tSession, 0.0))
           val t1 = System.nanoTime()
           val ok = okSession && run(fn, name)
           if (ok) (System.nanoTime() - t1) / 1e9 else -1.0
         }
-      (name, tIsolated, tSession)
+      val good = iso.filter(_ >= 0)
+      val tMin = if (good.nonEmpty) good.min else -1.0
+      val tMax = if (good.nonEmpty) good.max else -1.0
+      (name, tMin, tMax, tSession, w1 - w0, r1 - r0, s1 - s0)
     }
     // millisecond precision keeps the one-line JSON compact — round
     // 3's driver capture truncated the tail of the full-width floats
+    type R = (String, Double, Double, Double, Long, Long, Long)
     def ms(v: Double): String =
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def qmap(sel: ((String, Double, Double)) => Double): String =
+    def qmap(sel: R => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + ms(sel(r)))
         .mkString("{", ",", "}")
+    def bmap(sel: R => Long): String =
+      results.map(r => s"\"" + r._1 + "\":" + sel(r))
+        .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
-    def total(sel: ((String, Double, Double)) => Double): Double =
+    def total(sel: R => Double): Double =
       results.map(sel).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val mode = if (sessionOnly) "session" else "isolated"
+    val mode =
+      if (sessionOnly) "session"
+      else if (passes == 1) "isolated" else "isolated-min"
     val sessionPart =
       if (sessionOnly) ""
-      else s""","session_total":${ms(total(_._3))},"session_queries":${qmap(_._3)}"""
-    val json = s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":${qmap(_._2)},"failed":$failedJson,"mode":"$mode"$sessionPart,"sf":"$sfDir"}"""
+      else s""","passes":$passes,"queries_max":${qmap(_._3)},"session_total":${ms(total(_._4))},"session_queries":${qmap(_._4)}"""
+    val bytesPart =
+      s""","shuffle_bytes":${bmap(_._5)},"shuffle_read_bytes":${bmap(_._6)},"spill_bytes":${bmap(_._7)}"""
+    val json = s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":${qmap(_._2)},"failed":$failedJson,"mode":"$mode"$sessionPart$bytesPart,"sf":"$sfDir"}"""
     println(json)
     // also persist the full line — the driver's stdout capture has
     // truncated the JSON head/tail two rounds running
