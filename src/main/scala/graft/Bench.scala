@@ -11,6 +11,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pinned: events.ts normalizes NTZ→LTZ (Tables.t) and the
+      // bucketing queries must bucket identically to the Verify gate
+      .config("spark.sql.session.timeZone", "UTC")
       // explicit (defaults can change between Spark versions): AQE
       // re-plans at runtime and splits skewed join partitions — the
       // guard for a hot l_orderkey in the q09-style star joins at scale
@@ -71,7 +74,11 @@ object Bench {
     // SPARK_GRAFT_PASSES=1 reproduces the r6 single-isolated protocol.
     val sessionOnly = sys.env.get("SPARK_GRAFT_ISOLATED")
       .exists(v => v == "0" || v.equalsIgnoreCase("false"))
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    // tolerate malformed SPARK_GRAFT_PASSES like the other env knobs —
+    // a typo'd value must not crash the whole artifact run
+    val passes = math.max(1, sys.env.get("SPARK_GRAFT_PASSES")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(2))
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             name: String): Boolean =
       try { fn(spark, sfDir).foreach(_ => ()); true }
@@ -94,7 +101,8 @@ object Bench {
         Thread.sleep(math.min(2000L, (prevSec * 20).toLong))
       } else Thread.sleep(100)
     }
-    // (name, minIsolated, maxIsolated, session, shufWriteB, shufReadB, spillB)
+    // (name, minIsolated, maxIsolated, session, shufWriteB, shufReadB,
+    //  spillB, failedPasses)
     val results = selected.map { case (name, fn) =>
       val (w0, r0, s0) = metricsSnapshot()
       val t0 = System.nanoTime()
@@ -112,11 +120,16 @@ object Bench {
       val good = iso.filter(_ >= 0)
       val tMin = if (good.nonEmpty) good.min else -1.0
       val tMax = if (good.nonEmpty) good.max else -1.0
-      (name, tMin, tMax, tSession, w1 - w0, r1 - r0, s1 - s0)
+      // a pass-level failure (flaky OOM etc.) must not vanish behind a
+      // surviving pass's clean min — it rides along as a flaky count
+      val badPasses = iso.count(_ < 0)
+      if (badPasses > 0 && good.nonEmpty)
+        System.err.println(s"[bench] $name: $badPasses/${iso.size} passes failed (reported min is from surviving passes)")
+      (name, tMin, tMax, tSession, w1 - w0, r1 - r0, s1 - s0, badPasses)
     }
     // millisecond precision keeps the one-line JSON compact — round
     // 3's driver capture truncated the tail of the full-width floats
-    type R = (String, Double, Double, Double, Long, Long, Long)
+    type R = (String, Double, Double, Double, Long, Long, Long, Int)
     def ms(v: Double): String =
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def qmap(sel: R => Double): String =
@@ -129,6 +142,10 @@ object Bench {
     def total(sel: R => Double): Double =
       results.map(sel).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // queries that reported a clean min but lost ≥1 isolated pass
+    val flaky = results.filter(r => r._8 > 0 && r._2 >= 0)
+    val flakyJson = flaky
+      .map(r => "\"" + r._1 + "\":" + r._8).mkString("{", ",", "}")
     val mode =
       if (sessionOnly) "session"
       else if (passes == 1) "isolated" else "isolated-min"
@@ -137,7 +154,7 @@ object Bench {
       else s""","passes":$passes,"queries_max":${qmap(_._3)},"session_total":${ms(total(_._4))},"session_queries":${qmap(_._4)}"""
     val bytesPart =
       s""","shuffle_bytes":${bmap(_._5)},"shuffle_read_bytes":${bmap(_._6)},"spill_bytes":${bmap(_._7)}"""
-    val json = s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":${qmap(_._2)},"failed":$failedJson,"mode":"$mode"$sessionPart$bytesPart,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":${qmap(_._2)},"failed":$failedJson,"flaky_passes":$flakyJson,"mode":"$mode"$sessionPart$bytesPart,"sf":"$sfDir"}"""
     println(json)
     // also persist the full line — the driver's stdout capture has
     // truncated the JSON head/tail two rounds running

@@ -15,14 +15,22 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // read as a timestamp. Read nanos as long, convert to micros with
-      // integer division (double division would lose precision at 1e18).
+      // events.ts has shipped as two parquet types across testdata
+      // generations: TIMESTAMP(NANOS) (Spark 4 refuses it as a
+      // timestamp — read nanos as long, integer-divide to micros) and
+      // plain naive TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ). Gate
+      // queries use instant functions (unix_millis) and UTC bucketing,
+      // so both normalize to TIMESTAMP_LTZ; sessions here pin
+      // spark.sql.session.timeZone=UTC, making the NTZ→LTZ cast the
+      // identity mapping the oracle (naive DuckDB timestamps) expects.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => df
       }
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -9,7 +9,19 @@ package org.apache.spark
   * `private[spark]` — hence this one-method shim (same pattern as
   * sql.graftshim for the Column↔Expression bridge). */
 object GraftSparkShim {
+  /** Blocks until the listener queue is empty (10 s budget). A timeout
+    * means byte attribution may bleed into the next query — that must
+    * stay observable, so it warns on stderr instead of passing silently;
+    * interruption re-sets the thread's interrupt flag. */
   def drainListenerBus(sc: SparkContext): Unit =
     try sc.listenerBus.waitUntilEmpty(10000L)
-    catch { case _: Throwable => () }
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(
+          "[bench] listener bus not drained in 10s — byte attribution may bleed into the next query")
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt()
+      case e: Throwable =>
+        System.err.println(s"[bench] listener bus drain failed: ${e.getClass.getName}: ${e.getMessage}")
+    }
 }
