@@ -155,14 +155,33 @@ object Bench {
     val bytesPart =
       s""","shuffle_bytes":${bmap(_._5)},"shuffle_read_bytes":${bmap(_._6)},"spill_bytes":${bmap(_._7)}"""
     val json = s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":${qmap(_._2)},"failed":$failedJson,"flaky_passes":$flakyJson,"mode":"$mode"$sessionPart$bytesPart,"sf":"$sfDir"}"""
-    println(json)
-    // also persist the full line — the driver's stdout capture has
-    // truncated the JSON head/tail two rounds running
+    // Full-width detail (full query names, per-pass worst, session map,
+    // byte counters) goes to bench_full.json — it is ~15 KB and the
+    // driver keeps only the last 2000 chars of combined output, which
+    // is why no BENCH_r{N}.json ever carried a parsed line in r1–r7.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // Stdout gets ONE compact line that fits the driver's 2000-char
+    // tail window WITH room for sbt's trailing [success] line:
+    // query keys are the unique qNN prefix (the contract's own
+    // {"q1":sec,...} shape), no big auxiliary maps. Printed LAST,
+    // after spark.stop(), so no executor/GC/log chatter can land
+    // between it and end-of-stream.
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    val shortsUnique = results.map(r => shortId(r._1)).distinct.size == results.size
+    def sid(name: String): String = if (shortsUnique) shortId(name) else name
+    val compactQ = results.map(r => "\"" + sid(r._1) + "\":" + ms(r._2))
+      .mkString("{", ",", "}")
+    val compactFailed = failed.map("\"" + sid(_) + "\"").mkString("[", ",", "]")
+    val compactFlaky = flaky.map(r => "\"" + sid(r._1) + "\":" + r._8)
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":$compactQ,"failed":$compactFailed,"flaky_passes":$compactFlaky,"mode":"$mode","passes":$passes,"full":"$out","sf":"$sfDir"}"""
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

@@ -84,4 +84,23 @@ object HeavyHitters {
     * corpora instead of silently entering the sketch regime. */
   def exact(c: Column, k: Int): Column =
     udaf(new HeavyHitters(k, failOnApprox = true)).apply(c)
+
+  /** Data-derived exact-regime k: one distinct-count pre-pass (the
+    * semdedup auto-k pattern — a single scalar to the driver, O(groups)
+    * shuffle output) returns the max per-group cardinality of `value`
+    * plus one, so `exact` stays in the never-decrements regime at ANY
+    * scale factor, including ScaleUp-replicated corpora whose shifted
+    * keys multiply cardinality. The fail-loud guard stays armed: if the
+    * data changes between the pre-pass and the aggregate (a streaming
+    * source, a non-deterministic sample), the job still dies instead of
+    * silently underestimating. */
+  def autoK(df: org.apache.spark.sql.DataFrame, groupKeys: Seq[Column],
+            value: Column): Int = {
+    import org.apache.spark.sql.functions.{countDistinct, max => fmax}
+    val card = df.groupBy(groupKeys: _*)
+      .agg(countDistinct(value).as("c"))
+      .agg(fmax(org.apache.spark.sql.functions.col("c")))
+      .head.getLong(0)
+    math.min(card + 1L, Int.MaxValue.toLong).toInt
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -61,7 +63,7 @@ object BpeOp {
       concat(lit(Sep2),
         array_join(regexp_extract_all(col("word"), lit("(?s)(.)"), lit(1)), Sep2),
         lit(Sep2)).as("t"))
-      .localCheckpoint()
+      .cut(eager = true)
     val out = Seq.newBuilder[Merge]
     for (r <- 1 to rounds) {
       val sy = array_remove(split(col("t"), Sep), "")
@@ -81,7 +83,7 @@ object BpeOp {
       seg = seg.withColumn("t",
         replace(col("t"), lit(Sep + pa + Sep2 + pb + Sep),
           lit(Sep + pa + pb + Sep)))
-        .localCheckpoint()
+        .cut(eager = true)
       val nSyms = seg
         .select(explode(array_remove(split(col("t"), Sep), "")).as("s"))
         .agg(count_distinct(col("s"))).collect()(0).getLong(0)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -68,9 +70,9 @@ object ConnectedComponents {
     val vid = vertices.columns.head
     val sym = edges.select(col(ea).as("src"), col(eb).as("dst"))
       .union(edges.select(col(eb).as("src"), col(ea).as("dst")))
-      .localCheckpoint()
+      .cut(eager = true)
     var labels = vertices.select(col(vid).as("id"), col(vid).as("cid"))
-      .localCheckpoint()
+      .cut(eager = true)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -80,7 +82,7 @@ object ConnectedComponents {
       val updated = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("cid"),
           least(col("cid"), coalesce(col("ncid"), col("cid"))).as("next"))
-        .localCheckpoint()
+        .cut(eager = true)
       changed = updated.filter(col("next") < col("cid")).count()
       labels = updated.select(col("id"), col("next").as("cid"))
     }
@@ -130,13 +132,13 @@ object ConnectedComponents {
     }
     var e = edges
       .select(greatest(col(ea), col(eb)).as("u"), least(col(ea), col(eb)).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().cut(eager = true)
     var prev = checksum(e)
     var rounds = 0
     var done = false
     while (!done) {
       rounds += 1
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).cut(eager = true)
       val cur = checksum(next)
       done = cur == prev
       prev = cur

@@ -262,15 +262,19 @@ object Analytics {
       import graft.functions.HeavyHitters
       // EXACTNESS CONTRACT, enforced at runtime: k must exceed the
       // per-group user cardinality or Misra-Gries starts decrementing
-      // and silently diverges from the GROUP BY oracle. The driver
-      // corpus has ≤150 users per sf (TESTDATA.md); 100000 leaves
-      // 600x headroom, and HeavyHitters.exact FAILS THE JOB (not the
-      // hash compare) if a ScaleUp-replicated run's shifted keys ever
-      // push cardinality past k — HeavyHittersSpec demonstrates.
-      t(s, d, "events")
+      // and silently diverges from the GROUP BY oracle. k is derived
+      // from the data (HeavyHitters.autoK: one distinct-count
+      // pre-pass, a single scalar to the driver), so the gate stays
+      // exact at ANY scale factor — sf0.01's 150 users and a ScaleUp
+      // sf10 run's 150k shifted users both land k = cardinality+1.
+      // The fail-loud guard stays armed behind it: if cardinality
+      // moves between pre-pass and aggregate, the job dies instead of
+      // the hash compare silently drifting (HeavyHittersSpec).
+      val ev = t(s, d, "events")
         .select(col("event_type"), col("user_id").cast("string").as("u"))
-        .groupBy(col("event_type"))
-        .agg(HeavyHitters.exact(col("u"), 100000).as("hh"))
+      val k = HeavyHitters.autoK(ev, Seq(col("event_type")), col("u"))
+      ev.groupBy(col("event_type"))
+        .agg(HeavyHitters.exact(col("u"), k).as("hh"))
         .select(col("event_type"), explode(col("hh")).as(Seq("user_id", "cnt")))
         .orderBy(col("event_type"), col("user_id"))
     }, Some("""

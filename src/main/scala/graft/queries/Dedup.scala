@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -234,10 +236,10 @@ object Dedup {
           min(col("doc_id")).over(Window.partitionBy(col("text"))))
       val members = capBuckets(shingled.select(col("gid"), col("doc_id")),
           Seq("gid"), "doc_id", cfg.maxBucketSize)
-        .localCheckpoint(false) // referenced 4x (intra self-join + expansion)
+        .cut() // referenced 4x (intra self-join + expansion)
       val reps = shingled.filter(col("doc_id") === col("gid"))
         .select(col("doc_id"), col("text"))
-        .localCheckpoint(false) // band self-join sides + shingle verify
+        .cut() // band self-join sides + shingle verify
       val repPairs = nearDupPairsDistinct(reps, cfg, brute = false)
       val intra = members.as("a")
         .join(members.as("b"),
@@ -422,7 +424,7 @@ object Dedup {
       .withColumn("gid",
         min(col("doc_id")).over(Window.partitionBy(col("text"))))
     val members = shingled.select(col("gid"), col("doc_id"))
-      .localCheckpoint(false) // referenced 4x (intra self-join + expansion)
+      .cut() // referenced 4x (intra self-join + expansion)
     val reps = shingled.filter(col("doc_id") === col("gid"))
       .select(col("doc_id"), col("text"))
     val hset = reps
@@ -437,13 +439,13 @@ object Dedup {
     // stats pass, the rare-side of the posting join, and the prefix
     // branch all reuse ONE shingling pass instead of recomputing the
     // scan+groupBy subtree per reference
-    val dfs = if (mode == "auto") dfs0.localCheckpoint() else dfs0
+    val dfs = if (mode == "auto") dfs0.cut(eager = true) else dfs0
     val rare = dfs.select(col("h"))
     // lazy checkpoint: kept feeds the per-doc sizes AND both sides of
     // the co-occurrence (or prefix) self-join — one shingling +
     // distinct pass instead of one per reference; one narrow row per
     // (distinct text, surviving shingle)
-    val kept = hset.join(rare, "h").localCheckpoint(false)
+    val kept = hset.join(rare, "h").cut()
     val prefixFilter = mode match {
       case "auto"   => jaccardModeFromStats(dfs) == "prefix"
       case "prefix" => true
@@ -483,7 +485,7 @@ object Dedup {
       // ≥ t/(1+t)·(|a|+|b|); float slack only ever KEEPS rows.
       val docsArr = kept.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
-        .localCheckpoint(false) // referenced 4× in the plan
+        .cut() // referenced 4× in the plan
       val prefixLen = (col("n") - greatest(floor(lit(threshold) * col("n")), lit(1.0))
         .cast(LongType) + 1).cast("int")
       val prefix = docsArr
@@ -556,7 +558,7 @@ object Dedup {
       .withColumn("gid",
         min(col("doc_id")).over(Window.partitionBy(col("text"))))
     val members = shingled.select(col("gid"), col("doc_id"))
-      .localCheckpoint(false) // referenced 4x (intra self-join + expansion)
+      .cut() // referenced 4x (intra self-join + expansion)
     val reps = shingled.filter(col("doc_id") === col("gid"))
       .select(col("doc_id"), col("text"))
     val hset = reps
@@ -569,7 +571,7 @@ object Dedup {
     // lazy checkpoint: kept feeds sizes, both self-join sides and the
     // active-group projection — one shingling + distinct pass instead
     // of four (see [[ngramJaccardPairs]])
-    val kept = hset.join(rare, "h").localCheckpoint(false)
+    val kept = hset.join(rare, "h").cut()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val repPairs = kept.as("a").join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -623,7 +625,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
       .select(col("doc_id"), hmod(col("sg")).as("h"))
-      .distinct().localCheckpoint(false)
+      .distinct().cut()
     val dfs = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val per = hset.join(dfs, "h")
       .groupBy(col("doc_id"))
@@ -661,9 +663,9 @@ object Dedup {
     // verify — without them each reference re-runs the corpus-wide
     // window (measured 1.6× on q56 at sf10). Ids-only members stays
     // cheap to store at scale; reps is one row per DISTINCT text.
-    val members = shingled.select(col("gid"), col("doc_id")).localCheckpoint(false)
+    val members = shingled.select(col("gid"), col("doc_id")).cut()
     val reps = shingled.filter(col("doc_id") === col("gid"))
-      .select(col("doc_id"), col("text")).localCheckpoint(false)
+      .select(col("doc_id"), col("text")).cut()
     val pairs = nearDupPairsDistinct(reps, cfg, brute = false)
       .select(col("a_id"), col("b_id"))
     val comp = graft.operators.ConnectedComponents
@@ -733,7 +735,7 @@ object Dedup {
     // of one per reference (see [[clusters]])
     val reps = docs.filter(hasShingles)
       .groupBy(col("text")).agg(min(col("doc_id")).as("gid"))
-      .select(col("gid").as("doc_id"), col("text")).localCheckpoint(false)
+      .select(col("gid").as("doc_id"), col("text")).cut()
     val pairs = nearDupPairsDistinct(reps, cfg, brute = false)
       .select(col("a_id"), col("b_id"))
     val keepReps = graft.operators.ConnectedComponents
@@ -774,7 +776,7 @@ object Dedup {
     // the argmax re-read (see [[deduplicate]])
     val reps = docs.filter(hasShingles)
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("text")).localCheckpoint(false)
+      .select(col("doc_id"), col("text")).cut()
     val pairs = nearDupPairsDistinct(reps, cfg, brute = false)
       .select(col("a_id"), col("b_id"))
     val comp = graft.operators.ConnectedComponents
@@ -826,14 +828,14 @@ object Dedup {
       size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
     val inReps = incoming.filter(hasShingles)
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("text")).localCheckpoint(false)
+      .select(col("doc_id"), col("text")).cut()
     // index side: distinct texts only (index ids never surface);
     // h60(text) is a deterministic synthetic id for banding/caps
     val ixReps = index.filter(hasShingles)
       .select(col("text")).distinct()
-      .select(h60(col("text")).as("doc_id"), col("text")).localCheckpoint(false)
+      .select(h60(col("text")).as("doc_id"), col("text")).cut()
     val inBands = bandTable(minhashSignaturesDistinct(inReps, cfg), cfg)
-      .localCheckpoint(false) // self-join sides + the cross join
+      .cut() // self-join sides + the cross join
     val ixBands = bandTable(minhashSignaturesDistinct(ixReps, cfg), cfg)
     val inSh = inReps.select(col("doc_id"), shOf(col("text")).as("sh"))
     val ixSh = ixReps.select(col("doc_id"), shOf(col("text")).as("sh"))
@@ -1039,6 +1041,42 @@ object Dedup {
           CAST(list_sum(list_transform(generate_series(1,len(a.v)), i -> a.v[i]*b.v[i])) AS DOUBLE)
             / (a.nrm*b.nrm) cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      WHERE cosine >= 0.35 ORDER BY a_id, b_id""")),
+
+    // embedding-cosine near-dup pairs through the FRONT DOOR (the
+    // sign-LSH bucketed default a user actually runs at scale —
+    // cosinePairs with brute=false): vectors agreeing on the 6
+    // leading axis signs land in one bucket, candidate pairs come
+    // from a per-bucket self-join (compare count tracks E[bucket],
+    // never n²), survivors verified with the same exact int-scaled
+    // cosine as q27. The bucket function is data-independent and
+    // deterministic, so the oracle replays it verbatim in SQL —
+    // recall < 1 vs q27 is the LSH contract, and the kept set itself
+    // is exactly reproducible. The 4096 bucket cap can't fire at
+    // gate sf (500 vectors, 64 buckets), so the oracle omits it;
+    // DedupApiSpec covers cap semantics.
+    Q("q102_cosine_lsh_pairs", (s, d) => {
+      cosinePairs(t(s, d, "embeddings"), 0.35)
+        .orderBy(col("a_id"), col("b_id"))
+    }, Some(s"""
+      WITH iv AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) v
+        FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(CAST(list_sum([x*x for x in v]) AS DOUBLE)) nrm,
+              (CASE WHEN v[1]>=0 THEN 1 ELSE 0 END) +
+              (CASE WHEN v[2]>=0 THEN 2 ELSE 0 END) +
+              (CASE WHEN v[3]>=0 THEN 4 ELSE 0 END) +
+              (CASE WHEN v[4]>=0 THEN 8 ELSE 0 END) +
+              (CASE WHEN v[5]>=0 THEN 16 ELSE 0 END) +
+              (CASE WHEN v[6]>=0 THEN 32 ELSE 0 END) bucket
+            FROM iv)
+      SELECT a_id, b_id, cosine FROM (
+        SELECT a.vec_id a_id, b.vec_id b_id,
+          CAST(list_sum(list_transform(generate_series(1,len(a.v)), i -> a.v[i]*b.v[i])) AS DOUBLE)
+            / (a.nrm*b.nrm) cosine
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       WHERE cosine >= 0.35 ORDER BY a_id, b_id""")),
 
     // exact n-gram Jaccard pairs via the inverted-index join (no

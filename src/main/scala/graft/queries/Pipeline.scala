@@ -115,20 +115,45 @@ object Pipeline {
     * monoid audit — no corpus-wide shuffle anywhere. */
   def sourceMixSample(docs: DataFrame, budgetTokens: Long,
                       shares: Map[String, Long],
-                      defaultShare: Long): DataFrame = {
+                      defaultShare: Long): DataFrame =
+    sourceMixAudit(docs,
+      sourceMixRates(sourceTokenTotals(docs), budgetTokens, shares, defaultShare))
+
+  /** Stage 1 of [[sourceMixSample]]/[[epochPlan]]: per-source token
+    * totals — ONE bounded groupBy, |sources| rows. Monoid, so it is
+    * also directly streamable (O(|sources|) state store rows); the
+    * streaming front door is
+    * [[graft.streaming.PipelineStream.sourceTokensStream]]. */
+  def sourceTokenTotals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), size(tokens(col("text"))).cast(LongType).as("ntok"))
+      .groupBy(col("source"))
+      .agg(sum(col("ntok")).as("src_tokens"))
+
+  /** Stage 2 of [[sourceMixSample]]: derive per-mille keep rates from
+    * a (source, src_tokens) totals table — driver-free column
+    * arithmetic over a bounded table. */
+  def sourceMixRates(totals: DataFrame, budgetTokens: Long,
+                     shares: Map[String, Long],
+                     defaultShare: Long): DataFrame = {
     require(budgetTokens > 0 && defaultShare >= 0 &&
       shares.values.forall(_ >= 0), "budget/shares out of range")
     val share = shares.foldLeft(lit(defaultShare): Column) { case (acc, (k, v)) =>
       when(col("source") === k, lit(v)).otherwise(acc)
     }
-    val rates = docs
-      .select(col("source"), size(tokens(col("text"))).cast(LongType).as("ntok"))
-      .groupBy(col("source"))
-      .agg(sum(col("ntok")).as("src_tokens"))
+    totals
       .withColumn("share", share)
       .withColumn("rate",
         least(lit(1000L), expr(s"(CAST($budgetTokens AS BIGINT) * share) div src_tokens")))
       .select(col("source"), col("src_tokens"), col("rate"))
+  }
+
+  /** Stage 3 of [[sourceMixSample]]: scan-stage keep decision against
+    * a broadcast rates table + the monoid audit. `docs` may be a
+    * STREAMING DataFrame (stream-static broadcast join, then one
+    * streaming aggregation with O(|sources|) state) — the q85
+    * streaming parity path. */
+  def sourceMixAudit(docs: DataFrame, rates: DataFrame): DataFrame = {
     val kept =
       (hmod(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000) < col("rate")
     docs
@@ -165,16 +190,21 @@ object Pipeline {
     * (epochs × the same shard stream), never a materialized blow-up. */
   def epochPlan(docs: DataFrame, budgetTokens: Long,
                 shares: Map[String, Long],
-                defaultShare: Long): DataFrame = {
+                defaultShare: Long): DataFrame =
+    epochPlanAudit(docs,
+      epochPlanTable(sourceTokenTotals(docs), budgetTokens, shares, defaultShare))
+
+  /** Stage 2 of [[epochPlan]]: the per-source (epochs, remainder
+    * rate) plan from a totals table — bounded column arithmetic. */
+  def epochPlanTable(totals: DataFrame, budgetTokens: Long,
+                     shares: Map[String, Long],
+                     defaultShare: Long): DataFrame = {
     require(budgetTokens > 0 && defaultShare >= 0 &&
       shares.values.forall(_ >= 0), "budget/shares out of range")
     val share = shares.foldLeft(lit(defaultShare): Column) { case (acc, (k, v)) =>
       when(col("source") === k, lit(v)).otherwise(acc)
     }
-    val plan = docs
-      .select(col("source"), size(tokens(col("text"))).cast(LongType).as("ntok"))
-      .groupBy(col("source"))
-      .agg(sum(col("ntok")).as("src_tokens"))
+    totals
       .withColumn("share", share)
       .withColumn("budget_s",
         expr(s"(CAST($budgetTokens AS BIGINT) * share) div 1000"))
@@ -182,6 +212,13 @@ object Pipeline {
       .withColumn("rem_rate",
         expr("((budget_s % src_tokens) * 1000) div src_tokens"))
       .select(col("source"), col("src_tokens"), col("epochs"), col("rem_rate"))
+  }
+
+  /** Stage 3 of [[epochPlan]]: remainder-pass keep decision against
+    * the broadcast plan + monoid audit. Streamable like
+    * [[sourceMixAudit]] (stream-static join, O(|sources|) state) —
+    * the q99 streaming parity path. */
+  def epochPlanAudit(docs: DataFrame, plan: DataFrame): DataFrame = {
     val kept =
       (hmod(concat(lit("epoch:"), col("doc_id").cast("string"))) % 1000) <
         col("rem_rate")

@@ -1,14 +1,23 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 import graft.queries.Pipeline
+
+/** Per-source state of [[PipelineStream.sourceCapStream]]: running
+  * total + the ≤ k (hkey, doc_id) pairs currently winning the
+  * deterministic-hash cap. Public (not nested) because the state
+  * encoder's generated code must construct it. */
+case class SourceCapState(nTotal: Long, kept: List[(Long, Long)])
 
 /** Streaming forms of the corpus-preparation gate operators — the
   * ones a streaming ingest actually runs continuously: PII audit
   * (q71), quality funnel (q72), stratified sampling (q79), DSIR
-  * bucket stats (q80), quality-classifier inference (q88,
-  * stateless). The rest of the suite is inherently
+  * bucket stats (q80), source-mix and epoch-plan audits (q85/q99,
+  * stream-static against a pinned recipe table), per-source caps
+  * (q92, bounded GroupState heaps), quality-classifier inference
+  * (q88, stateless). The rest of the suite is inherently
   * corpus-wide: block dedup and decontamination need the full corpus
   * on both sides.
   *
@@ -79,6 +88,66 @@ object PipelineStream {
   def dsirBucketsStream(docs: DataFrame, buckets: Int = 128,
                         target: String = "en"): DataFrame =
     Pipeline.dsirBuckets(Pipeline.dsirFeatures(docs, buckets), target)
+
+  /** Per-source token totals (stage 1 of q85 source mixing / q99
+    * epoch planning) over an unbounded feed — one monoid sum,
+    * O(|sources|) state. Snapshot it (complete mode) and feed the
+    * snapshot to [[Pipeline.sourceMixRates]]/[[Pipeline.epochPlanTable]]
+    * to derive the current rates/plan table. */
+  def sourceTokensStream(docs: DataFrame): DataFrame =
+    Pipeline.sourceTokenTotals(docs)
+
+  /** Streaming source-mix audit (gate q85's stage 2+3) against a
+    * STATIC rates table (a [[sourceTokensStream]] snapshot through
+    * [[Pipeline.sourceMixRates]], or a batch-derived table): the keep
+    * decision is a stream-static broadcast join + scan-stage hash
+    * arithmetic (each row's fate is sealed on arrival), the audit one
+    * monoid aggregation — O(|sources|) state. Honest split: the rates
+    * themselves depend on corpus-wide totals, so they enter as an
+    * explicit table the operator holds FIXED — exactly how a
+    * production sampler pins a mixing recipe while data keeps
+    * arriving (re-derive + restart to adopt new totals, the
+    * [[dsirBucketsStream]] doctrine). */
+  def sourceMixAuditStream(docs: DataFrame, rates: DataFrame): DataFrame =
+    Pipeline.sourceMixAudit(docs, rates)
+
+  /** Streaming epoch-plan audit (gate q99's stage 2+3) against a
+    * static plan table — same stream-static + monoid shape and the
+    * same fixed-recipe semantics as [[sourceMixAuditStream]]. */
+  def epochPlanAuditStream(docs: DataFrame, plan: DataFrame): DataFrame =
+    Pipeline.epochPlanAudit(docs, plan)
+
+  /** Streaming per-source doc cap (gate q92's semantics): keep the k
+    * docs winning the deterministic salted-hash order, however the
+    * stream is chunked. The batch plan's bounded-heap TopK becomes a
+    * bounded-heap GroupState — one state row per source holding
+    * (running total, ≤ k winners), so state is O(|sources|·k),
+    * stream-length-free, and every emitted audit row reflects exactly
+    * the set the batch operator would keep on the data so far
+    * (PipelineStreamSpec pins final stream state ≡ the q92 gate).
+    * [[graft.functions.ExactCols.hmodJvm]] mirrors the columnar hash
+    * bit-for-bit; run with outputMode("update"). */
+  def sourceCapStream(docs: DataFrame, k: Int = 10): DataFrame = {
+    import graft.functions.ExactCols.{hmodJvm, P}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(docs("source"), docs("doc_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SourceCapState, (String, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) { case (source, rows, state) =>
+        var st = state.getOption.getOrElse(SourceCapState(0L, Nil))
+        rows.foreach { case (_, id) =>
+          val cand = (hmodJvm("cap:" + id), id) :: st.kept
+          st = SourceCapState(st.nTotal + 1,
+            cand.sorted.take(k)) // k is small; heap == sorted prefix
+        }
+        state.update(st)
+        val ck = st.kept.map { case (_, id) => hmodJvm(id.toString) }.sum % P
+        (source, st.nTotal, st.kept.size.toLong, ck)
+      }
+      .toDF("source", "n_total", "n_kept", "kept_checksum")
+  }
 
   /** Per-doc quality-classifier inference (gate q88's semantics) over
     * an unbounded feed — STATELESS: the model is a broadcast-closure

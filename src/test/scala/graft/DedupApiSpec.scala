@@ -442,6 +442,29 @@ class DedupApiSpec extends AnyFunSuite {
     assert(survivors.size == clusters.map(_._2).distinct.length)
   }
 
+  test("reliable-checkpoint mode (graft.checkpoint.dir) matches the localCheckpoint default") {
+    import org.apache.spark.sql.functions.col
+    // the dedup family's lineage cuts (Checkpoints.cut) default to
+    // localCheckpoint — fast, but executor-loss-fragile; with
+    // graft.checkpoint.dir set they switch to reliable checkpoint()
+    // files. Both modes must produce identical results: the cut point
+    // only truncates lineage, never changes semantics.
+    val docs = variedDocs.union(identicalDocs(6).withColumn("doc_id", col("doc_id") + 100L))
+    def run(): (Set[String], Set[String]) = (
+      Dedup.ngramJaccardPairs(docs, 0.3).collect().map(_.toString).toSet,
+      Dedup.clusters(docs).collect().map(_.toString).toSet)
+    val (pairsDefault, clustersDefault) = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("graft.checkpoint.dir", dir)
+    try {
+      val (pairsReliable, clustersReliable) = run()
+      assert(pairsReliable == pairsDefault)
+      assert(clustersReliable == clustersDefault)
+      // the reliable mode really wrote checkpoint files
+      assert(spark.sparkContext.getCheckpointDir.nonEmpty)
+    } finally spark.conf.unset("graft.checkpoint.dir")
+  }
+
   test("q93: no near-dup cluster straddles a split boundary; a doc-hash split does") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"

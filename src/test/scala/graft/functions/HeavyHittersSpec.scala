@@ -73,6 +73,31 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(okK == (1 to 40).map(i => s"u$i" -> 1L).toMap)
   }
 
+  test("autoK derives the exact-regime k from the data at any scale") {
+    import spark.implicits._
+    // models the ScaleUp trap the fixed k=100000 fell into: replicate a
+    // corpus 3x with shifted keys and the cardinality triples, but
+    // autoK's distinct-count pre-pass tracks it — exact mode stays in
+    // the never-decrements regime and equals the true GROUP BY counts
+    def corpus(reps: Int) = (0 until reps).flatMap(r =>
+      (1 to 50).flatMap(i => Seq.fill(1 + i % 3)((i % 2, s"u${r * 50 + i}"))))
+      .toDF("g", "v").repartition(8)
+    for (reps <- Seq(1, 3)) {
+      val df = corpus(reps)
+      val k = HeavyHitters.autoK(df, Seq(col("g")), col("v"))
+      val exactCard = df.groupBy("g").agg(countDistinct(col("v")).as("c"))
+        .agg(max(col("c"))).head.getLong(0)
+      assert(k == exactCard + 1)
+      val got = df.groupBy(col("g"))
+        .agg(HeavyHitters.exact(col("v"), k).as("hh"))
+        .select(col("g"), explode(col("hh")).as(Seq("v", "cnt")))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val truth = df.groupBy(col("g"), col("v")).count()
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == truth, s"reps=$reps autoK=$k diverged from GROUP BY")
+    }
+  }
+
   test("works per group (one summary per key)") {
     import spark.implicits._
     // "a" count (~333 per group) must be strictly above n/(k+1) = 200

@@ -131,6 +131,112 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source-mix audit against a streamed-totals recipe equals the q85 gate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+
+    // stage 1 streamed: per-source token totals (O(|sources|) state)
+    val in1 = MemoryStream[(String, Long, String)]
+    val q1 = PipelineStream
+      .sourceTokensStream(in1.toDF().toDF("source", "doc_id", "text"))
+      .writeStream.format("memory").queryName("mix_totals_stream")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        in1.addData(chunk.toIndexedSeq)
+        q1.processAllAvailable()
+      }
+      assert(rowsOf(spark.table("mix_totals_stream")) ==
+        rowsOf(Pipeline.sourceTokenTotals(
+          docs.toSeq.toDF("source", "doc_id", "text"))))
+    } finally q1.stop()
+
+    // stage 2+3: rates derived from the streamed snapshot, audit
+    // streamed against the pinned recipe — equals the graded gate
+    val rates = Pipeline.sourceMixRates(
+      spark.table("mix_totals_stream"), 8000L,
+      Map("src0" -> 200L, "src1" -> 150L), 30L).cache()
+    val in2 = MemoryStream[(String, Long, String)]
+    val q2 = PipelineStream
+      .sourceMixAuditStream(in2.toDF().toDF("source", "doc_id", "text"), rates)
+      .writeStream.format("memory").queryName("mix_audit_stream")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { chunk =>
+        in2.addData(chunk.toIndexedSeq)
+        q2.processAllAvailable()
+      }
+      val gate = graft.SparkEntry.queries("q85_source_mix")(spark, sf)
+      assert(rowsOf(spark.table("mix_audit_stream")) == rowsOf(gate))
+      assert(spark.table("mix_audit_stream").count() > 0)
+    } finally q2.stop()
+  }
+
+  test("streaming epoch-plan audit against a pinned plan table equals the q99 gate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val docsDf = docs.toSeq.toDF("source", "doc_id", "text")
+    val plan = Pipeline.epochPlanTable(
+      Pipeline.sourceTokenTotals(docsDf), 40000L,
+      Map("src0" -> 100L, "src1" -> 50L), 10L).cache()
+
+    val in = MemoryStream[(String, Long, String)]
+    val q = PipelineStream
+      .epochPlanAuditStream(in.toDF().toDF("source", "doc_id", "text"), plan)
+      .writeStream.format("memory").queryName("epoch_stream")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val gate = graft.SparkEntry.queries("q99_epoch_plan")(spark, sf)
+      assert(rowsOf(spark.table("epoch_stream")) == rowsOf(gate))
+      assert(spark.table("epoch_stream").count() > 0)
+    } finally q.stop()
+  }
+
+  test("streaming source cap (bounded GroupState heap) converges to the q92 gate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max => fmax, struct}
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    val in = MemoryStream[(String, Long)]
+    val q = PipelineStream
+      .sourceCapStream(in.toDF().toDF("source", "doc_id"))
+      .writeStream.format("memory").queryName("cap_stream")
+      .outputMode("update").start()
+    try {
+      // adversarial chunking: 5 uneven micro-batches so every source's
+      // heap is revised across batches, not filled in one pass
+      docs.grouped(math.max(1, docs.length / 5)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // final state per source = the LAST update-mode emission
+      val fin = spark.table("cap_stream")
+        .groupBy(col("source"))
+        .agg(fmax(struct(col("n_total"), col("n_kept"),
+          col("kept_checksum"))).as("s"))
+        .select(col("source"), col("s.n_total").as("n_total"),
+          col("s.n_kept").as("n_kept"),
+          col("s.kept_checksum").as("kept_checksum"))
+      val gate = graft.SparkEntry.queries("q92_source_cap")(spark, sf)
+      assert(rowsOf(fin) == rowsOf(gate))
+      assert(fin.count() > 0)
+    } finally q.stop()
+  }
+
   test("stateless streaming classifier inference equals the q88 batch gate, append mode") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
