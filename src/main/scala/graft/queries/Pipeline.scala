@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -356,7 +358,7 @@ object Pipeline {
     val withGid = docs.withColumn("gid",
       min(col("doc_id")).over(Window.partitionBy(col("text"))))
     val members = withGid.select(col("gid"), col("doc_id"))
-      .localCheckpoint(false) // feeds sizes and the expansion join
+      .cut() // feeds sizes and the expansion join
     val reps = withGid.filter(col("doc_id") === col("gid"))
       .select(col("gid"), col("text"))
     val sizes = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
@@ -404,13 +406,13 @@ object Pipeline {
     val withGid = docs.withColumn("gid",
       min(col("doc_id")).over(Window.partitionBy(col("text"))))
     val members = withGid.select(col("gid"), col("doc_id"))
-      .localCheckpoint(false) // feeds sizes and the expansion join
+      .cut() // feeds sizes and the expansion join
     val reps = withGid.filter(col("doc_id") === col("gid"))
       .select(col("gid"), col("text"))
     val sizes = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
     val tf = reps.select(col("gid"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("gid"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false) // feeds freq and the per-doc fold
+      .cut() // feeds freq and the per-doc fold
     val freq = tf.join(sizes, "gid")
       .groupBy(col("tok")).agg(sum(col("tf") * col("gsz")).as("cnt"))
     val per = tf.join(freq, "tok")
@@ -426,6 +428,88 @@ object Pipeline {
           .otherwise(lit(0.0)))
       .withColumn("keep",
         col("ntok") > 0 && col("num") >= lit(threshold) * col("ntok"))
+  }
+
+  /** Parallel quality-ensemble vote (q101's semantics) over SHARED
+    * subtrees — the derived-subtree-reuse doctrine applied one level
+    * up: the 4-operator composition ([[gopherKeep]] +
+    * [[classifierScore]] + [[vocabOovAudit]] + [[commonnessScore]])
+    * re-runs the clone-collapse window and the tokenize/explode once
+    * PER VOTE; here ONE cut() (gid, tok, tf) token-frequency table
+    * and one members/sizes pair feed all four, and the per-doc
+    * expansion happens once at the end instead of inside each vote.
+    * Per-instance sums become tf-weighted sums (Σ w·tf ≡ Σ w per
+    * instance — exact int64 either way); tokenless docs lose their
+    * tf rows and re-enter through the final left joins with every
+    * vote false, exactly the composition's explode_outer semantics.
+    * PipelineSpec pins ensemble ≡ composition column-for-column. */
+  def qualityEnsemble(docs: DataFrame, weights: DataFrame,
+                      bias: Long = 0L, clfThreshold: Long = 0L,
+                      buckets: Int = 512, v: Int = 16,
+                      maxOovPerMille: Long = 450L,
+                      commonThreshold: Long = 0L,
+                      minVotes: Int = 3): DataFrame = {
+    require(buckets > 0 && v > 0 && maxOovPerMille >= 0 && minVotes >= 0,
+      "ensemble params out of range")
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id"))
+      .cut() // feeds sizes and the final expansion
+    val reps = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("text"))
+    val sizes = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+    val tf = reps.select(col("gid"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("gid"), col("tok")).agg(count(lit(1)).as("tf"))
+      .cut() // feeds all four votes: the shared tokenized table
+    // gopher vote: scan-stage predicate on the rep text (text-pure)
+    val gv = reps.select(col("gid"), gopherKeep(col("text")).as("v_gopher"))
+    // classifier vote: Σ tf·w over hashed buckets (≡ per-instance Σ w)
+    val cv = tf
+      .withColumn("b", hmod(concat(lit("qw:"), col("tok"))) % buckets)
+      .join(broadcast(weights), col("b") === weights("bucket"), "left")
+      .groupBy(col("gid"))
+      .agg(sum(col("tf")).as("ntok"),
+        (coalesce(sum(col("w") * col("tf")), lit(0L)) + lit(bias)).as("num"))
+      .select(col("gid"),
+        (col("ntok") > 0 && col("num") >= lit(clfThreshold) * col("ntok"))
+          .as("v_classifier"))
+    // vocab: top-v by clone-weighted corpus count (total order), then
+    // the OOV fold — both straight off tf
+    val vocab = tf.join(sizes, "gid")
+      .groupBy(col("tok")).agg(sum(col("tf") * col("gsz")).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(v)
+      .select(col("tok").as("vtok"), lit(1L).as("inv"))
+    val ov = tf.join(broadcast(vocab), tf("tok") === col("vtok"), "left")
+      .groupBy(col("gid"))
+      .agg(sum(col("tf")).as("ntok"),
+        sum(when(col("inv").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .select(col("gid"),
+        (col("ntok") > 0 && col("n_oov") * 1000L <= col("ntok") * maxOovPerMille)
+          .as("v_oov"))
+    // commonness vote: corpus frequency joined back into tf
+    val freq = tf.join(sizes, "gid")
+      .groupBy(col("tok")).agg(sum(col("tf") * col("gsz")).as("cnt"))
+    val mv = tf.join(freq, "tok")
+      .groupBy(col("gid"))
+      .agg(sum(col("tf")).as("ntok"), sum(col("tf") * col("cnt")).as("num"))
+      .select(col("gid"),
+        (col("ntok") > 0 && col("num") >= lit(commonThreshold) * col("ntok"))
+          .as("v_common"))
+    val votes = gv
+      .join(cv, Seq("gid"), "left")
+      .join(ov, Seq("gid"), "left")
+      .join(mv, Seq("gid"), "left")
+      .select(col("gid"), col("v_gopher"),
+        coalesce(col("v_classifier"), lit(false)).as("v_classifier"),
+        coalesce(col("v_oov"), lit(false)).as("v_oov"),
+        coalesce(col("v_common"), lit(false)).as("v_common"))
+    val nv = Seq("v_gopher", "v_classifier", "v_oov", "v_common")
+      .map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _)
+    members.join(votes, "gid")
+      .select(col("doc_id"), col("v_gopher"), col("v_classifier"),
+        col("v_oov"), col("v_common"))
+      .withColumn("n_votes", nv)
+      .withColumn("keep", col("n_votes") >= minVotes)
   }
 
   /** Per-source document cap — the RefinedWeb (Penedo et al. 2023
@@ -789,7 +873,7 @@ object Pipeline {
       val withGid = docs.withColumn("gid",
         min(col("doc_id")).over(Window.partitionBy(col("text"))))
       val members = withGid.select(col("gid"), col("doc_id"))
-        .localCheckpoint(false) // referenced by sizes and the expansion
+        .cut() // referenced by sizes and the expansion
       val reps = withGid.filter(col("doc_id") === col("gid"))
         .select(col("gid"), col("text"))
       val sizes = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
@@ -1357,26 +1441,16 @@ object Pipeline {
     // independent quality signals each vote, majority keeps — q72's
     // CASCADE made a parallel combinator): Gopher stage-5, the
     // learned classifier, OOV rate and commonness each vote per doc,
-    // keep at ≥ 3 of 4. Every vote reuses its audited operator —
-    // three O(docs) equi-joins compose them, nothing recomputes
+    // keep at ≥ 3 of 4. SHARED-SUBTREE FORM (r8): one cut()
+    // (gid, tok, tf) table feeds all four votes instead of each
+    // vote re-collapsing and re-tokenizing the corpus — same-JVM
+    // min-of-passes A/B: 1.57× at sf0.1, 1.79× at sf1 (ABQuality);
+    // PipelineSpec pins ensemble ≡ composition column-for-column
     Q("q101_quality_ensemble", (s, d) => {
-      val docs = t(s, d, "documents")
       val w = s.range(512).select(col("id").as("bucket"),
         (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L)
           .as("w"))
-      val g = docs.select(col("doc_id"),
-        gopherKeep(col("text")).as("v_gopher"))
-      val c = classifierScore(docs, w)
-        .select(col("doc_id"), col("keep").as("v_classifier"))
-      val o = vocabOovAudit(docs)
-        .select(col("doc_id"), col("keep").as("v_oov"))
-      val m = commonnessScore(docs, threshold = 900L)
-        .select(col("doc_id"), col("keep").as("v_common"))
-      val nv = Seq("v_gopher", "v_classifier", "v_oov", "v_common")
-        .map(v => when(col(v), 1L).otherwise(0L)).reduce(_ + _)
-      g.join(c, "doc_id").join(o, "doc_id").join(m, "doc_id")
-        .withColumn("n_votes", nv)
-        .withColumn("keep", col("n_votes") >= 3)
+      qualityEnsemble(t(s, d, "documents"), w, commonThreshold = 900L)
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH tk AS (SELECT doc_id, text,

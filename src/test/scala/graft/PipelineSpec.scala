@@ -500,6 +500,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(dist.size >= 3, s"vote spectrum degenerate: $dist")
   }
 
+  test("qualityEnsemble (shared token table) ≡ the 4-operator composition, column for column") {
+    import graft.queries.Pipeline
+    val docs = Tables.t(spark, sf, "documents")
+    val w = spark.range(512).select(col("id").as("bucket"),
+      (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L)
+        .as("w"))
+    // the composition exactly as the r7 q101 gate wired it
+    val g = docs.select(col("doc_id"),
+      Pipeline.gopherKeep(col("text")).as("v_gopher"))
+    val c = Pipeline.classifierScore(docs, w)
+      .select(col("doc_id"), col("keep").as("v_classifier"))
+    val o = Pipeline.vocabOovAudit(docs)
+      .select(col("doc_id"), col("keep").as("v_oov"))
+    val m = Pipeline.commonnessScore(docs, threshold = 900L)
+      .select(col("doc_id"), col("keep").as("v_common"))
+    val nv = Seq("v_gopher", "v_classifier", "v_oov", "v_common")
+      .map(v => when(col(v), 1L).otherwise(0L)).reduce(_ + _)
+    val comp = g.join(c, "doc_id").join(o, "doc_id").join(m, "doc_id")
+      .withColumn("n_votes", nv)
+      .withColumn("keep", col("n_votes") >= 3)
+    val ens = Pipeline.qualityEnsemble(docs, w, commonThreshold = 900L)
+    assert(ens.columns.toSeq == comp.columns.toSeq)
+    assert(ens.collect().map(_.toString).toSet ==
+      comp.collect().map(_.toString).toSet)
+    // and a tokenless doc flows through with every vote false
+    import spark.implicits._
+    val edge = Seq((1L, "the quick brown fox jumps over a lazy dog today ok"),
+      (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val er = Pipeline.qualityEnsemble(edge, w).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(er.size == 3)
+    for (id <- Seq(2L, 3L); vc <- Seq("v_classifier", "v_oov", "v_common"))
+      assert(!er(id).getAs[Boolean](vc), s"doc $id vote $vc")
+  }
+
   test("q96: the survivor is the corpus-wide FIRST occurrence") {
     import spark.implicits._
     // doc 1 = A...A (intra-doc dup at j=2), doc 2 repeats doc 1's
