@@ -587,6 +587,59 @@ object Pipeline {
         coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
   }
 
+  /** Maximal repeated-span report — the SLIDING-window complement of
+    * the blocked q75/q96 family, the per-doc audit of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): every k-token window whose hash occurs more than
+    * once corpus-wide marks its [pos, pos+k−1] token interval as
+    * duplicated, and overlapping/adjacent intervals merge into maximal
+    * spans (the suffix-array result for repeats ≥ k tokens, computed
+    * with joins instead of a suffix array — blocked hashing misses any
+    * duplicate that is not block-aligned; sliding windows are
+    * shift-invariant). Returns per doc: token count, number of maximal
+    * duplicated spans, tokens covered by their union, and a span
+    * checksum (Σ (start·4096 + end) mod P) pinning exact extents.
+    *
+    * 100 TB shape: scan-stage shingle kernel → hash-once-per-window →
+    * partial+final groupBy(h) count (map-side combine absorbs hot
+    * boilerplate windows) → equi-join back of only the duplicated
+    * hashes (AQE skew-splittable). The interval merge is the one
+    * window pass, and it runs over DUPLICATED positions only — per-doc
+    * cardinality is bounded by document length, and the partition key
+    * (doc_id) has corpus-scale cardinality, so parallelism tracks the
+    * corpus (the q75 lesson about corpus-wide windows does not apply:
+    * this window is per-doc-local by construction). */
+  def repeatedSpanAudit(docs: DataFrame, k: Int = 8): DataFrame = {
+    val kl = k.toLong
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("ntok"),
+        shingles(col("tk"), k, distinct = false).as("ws"))
+    val ex = base.select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"),
+        hmod(col("col")).as("h"))
+    val dup = ex.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = ex.join(dup, "h")
+      .select(col("doc_id"), col("p"))
+      .withColumn("pe", max(col("p") + lit(kl - 1L)).over(wPrev))
+      .withColumn("ni",
+        when(col("pe").isNull || col("p") > col("pe") + 1L, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(wOrd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + lit(kl - 1L)).as("e"))
+    val per = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1L).as("dup_tokens"),
+        (sum((col("s") * lit(4096L) + col("e")) % P) % P).as("span_checksum"))
+    base.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ntok"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("span_checksum"), lit(0L)).as("span_checksum"))
+  }
+
   /** Stage 1 of DSIR (Xie et al. 2023): the hashed-unigram token
     * feature stream (doc_id, lang, f) with B buckets — scan-stage
     * explode + hash, no state. */
@@ -1511,6 +1564,47 @@ object Pipeline {
           CASE WHEN v_classifier THEN 1 ELSE 0 END +
           CASE WHEN v_oov THEN 1 ELSE 0 END +
           CASE WHEN v_common THEN 1 ELSE 0 END) >= 3) AS keep
-      FROM votes ORDER BY doc_id"""))
+      FROM votes ORDER BY doc_id""")),
+
+    // maximal repeated-span report (Lee et al. 2021 ExactSubstr
+    // audit): sliding 8-token windows (shift-invariant, unlike the
+    // blocked q75/q96 hashes), duplicated windows merged into maximal
+    // per-doc spans via per-doc-local gaps-and-islands — both engines
+    // run the IDENTICAL window SQL (max-over-preceding then running
+    // sum), and every output is integer-exact
+    Q("q103_repeated_spans", (s, d) => {
+      repeatedSpanAudit(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      sg AS (SELECT doc_id, CASE WHEN len(tk) >= 8
+               THEN [{'p': i,
+                      'h': ${sql.hmod("array_to_string(tk[i : i+7], ' ')")}}
+                     for i in generate_series(1, len(tk)-7)]
+               ELSE [] END ws
+             FROM tk),
+      ex AS (SELECT doc_id, u.p p, u.h h
+             FROM (SELECT doc_id, unnest(ws) u FROM sg)),
+      dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) > 1),
+      fl AS (SELECT doc_id, p,
+               max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pe
+             FROM ex JOIN dup USING (h)),
+      il AS (SELECT doc_id, p,
+               SUM(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) isl
+             FROM fl),
+      sp AS (SELECT doc_id, isl, min(p) s, max(p) + 7 e
+             FROM il GROUP BY 1, 2),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_spans,
+                CAST(SUM(e - s + 1) AS BIGINT) dup_tokens,
+                CAST(SUM((s*4096 + e) % ${P}) % ${P} AS BIGINT) span_checksum
+              FROM sp GROUP BY 1)
+      SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS ntok,
+        CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        CAST(COALESCE(span_checksum, 0) AS BIGINT) AS span_checksum
+      FROM tk t LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
   )
 }

@@ -556,4 +556,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("kept_checksum") == 0L)
     assert(r(0).getAs[Long]("kept_checksum") > 0L)
   }
+
+  test("q103: sliding spans are shift-invariant where blocked hashing is not") {
+    import spark.implicits._
+    // doc 2 repeats doc 1's 10-token run OFFSET BY ONE token — no
+    // 8-token BLOCK boundary aligns, so q75 sees zero duplicate
+    // blocks, while every sliding window inside the run repeats
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run x1 x2 x3 x4 x5 x6"),   // run at pos 1..10
+      (2L, s"shift $run y1 y2 y3 y4 y5") // run at pos 2..11
+    ).toDF("doc_id", "text")
+    val bh = docs.select(col("doc_id"),
+      explode(graft.functions.TextExprs.blockHash(tokens(col("text")), 8)).as("h"))
+    val blockDups = bh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    val r = graft.queries.Pipeline.repeatedSpanAudit(docs)
+      .orderBy(col("doc_id")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_spans"), x.getAs[Long]("dup_tokens"))).toMap
+    // the shared 10-token run has 3 sliding 8-grams (starts 1..3 /
+    // 2..4) each duplicated; they merge into ONE maximal span
+    // covering exactly the 10 run tokens in each doc
+    assert(r(1L) == (1L, 10L) && r(2L) == (1L, 10L))
+    assert(blockDups == 0L,
+      "blocked hashing unexpectedly caught the misaligned run")
+  }
+
+  test("q103: adjacent islands merge, separated islands do not") {
+    import spark.implicits._
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a gap1 gap2 gap3 $b"), // two dup runs split by a 3-token gap
+      (2L, s"$a $b"),                // the same runs ADJACENT → one span?
+      (3L, s"$a $b")                 // clone of doc 2 (dup source)
+    ).toDF("doc_id", "text")
+    val r = graft.queries.Pipeline.repeatedSpanAudit(docs)
+      .orderBy(col("doc_id")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_spans"), x.getAs[Long]("dup_tokens"))).toMap
+    // doc 1: windows containing gap tokens are unique, so the a-run
+    // and b-run stay two separate 8-token spans
+    assert(r(1L) == (2L, 16L), s"doc1 got ${r(1L)}")
+    // docs 2/3 are clones: EVERY window duplicates → one 16-token span
+    assert(r(2L) == (1L, 16L) && r(3L) == (1L, 16L))
+  }
 }
