@@ -520,6 +520,72 @@ case class BlockHash(child: Expression, b: Int)
   override def prettyName: String = "block_hash"
 }
 
+/** Content-defined chunk hashes (the Rabin/CDC boundary idea of LBFS,
+  * Muthitacharoen et al. 2001, over word tokens): token i ends a chunk
+  * when hmod(token) ≡ 0 (mod `mod`) — a property of the CONTENT, not
+  * the position — or at end-of-document; each chunk hashes to
+  * hmod(space-joined chunk tokens). Because boundaries move with the
+  * content, inserting one token early in a document only perturbs the
+  * chunk containing the insertion — every later chunk re-aligns and
+  * still matches its duplicate elsewhere, which is exactly what
+  * fixed-position blocks (BlockHash) cannot do. One pass, two digest
+  * states (boundary test + chunk accumulator); expected chunk length
+  * ≈ `mod` tokens. */
+case class CdcChunkHash(child: Expression, mod: Int)
+    extends UnaryExpression with Serializable {
+  require(mod > 1)
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  /** Exposed for generated code. */
+  def compute(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n / mod + 1)
+    if (n > 0) {
+      val bmd = java.security.MessageDigest.getInstance("MD5")
+      val cmd = java.security.MessageDigest.getInstance("MD5")
+      var first = true
+      var i = 0
+      while (i < n) {
+        val tok =
+          if (xs.isNullAt(i)) UTF8String.EMPTY_UTF8 else xs.getUTF8String(i)
+        if (!first) cmd.update(' '.toByte)
+        cmd.update(tok.getBytes)
+        first = false
+        if (Md5Fold.fold(bmd, tok) % mod == 0 || i == n - 1) {
+          val digest = cmd.digest() // resets the accumulator for the next chunk
+          var u = 0L
+          var b = 0
+          while (b < 8) { u = (u << 8) | (digest(b) & 0xffL); b += 1 }
+          out += (u >>> 4) % Md5Fold.P
+          first = true
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val ref = ctx.addReferenceObj("cdcChunkHash", this, classOf[CdcChunkHash].getName)
+      s"${ev.value} = $ref.compute($xs);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHash =
+    copy(child = newChild)
+  override def prettyName: String = "cdc_chunk_hash"
+}
+
 object TextExprs {
   def setHitCount(toks: Column, words: Seq[String]): Column =
     Shim.column(SetHitCount(Shim.expression(toks), words))
@@ -544,4 +610,7 @@ object TextExprs {
 
   def blockHash(toks: Column, b: Int): Column =
     Shim.column(BlockHash(Shim.expression(toks), b))
+
+  def cdcChunkHash(toks: Column, mod: Int): Column =
+    Shim.column(CdcChunkHash(Shim.expression(toks), mod))
 }

@@ -640,6 +640,34 @@ object Pipeline {
         coalesce(col("span_checksum"), lit(0L)).as("span_checksum"))
   }
 
+  /** Content-defined-chunk dedup report (the LBFS/CDC boundary rule
+    * applied to corpus dedup): chunks end where hmod(token) ≡ 0
+    * (mod `mod`) — boundaries are a function of CONTENT, so an
+    * insertion or deletion early in a document shifts only the chunk
+    * it lands in and every later chunk re-aligns with its duplicates
+    * (fixed blocks q75 lose all alignment after the edit point; the
+    * sliding q103 windows recover alignment but cost one hash per
+    * position — CDC pays one hash per token and one per ~`mod`-token
+    * chunk). Per doc: chunk count, corpus-wide duplicated-chunk
+    * count, and a duplicated-chunk checksum.
+    *
+    * 100 TB shape: identical to q75 — scan-stage CdcChunkHash kernel,
+    * partial+final groupBy(h) count, equi-join back of c>1 hashes
+    * (AQE skew-splittable), per-doc monoid sums. No windows. */
+  def cdcChunkAudit(docs: DataFrame, mod: Int = 16): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode_outer(TextExprs.cdcChunkHash(tokens(col("text")), mod)).as("h"))
+    val dup = ex.filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h").as("dh"))
+    ex.join(dup, col("h") === col("dh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_chunks"),
+        sum(when(col("dh").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        (sum(when(col("dh").isNotNull, col("h") % 1000000L).otherwise(0L)) % P)
+          .as("dup_checksum"))
+  }
+
   /** Stage 1 of DSIR (Xie et al. 2023): the hashed-unigram token
     * feature stream (doc_id, lang, f) with B buckets — scan-stage
     * explode + hash, no state. */
@@ -1605,6 +1633,40 @@ object Pipeline {
         CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
         CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
         CAST(COALESCE(span_checksum, 0) AS BIGINT) AS span_checksum
-      FROM tk t LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+      FROM tk t LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // content-defined-chunk dedup report (LBFS boundary rule over
+    // word tokens): chunk ends where hmod(token) % 16 = 0 or at
+    // end-of-doc; the oracle replays boundary selection and chunk
+    // hashing with list comprehensions — 1381 chunks, 153 duplicated
+    // instances on this corpus (the planted near-dup pairs' shared
+    // runs re-align across the edits, which fixed blocks cannot)
+    Q("q104_cdc_chunks", (s, d) => {
+      cdcChunkAudit(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      bd AS (SELECT doc_id, tk,
+               [i for i in generate_series(1, len(tk))
+                if (${sql.hmod("tk[i]")}) % 16 = 0 OR i = len(tk)] ends
+             FROM tk),
+      ch AS (SELECT doc_id,
+               [${sql.hmod(
+                 "array_to_string(tk[CASE WHEN j = 1 THEN 1 ELSE ends[j-1]+1 END : ends[j]], ' ')")}
+                for j in generate_series(1, len(ends))] chs
+             FROM bd),
+      ex AS (SELECT doc_id, unnest(chs) h FROM ch),
+      cnt AS (SELECT h, count(*) c FROM ex GROUP BY 1),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_chunks,
+                CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dup,
+                CAST(SUM(CASE WHEN c > 1 THEN h % 1000000 ELSE 0 END) % ${P}
+                     AS BIGINT) dup_checksum
+              FROM ex JOIN cnt USING (h) GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+        CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+        CAST(COALESCE(dup_checksum, 0) AS BIGINT) AS dup_checksum
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
   )
 }

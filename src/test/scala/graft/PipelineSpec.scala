@@ -602,4 +602,48 @@ class PipelineSpec extends AnyFunSuite {
     // docs 2/3 are clones: EVERY window duplicates → one 16-token span
     assert(r(2L) == (1L, 16L) && r(3L) == (1L, 16L))
   }
+
+  test("q104: CDC kernel matches the hmod reference; insertions re-align") {
+    import spark.implicits._
+    def refChunks(ts: Seq[String]): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = List.empty[String]
+      for ((t, i) <- ts.zipWithIndex) {
+        cur = t :: cur
+        if (hmodJvm(t) % 16 == 0 || i == ts.length - 1) {
+          out += hmodJvm(cur.reverse.mkString(" ")); cur = Nil
+        }
+      }
+      out.toSeq
+    }
+    val toksA = (1 to 200).map(i => s"t$i")
+    // a non-boundary prefix token, so only B's FIRST chunk absorbs it
+    val ins = (1 to 100).map(i => s"ins$i")
+      .find(t => hmodJvm(t) % 16 != 0).get
+    val toksB = ins +: toksA
+    val docs = Seq((1L, toksA.mkString(" ")), (2L, toksB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.functions.TextExprs.cdcChunkHash(tokens(col("text")), 16).as("chs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got(1L) == refChunks(toksA).toList)
+    assert(got(2L) == refChunks(toksB).toList)
+    val k = got(1L).size
+    assert(k > 3, "no content boundaries hit — corpus too short")
+    // content-defined boundaries re-align after the insertion: every
+    // chunk but the first is shared between the two docs
+    assert(got(2L).size == k && got(2L).tail == got(1L).tail)
+    // ...which fixed 8-token blocks cannot do (shift by one token)
+    val bh = docs.select(
+      explode(graft.functions.TextExprs.blockHash(tokens(col("text")), 8)).as("h"))
+    assert(bh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count() == 0L)
+    // and the audit counts exactly the k−1 re-aligned chunks per doc
+    val audit = graft.queries.Pipeline.cdcChunkAudit(docs)
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup"))).toMap
+    assert(audit(1L) == (k.toLong, k.toLong - 1L))
+    assert(audit(2L) == (k.toLong, k.toLong - 1L))
+  }
 }
