@@ -287,6 +287,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** MinHash estimator calibration audit (Broder 1997: E[matching
+    * components / numHashes] = jaccard): for every LSH candidate pair
+    * — NO jaccard threshold, the raw colliding-bucket surface q24
+    * filters — report the signature-match count, the estimate
+    * n_match / numHashes, and the exact shingle jaccard side by side.
+    * This is the measure-don't-guess operator for tuning
+    * (numHashes, bands, threshold): the est−jaccard spread on real
+    * data is the collision/recall tradeoff made visible.
+    *
+    * 100 TB shape: the pair surface is exactly q24's capped banded
+    * equi-join (never n²); signatures join back by doc id. Estimator
+    * diagnostics don't need the whole corpus — run it on a sampled
+    * subset at scale; the estimate (k/numHashes) and the exact
+    * jaccard are both deterministic rationals, so the audit is
+    * bit-reproducible across engines and partitionings. */
+  def minhashCalibration(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+    val shTbl = docs
+      .select(col("doc_id"),
+        shingles(tokens(col("text")), cfg.shingleSize, distinct = true).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = minhashSignaturesDistinct(docs, cfg).cut() // band table + both pair sides
+    val cand = collidingPairs(bandTable(sigs, cfg), Seq("band", "sig"))
+    val aSig = sigs.select(col("doc_id").as("a_id") +:
+      (0 until cfg.numHashes).map(j => col(s"mh$j").as(s"amh$j")): _*)
+    val bSig = sigs.select(col("doc_id").as("b_id") +:
+      (0 until cfg.numHashes).map(j => col(s"mh$j").as(s"bmh$j")): _*)
+    val nMatch = (0 until cfg.numHashes).map(j =>
+      when(col(s"amh$j") === col(s"bmh$j"), 1L).otherwise(0L)).reduce(_ + _)
+    cand.join(aSig, "a_id").join(bSig, "b_id")
+      .withColumn("n_match", nMatch)
+      .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("ash")), "a_id")
+      .join(shTbl.select(col("doc_id").as("b_id"), col("sh").as("bsh")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_match"),
+        (col("n_match").cast(DoubleType) / cfg.numHashes).as("est_jaccard"),
+        (size(array_intersect(col("ash"), col("bsh"))).cast(DoubleType) /
+          size(array_union(col("ash"), col("bsh")))).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs at hamming ≤ cfg.maxHamming via
     * (maxHamming+1)-block pigeonhole — bucketed equi-join on block
     * value (capped), never n² pairs. The SIGNATURE stage rides the
@@ -1427,7 +1465,57 @@ object Dedup {
       SELECT reason, count(*) AS n,
         CAST(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}) % ${P} AS BIGINT)
           AS docs_checksum
-      FROM rr GROUP BY 1 ORDER BY 1"""))
+      FROM rr GROUP BY 1 ORDER BY 1""")),
+
+    // MinHash estimator calibration (Broder 1997): every LSH
+    // candidate pair with signature-match count, the k/8 estimate,
+    // and the exact shingle jaccard side by side — the
+    // measure-don't-guess audit for (numHashes, bands, threshold)
+    // tuning; both ratios are deterministic rationals
+    Q("q105_minhash_calibration", (s, d) => {
+      minhashCalibration(t(s, d, "documents"))
+        .orderBy(col("a_id"), col("b_id"))
+    }, Some(s"""
+      WITH $tkCte, $shCte, $mhCte,
+      bands AS (
+        SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+        FROM mh, generate_series(0,${BANDS - 1}) g(b)
+        WHERE len(shingles) > 0),
+      cand AS (
+        SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        FROM bands a JOIN bands b ON a.b=b.b AND a.sig=b.sig AND a.doc_id<b.doc_id)
+      SELECT a_id, b_id, n_match,
+        CAST(n_match AS DOUBLE) / ${NH} AS est_jaccard, jaccard
+      FROM (
+        SELECT a_id, b_id,
+          CAST(len(list_filter(generate_series(1,${NH}),
+                               i -> x.mh[i] = y.mh[i])) AS BIGINT) n_match,
+          len(list_intersect(x.shingles,y.shingles))::DOUBLE /
+            len(list_distinct(x.shingles||y.shingles)) jaccard
+        FROM cand JOIN mh x ON a_id=x.doc_id JOIN mh y ON b_id=y.doc_id)
+      ORDER BY a_id, b_id""")),
+
+    // duplicate-cluster size histogram — the dedup report a corpus
+    // card publishes (how much of the corpus sits in how-big
+    // duplicate families): q56's clustering rolled up twice
+    // (cluster → size, size → cluster count / doc mass)
+    Q("q106_cluster_size_hist", (s, d) => {
+      clusters(t(s, d, "documents"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }, Some(s"""
+      $ccCtes,
+      cl AS (SELECT d.doc_id,
+               COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) cluster_id
+             FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) cluster_size
+             FROM cl GROUP BY 1)
+      SELECT cluster_size, count(*) AS n_clusters,
+        CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+      FROM sz GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -499,4 +499,50 @@ class DedupApiSpec extends AnyFunSuite {
     }
     assert(straddled, "doc-hash split did not straddle — corpus no longer adversarial")
   }
+
+  test("q105: calibration covers q24's surface; clones match on all components") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sf, "documents")
+    val cal = Dedup.minhashCalibration(docs)
+    noNestedLoop(cal)
+    val rows = cal.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val nm = r.getAs[Long]("n_match")
+      val est = r.getAs[Double]("est_jaccard")
+      val j = r.getAs[Double]("jaccard")
+      assert(nm >= 0 && nm <= 8)
+      assert(est == nm / 8.0, "estimate is not k/numHashes")
+      assert(j >= 0.0 && j <= 1.0)
+      // identical shingle sets ⇒ identical signatures (j=1 ⇒ k=8)
+      if (j == 1.0) assert(nm == 8L, s"clone pair with n_match=$nm")
+    }
+    // every thresholded q24 pair appears in the calibration surface
+    // (same candidates, before the jaccard filter)
+    val calPairs = rows.map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val kept = Dedup.nearDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(kept.subsetOf(calPairs),
+      s"q24 pairs missing from calibration: ${kept -- calPairs}")
+  }
+
+  test("q106: histogram identities reconcile with the cluster table") {
+    val sf = "/root/testdata/sf0.001"
+    val hist = SparkEntry.queries("q106_cluster_size_hist")(
+      spark, sf).collect()
+    val cl = SparkEntry.queries("q56_dup_clusters")(spark, sf).collect()
+      .map(_.getAs[Long]("cluster_id"))
+    assert(hist.map(_.getAs[Long]("n_docs")).sum == cl.length.toLong)
+    for (r <- hist)
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    val bySize = cl.groupBy(identity).values.groupBy(_.size)
+      .map { case (sz, gs) => sz.toLong -> gs.size.toLong }
+    assert(hist.map(r => r.getAs[Long]("cluster_size") ->
+      r.getAs[Long]("n_clusters")).toMap == bySize)
+    // the corpus has real multi-doc families — the report is not
+    // degenerate all-singletons
+    assert(hist.exists(r => r.getAs[Long]("cluster_size") > 1))
+  }
 }
