@@ -77,4 +77,25 @@ object DedupStream {
         (col("pos") + 1).cast("long").as("j"), col("col").as("h"))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("h")
+
+  /** Streaming form of the content-defined-chunk dedup
+    * (`Pipeline.cdcChunkAudit`) — CDC is the canonical STREAMING
+    * granularity (the LBFS insight was built for exactly this: chunk
+    * boundaries derived from content re-align across inserted/deleted
+    * bytes in an incoming stream, where fixed blocks lose alignment
+    * forever). Each arriving document explodes into its chunk hashes
+    * (same CdcChunkHash kernel, 1-based chunk index carried) and the
+    * first-seen occurrence per chunk hash survives within the
+    * watermark horizon; state is one entry per distinct in-horizon
+    * chunk hash — bounded by the horizon's content volume / ~mod. */
+  def cdcChunkBlocks(docs: DataFrame, tsCol: String, textCol: String,
+                     watermark: String, mod: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), col(tsCol),
+        posexplode(graft.functions.TextExprs.cdcChunkHash(
+          tokens(col(textCol)), mod)))
+      .select(col("doc_id"), col(tsCol),
+        (col("pos") + 1).cast("long").as("j"), col("col").as("h"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("h")
 }

@@ -92,4 +92,46 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(streamed.toMap == batchKept)
     } finally q.stop()
   }
+
+  test("streaming CDC chunk dedup ≡ batch first-occurrence under doc_id order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols.tokens
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    // batch truth: argmin (doc_id, j) per chunk hash — the occurrence
+    // Pipeline.cdcChunkAudit counts as the original
+    val ex = docs.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.cdcChunkHash(tokens(col("text")), 16)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("j"),
+        col("col").as("h"))
+    val batchKept = ex.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("j"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = DedupStream.cdcChunkBlocks(
+      in.toDF().toDF("doc_id", "ts", "text"), "ts", "text",
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    try {
+      docs.grouped(50).zipWithIndex.foreach { case (chunk, i) =>
+        in.addData(chunk.map { case (id, t) => (id, ts(i), t) }.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cdc_stream").collect()
+        .map(r => r.getAs[Long]("h") -> r.getAs[Long]("doc_id"))
+      assert(streamed.length == batchKept.size, "not one survivor per hash")
+      assert(streamed.toMap == batchKept)
+      // real duplicate suppression happened (planted near-dups share chunks)
+      assert(streamed.length < ex.count(), "no duplicate chunk was suppressed")
+    } finally q.stop()
+  }
 }
