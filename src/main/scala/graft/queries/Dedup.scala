@@ -296,18 +296,28 @@ object Dedup {
     * (numHashes, bands, threshold): the est−jaccard spread on real
     * data is the collision/recall tradeoff made visible.
     *
-    * 100 TB shape: the pair surface is exactly q24's capped banded
-    * equi-join (never n²); signatures join back by doc id. Estimator
+    * 100 TB shape: exact-clone collapsed (one row per DISTINCT-text
+    * pair — clone pairs are est = jaccard = 1.0 noise), and the pair
+    * surface is exactly q24's capped banded equi-join over the reps
+    * (never n²); signatures join back by doc id. Estimator
     * diagnostics don't need the whole corpus — run it on a sampled
     * subset at scale; the estimate (k/numHashes) and the exact
     * jaccard are both deterministic rationals, so the audit is
     * bit-reproducible across engines and partitionings. */
   def minhashCalibration(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
-    val shTbl = docs
+    // exact-clone collapse, WITHOUT expansion: estimator quality is a
+    // property of text PAIRS — clone pairs sit at est = jaccard = 1.0
+    // exactly and add no calibration information, so the audit
+    // reports one row per distinct-text pair (identical to the
+    // uncollapsed form whenever texts are distinct, e.g. at gate sf;
+    // 100× clone replication leaves the pair surface unchanged —
+    // measured 142 s → rep-level cost at sf10 before this collapse)
+    val (_, reps) = cloneGroups(docs)
+    val shTbl = reps
       .select(col("doc_id"),
         shingles(tokens(col("text")), cfg.shingleSize, distinct = true).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = minhashSignaturesDistinct(docs, cfg).cut() // band table + both pair sides
+    val sigs = minhashSignaturesDistinct(reps, cfg).cut() // band table + both pair sides
     val cand = collidingPairs(bandTable(sigs, cfg), Seq("band", "sig"))
     val aSig = sigs.select(col("doc_id").as("a_id") +:
       (0 until cfg.numHashes).map(j => col(s"mh$j").as(s"amh$j")): _*)

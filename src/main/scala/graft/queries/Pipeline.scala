@@ -603,37 +603,57 @@ object Pipeline {
     * 100 TB shape: scan-stage shingle kernel → hash-once-per-window →
     * partial+final groupBy(h) count (map-side combine absorbs hot
     * boilerplate windows) → equi-join back of only the duplicated
-    * hashes (AQE skew-splittable). The interval merge is the one
-    * window pass, and it runs over DUPLICATED positions only — per-doc
-    * cardinality is bounded by document length, and the partition key
-    * (doc_id) has corpus-scale cardinality, so parallelism tracks the
-    * corpus (the q75 lesson about corpus-wide windows does not apply:
-    * this window is per-doc-local by construction). */
+    * hashes (AQE skew-splittable). The interval merge window runs
+    * over DUPLICATED positions of DISTINCT texts only (exact-clone
+    * collapsed, gsz-weighted counts) — per-doc cardinality is bounded
+    * by document length, and the partition keys (text for the
+    * collapse, gid for the merge) have corpus-scale cardinality, so
+    * parallelism tracks the corpus (the q75 lesson about corpus-wide
+    * windows does not apply: both windows are per-doc-local by
+    * construction). */
   def repeatedSpanAudit(docs: DataFrame, k: Int = 8): DataFrame = {
     val kl = k.toLong
-    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast(LongType).as("ntok"),
+    // exact-clone collapse (RESULT-IDENTICAL at any clone mix, not
+    // just when texts are distinct): identical texts have identical
+    // window-hash sequences, so the corpus-wide occurrence count of a
+    // hash is Σ_reps (occurrences in rep × clone-group size) — the
+    // gsz-weighted sum — and the per-doc span result is a pure
+    // function of (own text, global dup-hash set), i.e. one island
+    // pass per DISTINCT text expanded through the group table.
+    // Measured 13.8 s → rep-level cost at sf10 (100× clones).
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id"))
+    val gsz = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+    val base = withGid.filter(col("doc_id") === col("gid"))
+      .join(gsz, "gid")
+      .select(col("gid"), col("gsz"), tokens(col("text")).as("tk"))
+      .select(col("gid"), col("gsz"),
+        size(col("tk")).cast(LongType).as("ntok"),
         shingles(col("tk"), k, distinct = false).as("ws"))
-    val ex = base.select(col("doc_id"), posexplode(col("ws")))
-      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"),
-        hmod(col("col")).as("h"))
-    val dup = ex.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .cut() // feeds the count, the join-back, and the per-doc base
+    val ex = base.select(col("gid"), col("gsz"), posexplode(col("ws")))
+      .select(col("gid"), (col("pos") + 1).cast(LongType).as("p"),
+        hmod(col("col")).as("h"), col("gsz"))
+    val dup = ex.groupBy(col("h")).agg(sum(col("gsz")).as("c"))
       .filter(col("c") > 1).select(col("h"))
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val wOrd = Window.partitionBy(col("gid")).orderBy(col("p"))
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
     val spans = ex.join(dup, "h")
-      .select(col("doc_id"), col("p"))
+      .select(col("gid"), col("p"))
       .withColumn("pe", max(col("p") + lit(kl - 1L)).over(wPrev))
       .withColumn("ni",
         when(col("pe").isNull || col("p") > col("pe") + 1L, 1L).otherwise(0L))
       .withColumn("isl", sum(col("ni")).over(wOrd))
-      .groupBy(col("doc_id"), col("isl"))
+      .groupBy(col("gid"), col("isl"))
       .agg(min(col("p")).as("s"), (max(col("p")) + lit(kl - 1L)).as("e"))
-    val per = spans.groupBy(col("doc_id"))
+    val per = spans.groupBy(col("gid"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1L).as("dup_tokens"),
         (sum((col("s") * lit(4096L) + col("e")) % P) % P).as("span_checksum"))
-    base.join(per, Seq("doc_id"), "left")
+    members
+      .join(base.select(col("gid"), col("ntok")), "gid")
+      .join(per, Seq("gid"), "left")
       .select(col("doc_id"), col("ntok"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),

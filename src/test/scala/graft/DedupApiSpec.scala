@@ -527,6 +527,25 @@ class DedupApiSpec extends AnyFunSuite {
       s"q24 pairs missing from calibration: ${kept -- calPairs}")
   }
 
+  test("q105: calibration is clone-collapsed — replication leaves the surface unchanged") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val base = Dedup.minhashCalibration(docs).collect()
+      .map(_.toString).sorted.toSeq
+    // 3× clone replication with HIGHER ids: reps keep the original
+    // ids, so the distinct-text pair surface is bit-identical
+    val cloned = docs.unionByName(
+        docs.select((org.apache.spark.sql.functions.col("doc_id") + 100000L)
+          .as("doc_id"), org.apache.spark.sql.functions.col("text")))
+      .unionByName(docs.select(
+        (org.apache.spark.sql.functions.col("doc_id") + 200000L).as("doc_id"),
+        org.apache.spark.sql.functions.col("text")))
+    val rep = Dedup.minhashCalibration(cloned).collect()
+      .map(_.toString).sorted.toSeq
+    assert(rep == base, "clone replication changed the calibration surface")
+  }
+
   test("q106: histogram identities reconcile with the cluster table") {
     val sf = "/root/testdata/sf0.001"
     val hist = SparkEntry.queries("q106_cluster_size_hist")(

@@ -646,4 +646,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(audit(1L) == (k.toLong, k.toLong - 1L))
     assert(audit(2L) == (k.toLong, k.toLong - 1L))
   }
+
+  test("q103: clone-collapsed counts are exact on a replicated corpus") {
+    import spark.implicits._
+    // two clones of one doc + one unique doc: EVERY window of the
+    // cloned text is corpus-duplicated (weighted count 2), so each
+    // clone reports one maximal span covering all its tokens; the
+    // unique doc shares no window and reports zero spans
+    val a = (1 to 12).map(i => s"a$i").mkString(" ")
+    val u = (1 to 12).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, u)).toDF("doc_id", "text")
+    val r = graft.queries.Pipeline.repeatedSpanAudit(docs)
+      .orderBy(col("doc_id")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_spans"), x.getAs[Long]("dup_tokens"),
+          x.getAs[Long]("span_checksum")))).toMap
+    assert(r(1L) == ((1L, 12L, (1L * 4096L + 12L) % P)))
+    assert(r(1L) == r(2L), "clones must report identical spans")
+    assert(r(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("q103/q104: audits are partition-pure (same rows from a 7-way scatter)") {
+    val docs = Tables.t(spark, sf, "documents")
+    for (op <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      graft.queries.Pipeline.repeatedSpanAudit(_),
+      graft.queries.Pipeline.cdcChunkAudit(_))) {
+      val base = op(docs).orderBy(col("doc_id")).collect()
+      val scattered = op(docs.repartition(7)).orderBy(col("doc_id")).collect()
+      assert(base.map(_.toString).toSeq == scattered.map(_.toString).toSeq)
+      assert(base.nonEmpty)
+    }
+  }
 }
