@@ -335,6 +335,56 @@ object Dedup {
           size(array_union(col("ash"), col("bsh")))).as("jaccard"))
   }
 
+  /** Dedup threshold-sweep report — the tuning table behind picking
+    * cfg.jaccardThreshold: for each candidate threshold (‰), how many
+    * near-dup pairs survive, how many distinct documents they touch,
+    * and a pair-membership checksum. ONE rep-level candidate pair
+    * table (q105's collapsed LSH surface) is cut() once and feeds
+    * every threshold row; the keep test is integer-exact
+    * (inter·1000 ≥ t·union — never a float literal compare, so both
+    * engines agree bit-for-bit).
+    *
+    * 100 TB shape: the pair table is the capped banded equi-join over
+    * distinct texts; the sweep adds one bounded explode (|thresholds|
+    * rows per pair) and two partial+final aggregations. */
+  def dedupThresholdSweep(docs: DataFrame, cfg: LshConfig = LshConfig(),
+                          thresholds: Seq[Int] = Seq(300, 400, 500, 600, 700, 800, 900)): DataFrame = {
+    val (_, reps) = cloneGroups(docs)
+    val shTbl = reps
+      .select(col("doc_id"),
+        shingles(tokens(col("text")), cfg.shingleSize, distinct = true).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cand = collidingPairs(bandTable(minhashSignaturesDistinct(reps, cfg), cfg),
+      Seq("band", "sig"))
+    val pairs = cand
+      .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("ash")), "a_id")
+      .join(shTbl.select(col("doc_id").as("b_id"), col("sh").as("bsh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ash"), col("bsh"))).cast(LongType).as("inter"),
+        size(array_union(col("ash"), col("bsh"))).cast(LongType).as("un"))
+      .cut() // one pair table feeds every threshold row
+    val kept = pairs
+      .select(col("a_id"), col("b_id"), col("inter"), col("un"),
+        explode(array(thresholds.map(t => lit(t.toLong)): _*)).as("threshold"))
+      .filter(col("inter") * 1000L >= col("threshold") * col("un"))
+    val pairAgg = kept.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(((col("a_id") % P) * 4096L + (col("b_id") % P)) % P) % P)
+          .as("pair_checksum"))
+    val docAgg = kept
+      .select(col("threshold"), explode(array(col("a_id"), col("b_id"))).as("d"))
+      .groupBy(col("threshold")).agg(countDistinct(col("d")).as("n_docs"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    thresholds.map(_.toLong).toDF("threshold")
+      .join(pairAgg, Seq("threshold"), "left")
+      .join(docAgg, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("pair_checksum"), lit(0L)).as("pair_checksum"))
+  }
+
   /** SimHash near-dup pairs at hamming ≤ cfg.maxHamming via
     * (maxHamming+1)-block pigeonhole — bucketed equi-join on block
     * value (capped), never n² pairs. The SIGNATURE stage rides the
@@ -1525,7 +1575,44 @@ object Dedup {
              FROM cl GROUP BY 1)
       SELECT cluster_size, count(*) AS n_clusters,
         CAST(SUM(cluster_size) AS BIGINT) AS n_docs
-      FROM sz GROUP BY 1 ORDER BY 1"""))
+      FROM sz GROUP BY 1 ORDER BY 1""")),
+
+    // dedup threshold-sweep (the jaccardThreshold tuning table): one
+    // shared candidate pair table, integer-exact keep test
+    // (inter·1000 ≥ t·union — no float literal crosses an engine),
+    // pairs / touched docs / membership checksum per threshold
+    Q("q107_threshold_sweep", (s, d) => {
+      dedupThresholdSweep(t(s, d, "documents"))
+        .orderBy(col("threshold"))
+    }, Some(s"""
+      WITH $tkCte, $shCte, $mhCte,
+      bands AS (
+        SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+        FROM mh, generate_series(0,${BANDS - 1}) g(b)
+        WHERE len(shingles) > 0),
+      cand AS (
+        SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        FROM bands a JOIN bands b ON a.b=b.b AND a.sig=b.sig AND a.doc_id<b.doc_id),
+      pr AS (SELECT a_id, b_id,
+               CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) inter,
+               CAST(len(list_distinct(x.shingles||y.shingles)) AS BIGINT) un
+             FROM cand JOIN sh x ON a_id=x.doc_id JOIN sh y ON b_id=y.doc_id),
+      th AS (SELECT CAST(unnest([300,400,500,600,700,800,900]) AS BIGINT) threshold),
+      kept AS (SELECT threshold, a_id, b_id
+               FROM pr, th WHERE inter*1000 >= threshold*un),
+      pa AS (SELECT threshold, CAST(count(*) AS BIGINT) n_pairs,
+               CAST(SUM(((a_id % ${P})*4096 + (b_id % ${P})) % ${P}) % ${P}
+                    AS BIGINT) pair_checksum
+             FROM kept GROUP BY 1),
+      da AS (SELECT threshold, CAST(count(DISTINCT dd) AS BIGINT) n_docs
+             FROM (SELECT threshold, unnest([a_id, b_id]) dd FROM kept)
+             GROUP BY 1)
+      SELECT t.threshold,
+        COALESCE(n_pairs, 0) AS n_pairs,
+        COALESCE(n_docs, 0) AS n_docs,
+        COALESCE(pair_checksum, 0) AS pair_checksum
+      FROM th t LEFT JOIN pa USING (threshold) LEFT JOIN da USING (threshold)
+      ORDER BY threshold"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -546,6 +546,26 @@ class DedupApiSpec extends AnyFunSuite {
     assert(rep == base, "clone replication changed the calibration surface")
   }
 
+  test("q107: sweep is monotone and its t=500 row equals the q24 surface") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = Dedup.dedupThresholdSweep(docs)
+      .orderBy(org.apache.spark.sql.functions.col("threshold")).collect()
+    assert(rows.map(_.getAs[Long]("threshold")).toSeq ==
+      Seq(300L, 400L, 500L, 600L, 700L, 800L, 900L))
+    val nPairs = rows.map(_.getAs[Long]("n_pairs"))
+    val nDocs = rows.map(_.getAs[Long]("n_docs"))
+    assert(nPairs.zip(nPairs.tail).forall { case (a, b) => a >= b },
+      s"pairs not monotone: ${nPairs.mkString(",")}")
+    assert(nDocs.zip(nDocs.tail).forall { case (a, b) => a >= b },
+      s"docs not monotone: ${nDocs.mkString(",")}")
+    assert(nPairs.head > nPairs.last, "sweep is flat — no tuning signal")
+    // integer keep test at t=500 ≡ q24's jaccard ≥ 0.5 surface
+    // (texts are distinct at this sf, so expansion is the identity)
+    val q24 = Dedup.nearDupPairs(docs).count()
+    assert(nPairs(2) == q24, s"t=500 row ${nPairs(2)} != q24 $q24")
+  }
+
   test("q106: histogram identities reconcile with the cluster table") {
     val sf = "/root/testdata/sf0.001"
     val hist = SparkEntry.queries("q106_cluster_size_hist")(
