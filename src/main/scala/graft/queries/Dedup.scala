@@ -420,19 +420,30 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
-  /** Embedding-cosine near-dup pairs. DEFAULT ROUTE: sign-LSH buckets
-    * (vectors agreeing on `signBitCount` axis signs) self-joined per
-    * bucket — compare count tracks E[bucket size], not n²; widen the
-    * signature as the corpus grows. Recall < 1 by construction (the
-    * standard LSH tradeoff; multi-probe composes unchanged).
-    * `brute = true` is the exhaustive O(n²) baseline (gate q27). */
+  /** Embedding-cosine near-dup pairs. DEFAULT ROUTE: exact-clone
+    * collapse on the embedding column (nearDupPairs' contract at
+    * vector granularity — the sign bucket and the cosine are pure
+    * functions of the vector, so identical vectors are
+    * interchangeable), then sign-LSH buckets (vectors agreeing on
+    * `signBitCount` axis signs) self-joined per bucket over the REPS —
+    * compare count tracks E[distinct-vector bucket size], not n² and
+    * not clone-inflated bucket size (measured: 100× replication put
+    * ~3 k members in every bucket → ~3×10⁸ int-dots; collapsed, the
+    * dot count is unchanged from the base corpus). Expansion honors
+    * the same cap as the buckets (≤ maxBucketSize members per clone
+    * group); intra-clone pairs carry icosine(v,v) computed with the
+    * SAME expression as an uncollapsed pair would (not a 1.0 literal —
+    * sqrt(d)·sqrt(d) ≠ d in the last ulp), so collapsed ≡ uncollapsed
+    * bit-for-bit. Recall < 1 by construction (the standard LSH
+    * tradeoff; multi-probe composes unchanged). `brute = true` is the
+    * exhaustive O(n²) baseline (gate q27). */
   def cosinePairs(vectors: DataFrame, threshold: Double,
                   signBitCount: Int = 6, maxBucketSize: Int = 4096,
                   brute: Boolean = false): DataFrame = {
-    val iv = vectors
-      .select(col("vec_id"), iscale(col("embedding")).as("v"))
-      .withColumn("nrm", inorm(col("v")))
     if (brute) {
+      val iv = vectors
+        .select(col("vec_id"), iscale(col("embedding")).as("v"))
+        .withColumn("nrm", inorm(col("v")))
       val a = iv.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
       val b = iv.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
       a.join(broadcast(b), col("a_id") < col("b_id"))
@@ -440,15 +451,39 @@ object Dedup {
         .filter(col("cosine") >= threshold)
         .select(col("a_id"), col("b_id"), col("cosine"))
     } else {
+      val withGid = vectors.withColumn("gid",
+        min(col("vec_id")).over(Window.partitionBy(col("embedding"))))
+      val members = capBuckets(withGid.select(col("gid"), col("vec_id")),
+          Seq("gid"), "vec_id", maxBucketSize)
+        .cut() // intra self-join sides + two expansion joins
+      val iv = withGid.filter(col("vec_id") === col("gid"))
+        .select(col("vec_id"), iscale(col("embedding")).as("v"))
+        .withColumn("nrm", inorm(col("v")))
+        .cut() // bucket self-join sides + the intra cosine join
       val bucketed = capBuckets(
         iv.withColumn("bucket", Similarity.signBucket(col("v"), signBitCount)),
         Seq("bucket"), "vec_id", maxBucketSize)
-      bucketed.as("a").join(bucketed.as("b"),
+      val repPairs = bucketed.as("a").join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cosine",
           icosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
         .filter(col("cosine") >= threshold)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cosine"))
+      val intra = members.as("a")
+        .join(members.as("b"),
+          col("a.gid") === col("b.gid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.gid").as("gid"), col("a.vec_id").as("a_id"),
+          col("b.vec_id").as("b_id"))
+        .join(iv.select(col("vec_id").as("gid"), col("v"), col("nrm")), "gid")
+        .withColumn("cosine", icosine(col("v"), col("v"), col("nrm"), col("nrm")))
+        .filter(col("cosine") >= threshold)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+      val cross = repPairs
+        .join(members.select(col("gid").as("a_id"), col("vec_id").as("xa")), "a_id")
+        .join(members.select(col("gid").as("b_id"), col("vec_id").as("xb")), "b_id")
+        .select(least(col("xa"), col("xb")).as("a_id"),
+          greatest(col("xa"), col("xb")).as("b_id"), col("cosine"))
+      cross.unionByName(intra)
     }
   }
 

@@ -123,6 +123,35 @@ class DedupApiSpec extends AnyFunSuite {
     assert(pairs(lsh) == pairs(brute))
   }
 
+  test("cosinePairs clone collapse: replication expands pairs bit-exactly") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val vecs = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val base = Dedup.cosinePairs(vecs, 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // duplicate every vector once with a higher id: each base pair
+    // expands to the 4 cross copies (same cosine VERBATIM) and each
+    // vector pairs with its own clone via the intra path
+    import org.apache.spark.sql.functions.col
+    val cloned = vecs.unionByName(vecs.select(
+      (col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val rep = Dedup.cosinePairs(cloned, 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nVec = vecs.count()
+    assert(rep.length == 4 * base.length + nVec,
+      s"${rep.length} pairs != 4*${base.length} cross + $nVec intra")
+    // cross pairs carry the rep cosine verbatim (exact double equality)
+    val baseSet = base.map { case (a, b, c) => (a, b, c) }.toSet
+    val crossBack = rep.filter { case (a, b, _) => (b % 100000L) != a }
+      .map { case (a, b, c) => (a % 100000L, b % 100000L, c) }
+      .map { case (a, b, c) => (math.min(a, b), math.max(a, b), c) }.toSet
+    assert(crossBack == baseSet)
+    // intra pairs: one per vector, cosine computed by the same
+    // icosine expression (≈1 but NOT asserted as literal 1.0)
+    val intra = rep.filter { case (a, b, _) => b % 100000L == a }
+    assert(intra.length == nVec && intra.forall(_._3 > 0.999))
+  }
+
   test("annTopK default (lsh) plans without nested loops and ranks correctly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
