@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -103,6 +105,39 @@ object Similarity {
     // partial/final heaps keep ≤ k rows per query per partition across
     // the exchange, and the rank is re-derived on the k·|Q| survivors
     topKRanked(cand, k)
+  }
+
+  /** ANN recall audit (the q105 measure-don't-guess doctrine applied
+    * to similarity search): for each query, how many of the EXACT
+    * top-k (brute truth) each approximate route recovers — the
+    * single-bucket sign-LSH route and the 2-probe multi-probe route
+    * side by side, so the recall the `probes` knob buys is measured
+    * on the corpus instead of assumed. n_hit is an integer and
+    * recall = n_hit/k an exact dyadic rational.
+    *
+    * LABELED DIAGNOSTIC: the truth side is the brute |Q|·n baseline
+    * (that is what ground truth means), cut() once and joined against
+    * both routes — run it on a sampled query set / corpus slice, not
+    * the full 100 TB table; the production routes it audits stay
+    * |Q|·E[bucket]. */
+  def annRecallAudit(vectors: DataFrame, k: Int = 3): DataFrame = {
+    val queries = vectors.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), iscale(col("embedding")).as("qv"))
+      .withColumn("qn", inorm(col("qv")))
+    val truth = annTopK(vectors, queries, k, method = "brute")
+      .select(col("query_id"), col("neighbor_id"))
+      .cut() // one brute pass feeds both route joins
+    def routeRecall(name: String, probes: Int): DataFrame = {
+      val approx = annTopK(vectors, queries, k, probes = probes)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("query_id"), lit(name).as("method"), col("n_hit"),
+          (col("n_hit").cast(DoubleType) / k).as("recall"))
+    }
+    routeRecall("lsh", 1).unionByName(routeRecall("multiprobe", 2))
   }
 
   /** Shared ANN tail: keep top-k (cosine desc, neighbor_id asc) per
@@ -346,6 +381,65 @@ object Similarity {
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cosine DESC, neighbor_id ASC) rk
         FROM cand)
-      WHERE rk <= 3 ORDER BY query_id, rk"""))
+      WHERE rk <= 3 ORDER BY query_id, rk""")),
+
+    // ANN recall audit: exact brute top-3 as ground truth, the
+    // single-bucket and 2-probe routes scored against it per query —
+    // recall is an exact n_hit/3 rational; the oracle replays all
+    // three routes (q28's brute, q29's bucket, q68's probe chain)
+    Q("q108_ann_recall", (s, d) => {
+      annRecallAudit(t(s, d, "embeddings"))
+        .orderBy(col("query_id"), col("method"))
+    }, Some(s"""
+      WITH $ivCte,
+      b AS (
+        SELECT vec_id, v, nrm,
+          CAST(list_sum([CASE WHEN v[k+1] >= 0 THEN (1::BIGINT << k) ELSE 0 END
+                         for k in generate_series(0,5)]) AS BIGINT) bucket
+        FROM n),
+      q0 AS (SELECT vec_id query_id, v qv, nrm qn, bucket qb0
+             FROM b WHERE vec_id % 100 = 0),
+      bt AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, n.vec_id neighbor_id,
+                      row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY $sqlCos DESC, n.vec_id ASC) rk
+               FROM q0 q, n WHERE n.vec_id <> q.query_id)
+             WHERE rk <= 3),
+      l1 AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, n.vec_id neighbor_id,
+                      row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY $sqlCos DESC, n.vec_id ASC) rk
+               FROM q0 q JOIN b n
+                 ON n.bucket = q.qb0 AND n.vec_id <> q.query_id)
+             WHERE rk <= 3),
+      fl AS (
+        SELECT query_id, xor(qb0, (1::BIGINT << (j-1))) qb FROM (
+          SELECT query_id, qb0, j,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY abs(qv[j]), j) rn
+          FROM q0, generate_series(1,6) g(j))
+        WHERE rn = 1),
+      pr AS (SELECT query_id, qb0 qb FROM q0
+             UNION ALL SELECT query_id, qb FROM fl),
+      l2 AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, n.vec_id neighbor_id,
+                      row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY $sqlCos DESC, n.vec_id ASC) rk
+               FROM pr JOIN q0 q ON q.query_id = pr.query_id
+               JOIN b n ON n.bucket = pr.qb AND n.vec_id <> q.query_id)
+             WHERE rk <= 3),
+      r1 AS (SELECT t.query_id, 'lsh' AS method,
+               CAST(COUNT(l.neighbor_id) AS BIGINT) n_hit
+             FROM bt t LEFT JOIN l1 l
+               ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+             GROUP BY 1),
+      r2 AS (SELECT t.query_id, 'multiprobe' AS method,
+               CAST(COUNT(l.neighbor_id) AS BIGINT) n_hit
+             FROM bt t LEFT JOIN l2 l
+               ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+             GROUP BY 1)
+      SELECT query_id, method, n_hit, CAST(n_hit AS DOUBLE)/3 AS recall
+      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+      ORDER BY query_id, method"""))
   )
 }

@@ -595,6 +595,28 @@ class DedupApiSpec extends AnyFunSuite {
     assert(nPairs(2) == q24, s"t=500 row ${nPairs(2)} != q24 $q24")
   }
 
+  test("q108: recall audit — multiprobe dominates single-bucket per query") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.annRecallAudit(
+      Tables.t(spark, sf, "embeddings")).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    var sumL = 0L; var sumM = 0L
+    for ((q, rs) <- byQ) {
+      val m = rs.map(r => r.getAs[String]("method") ->
+        r.getAs[Long]("n_hit")).toMap
+      assert(m.keySet == Set("lsh", "multiprobe"), s"query $q methods $m")
+      assert(m.values.forall(h => h >= 0 && h <= 3))
+      // probe 2 searches a superset of probe 1's buckets → per-query
+      // dominance is structural, not statistical
+      assert(m("multiprobe") >= m("lsh"), s"query $q: $m")
+      for (r <- rs)
+        assert(r.getAs[Double]("recall") == r.getAs[Long]("n_hit") / 3.0)
+      sumL += m("lsh"); sumM += m("multiprobe")
+    }
+    assert(sumM > sumL, "second probe bought no recall — fixture signal gone")
+  }
+
   test("q106: histogram identities reconcile with the cluster table") {
     val sf = "/root/testdata/sf0.001"
     val hist = SparkEntry.queries("q106_cluster_size_hist")(

@@ -89,6 +89,7 @@ class PlanSpec extends AnyFunSuite {
       "q77_kmeans_iterated", "q81_semdedup")
     val expectedNested = broadcastCentroidGates ++ Set(
       "q27_dedup_embedding", "q28_ann_brute_topk",
+      "q108_ann_recall", // labeled diagnostic: brute truth ∩ each route
       "q57_bm25_topk", "q74_tfidf_top1")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.sparkPlan.toString
@@ -110,7 +111,8 @@ class PlanSpec extends AnyFunSuite {
     // (5 event-type rows), q68 flips bits on the broadcast query side
     // only (|Q| rows).
     val tinyInputLambdas =
-      Set("q34_miw_pipeline", "q35_union_count_agg", "q68_ann_multiprobe")
+      Set("q34_miw_pipeline", "q35_union_count_agg", "q68_ann_multiprobe",
+        "q108_ann_recall") // q68's probe flip on the broadcast query side
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !tinyInputLambdas(name) =>
         val p = fn(spark, sf).queryExecution.sparkPlan.toString
