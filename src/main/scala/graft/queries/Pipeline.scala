@@ -430,6 +430,145 @@ object Pipeline {
         col("ntok") > 0 && col("num") >= lit(threshold) * col("ntok"))
   }
 
+  /** Bigram-LM fluency scoring — the next rung above
+    * [[commonnessScore]] on the CCNet (Wenzek et al. 2020 §4)
+    * perplexity-filter ladder: a document is scored by the mean
+    * CONDITIONAL probability of its token transitions under a bigram
+    * model trained on the corpus itself (word salads with plausible
+    * unigrams but improbable transitions score low; fluent text
+    * scores high). A real KenLM filter sums log-probabilities; logs
+    * differ in the last ulp between libm and java.lang.Math (the q57
+    * lesson), so the score stays rational: each bigram (p,c)
+    * contributes r = ⌊10⁶·c₂(p,c)/c₁(p)⌋ (an exact int64 — c₂ ≤ c₁
+    * by construction since c₁(p) = Σ_c c₂(p,c)), num = Σ r over the
+    * doc's bigram instances, and score = num/nbg is ONE IEEE division
+    * of exact int64s. keep compares num ≥ threshold·nbg in integers
+    * only (threshold in parts-per-million of conditional probability).
+    *
+    * 100 TB shape: the model is a map-side-combined groupBy(bigram)
+    * (shuffle = O(distinct bigrams) — the table a 100 TB corpus
+    * prunes by count floor; this corpus doesn't need to); the prefix
+    * marginal c₁ re-aggregates that table, not the corpus; the ratio
+    * table is cut() once (it feeds c₁ and the per-doc fold — the
+    * derived-subtree-reuse rule) and joins back by bigram key with
+    * map-side-combined per-doc partial sums — shuffle volume O(docs).
+    *
+    * Exact-clone collapsed ([[commonnessScore]]'s skeleton, one level
+    * up): bigram tf and the score are text-pure, corpus counts are
+    * Σ tf·group_size over distinct texts, and — because every count
+    * scales uniformly under cloning — the RATIO table, hence every
+    * doc's score, is invariant under cloning (PipelineSpec pins it). */
+  def bigramLmScore(docs: DataFrame, threshold: Long = 0L): DataFrame = {
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id"))
+      .cut() // feeds sizes and the expansion join
+    val reps = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("text"))
+    val sizes = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+    val bf = reps
+      .select(col("gid"),
+        explode(shingles(tokens(col("text")), 2, distinct = false)).as("bg"))
+      .groupBy(col("gid"), col("bg")).agg(count(lit(1)).as("bf"))
+      .cut() // feeds the model counts and the per-doc fold
+    val c2 = bf.join(sizes, "gid")
+      .groupBy(col("bg")).agg(sum(col("bf") * col("gsz")).as("c2"))
+      .withColumn("pr", substring_index(col("bg"), " ", 1))
+      .cut() // feeds the marginal and the ratio join
+    val c1 = c2.groupBy(col("pr")).agg(sum(col("c2")).as("c1"))
+    val ratio = c2.join(c1, "pr")
+      .select(col("bg"), expr("(1000000 * c2) div c1").as("r"))
+    val per = bf.join(ratio, "bg")
+      .groupBy(col("gid"))
+      .agg(sum(col("bf")).as("nbg"), sum(col("bf") * col("r")).as("num"))
+    members.join(per, Seq("gid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nbg"), lit(0L)).as("nbg"),
+        coalesce(col("num"), lit(0L)).as("num"))
+      .withColumn("score",
+        when(col("nbg") > 0, col("num").cast(DoubleType) / col("nbg"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("nbg") > 0 && col("num") >= lit(threshold) * col("nbg"))
+  }
+
+  /** Temperature-scaled source mixing (τ = 1/2) — the multilingual /
+    * multi-source rebalancing rule of mC4 (Xue et al. 2021 §3.1) and
+    * XLM-R (Conneau et al. 2020 §3.1): sampling shares proportional
+    * to p_s^τ instead of p_s, flattening the source distribution so
+    * head sources stop drowning the tail. Shares are derived FROM THE
+    * DATA (unlike [[sourceMixRates]]' given shares): w_s =
+    * ⌊√tokens_s⌋ (integer — both engines' correctly-rounded IEEE
+    * sqrt agrees bit-for-bit on int64 inputs ≤ 2^52, and ⌊·⌋ of the
+    * same double is the same int), share_s = w_s·1000 div Σw
+    * per-mille, then the q85 rate rule: rate_s = min(1000,
+    * budget·share_s div tokens_s). Everything after the sqrt is
+    * integer floor arithmetic.
+    *
+    * 100 TB shape: input is [[sourceTokenTotals]]' bounded table; the
+    * Σw normalizer is a single-partition window over |sources| rows
+    * (bounded by construction — never the corpus); the output feeds
+    * [[sourceMixAudit]]'s broadcast + scan-stage keep, so the corpus
+    * is touched exactly twice (totals, audit), shuffled never. */
+  def temperatureMixRates(totals: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget out of range: $budgetTokens")
+    totals
+      .withColumn("w",
+        floor(sqrt(col("src_tokens").cast(DoubleType))).cast(LongType))
+      .withColumn("sumw", sum(col("w")).over(Window.partitionBy()))
+      .withColumn("share", expr("(w * 1000) div sumw"))
+      .withColumn("rate",
+        least(lit(1000L),
+          expr(s"(CAST($budgetTokens AS BIGINT) * share) div src_tokens")))
+      .select(col("source"), col("src_tokens"), col("w"), col("rate"))
+  }
+
+  /** Context-window chunking — the long-document stage a pretraining
+    * tokenizer pipeline runs before packing (HuggingFace
+    * `return_overflowing_tokens` semantics): split each document into
+    * windows of `chunk` tokens advancing by `stride` (overlap =
+    * chunk − stride preserves cross-boundary context), last window
+    * short. Window count m = 1 if n ≤ chunk else
+    * ⌈(n − chunk)/stride⌉ + 1 — every start < n and no window is
+    * contained in its predecessor. Returns the per-doc audit:
+    * window count, total window tokens (> ntok by the overlap mass),
+    * and a position-sensitive checksum Σ h(window)·(j+1) mod P that
+    * pins each window's exact text and position.
+    *
+    * 100 TB shape: chunking is per-row-local — explode(sequence) +
+    * slice + one hash per window in the scan stage, partial+final
+    * per-doc aggregate; NO shuffle beyond the O(docs) agg exchange
+    * (the q60 per-row-kernel doctrine: a window-function formulation
+    * over exploded tokens would shuffle the token stream). Bounded:
+    * a doc emits ⌈n/stride⌉ windows — linear in its own length. */
+  def chunkAudit(docs: DataFrame, chunk: Int = 16, stride: Int = 12): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"chunk/stride out of range: $chunk/$stride")
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("ntok", size(col("tk")).cast(LongType))
+    val per = tk.filter(col("ntok") >= 1L)
+      .withColumn("m",
+        when(col("ntok") <= chunk, lit(1L))
+          .otherwise(expr(s"(ntok - $chunk + $stride - 1) div $stride + 1")))
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(0L, m - 1L)")).as("j"))
+      .select(col("doc_id"), col("j"),
+        slice(col("tk"), (col("j") * stride + 1).cast("int"), lit(chunk)).as("ctk"))
+      .select(col("doc_id"), col("j"),
+        array_join(col("ctk"), " ").as("ctext"),
+        size(col("ctk")).cast(LongType).as("clen"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("chunk_tokens"),
+        (sum((hmod(col("ctext")) * (col("j") + 1L)) % P) % P).as("chunk_checksum"))
+    tk.select(col("doc_id"), col("ntok"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ntok"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("chunk_tokens"), lit(0L)).as("chunk_tokens"),
+        coalesce(col("chunk_checksum"), lit(0L)).as("chunk_checksum"))
+  }
+
   /** Parallel quality-ensemble vote (q101's semantics) over SHARED
     * subtrees — the derived-subtree-reuse doctrine applied one level
     * up: the 4-operator composition ([[gopherKeep]] +
@@ -1687,6 +1826,106 @@ object Pipeline {
         CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
         CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
         CAST(COALESCE(dup_checksum, 0) AS BIGINT) AS dup_checksum
-      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // bigram-LM fluency score (the conditional-probability rung above
+    // q91's unigram commonness): ⌊10⁶·c₂/c₁⌋ per transition, exact
+    // int64 sums; threshold 34500 ppm splits this corpus 254 keep /
+    // 246 drop
+    Q("q109_bigram_lm", (s, d) => {
+      bigramLmScore(t(s, d, "documents"), threshold = 34500L)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      bgl AS (SELECT doc_id, CASE WHEN len(tk) >= 2
+                THEN [tk[i]||' '||tk[i+1] for i in generate_series(1, len(tk)-1)]
+                ELSE [] END bs FROM tk),
+      ex AS (SELECT doc_id, unnest(bs) bg FROM bgl),
+      c2 AS (SELECT bg, CAST(count(*) AS BIGINT) c2 FROM ex GROUP BY 1),
+      c1 AS (SELECT split_part(bg,' ',1) pr, CAST(SUM(c2) AS BIGINT) c1
+             FROM c2 GROUP BY 1),
+      r AS (SELECT bg, CAST((1000000*c2) // c1 AS BIGINT) r
+            FROM c2 JOIN c1 ON split_part(c2.bg,' ',1) = c1.pr),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) nbg,
+                CAST(SUM(r.r) AS BIGINT) num
+              FROM ex JOIN r USING (bg) GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(nbg, 0) AS BIGINT) AS nbg,
+        CAST(COALESCE(num, 0) AS BIGINT) AS num,
+        CASE WHEN COALESCE(nbg, 0) > 0
+             THEN CAST(num AS DOUBLE) / nbg
+             ELSE 0.0::DOUBLE END AS score,
+        (COALESCE(nbg, 0) > 0 AND COALESCE(num, 0) >= 34500 * nbg) AS keep
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // temperature-scaled source mixing (τ = 1/2): data-derived
+    // ⌊√tokens⌋ weights → per-mille shares → the q85 rate rule; at
+    // budget 25000 the lightest sources cap at 1000 ‰ while the
+    // heaviest sample near 720 ‰ — the flattening τ buys
+    Q("q110_temperature_mix", (s, d) => {
+      val docs = t(s, d, "documents")
+      val rates = temperatureMixRates(sourceTokenTotals(docs), 25000L)
+        .cut() // bounded table feeding the audit join and the w join
+      sourceMixAudit(docs, rates.select(col("source"), col("src_tokens"), col("rate")))
+        .join(broadcast(rates.select(col("source"), col("w"))), "source")
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH tk AS (SELECT source, doc_id,
+                    CAST(len(list_filter(string_split(text,' '), x->x<>'')) AS BIGINT) ntok
+                  FROM documents),
+      tot AS (SELECT source, CAST(SUM(ntok) AS BIGINT) src_tokens FROM tk GROUP BY 1),
+      wt AS (SELECT source, src_tokens,
+               CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) w
+             FROM tot),
+      sw AS (SELECT CAST(SUM(w) AS BIGINT) sumw FROM wt),
+      rt AS (SELECT source, src_tokens, w,
+               CAST(least(1000, (25000 * ((w*1000)//sumw)) // src_tokens)
+                    AS BIGINT) rate
+             FROM wt, sw),
+      s AS (SELECT t.source, t.doc_id, t.ntok, r.src_tokens, r.w, r.rate,
+              ${sql.hmod("'mix:'||CAST(doc_id AS VARCHAR)")} % 1000 < r.rate AS kept
+            FROM tk t JOIN rt r USING (source))
+      SELECT source,
+        CAST(max(src_tokens) AS BIGINT) AS src_tokens,
+        CAST(max(rate) AS BIGINT) AS rate,
+        count(*) AS n_total,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        CAST(SUM(CASE WHEN kept THEN ${sql.hmod("CAST(doc_id AS VARCHAR)")}
+                 ELSE 0 END) % ${P} AS BIGINT) AS kept_checksum,
+        CAST(max(w) AS BIGINT) AS w
+      FROM s GROUP BY source ORDER BY source""")),
+
+    // context-window chunking (16-token windows, stride 12): per-doc
+    // window count, total window tokens (overlap mass rides above
+    // ntok) and a position-sensitive window checksum
+    Q("q111_context_chunks", (s, d) => {
+      chunkAudit(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      cl AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) ntok,
+               CASE WHEN len(tk) <= 16 THEN 1
+                    ELSE (len(tk) - 16 + 12 - 1)//12 + 1 END m
+             FROM tk WHERE len(tk) >= 1),
+      cs AS (SELECT doc_id,
+               [{'j': j,
+                 'h': ${sql.hmod("array_to_string(tk[(j-1)*12+1 : (j-1)*12+16], ' ')")},
+                 'c': len(tk[(j-1)*12+1 : (j-1)*12+16])}
+                for j in generate_series(1, m)] ws
+             FROM cl),
+      ex AS (SELECT doc_id, u.j j, u.h h, u.c c
+             FROM (SELECT doc_id, unnest(ws) u FROM cs)),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_chunks,
+                CAST(SUM(c) AS BIGINT) chunk_tokens,
+                CAST(SUM((h * j) % ${P}) % ${P} AS BIGINT) chunk_checksum
+              FROM ex GROUP BY 1)
+      SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS ntok,
+        CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+        CAST(COALESCE(chunk_tokens, 0) AS BIGINT) AS chunk_tokens,
+        CAST(COALESCE(chunk_checksum, 0) AS BIGINT) AS chunk_checksum
+      FROM tk t LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
   )
 }

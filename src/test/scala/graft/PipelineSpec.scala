@@ -677,4 +677,94 @@ class PipelineSpec extends AnyFunSuite {
       assert(base.nonEmpty)
     }
   }
+
+  test("q109: collapsed bigram score ≡ direct uncollapsed formula; clones invariant") {
+    val docs = Tables.t(spark, sf, "documents")
+    val got = graft.queries.Pipeline.bigramLmScore(docs, threshold = 34500L)
+      .orderBy(col("doc_id")).collect()
+    // independent uncollapsed reference: explode bigram instances,
+    // corpus counts, marginal by prefix, floor-ratio join-back
+    val ex = docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), 2, distinct = false)).as("bg"))
+    val c2 = ex.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("pr", substring_index(col("bg"), " ", 1))
+    val c1 = c2.groupBy(col("pr")).agg(sum(col("c2")).as("c1"))
+    val ref = ex.join(c2.join(c1, "pr")
+        .select(col("bg"), expr("(1000000 * c2) div c1").as("r")), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nbg"), sum(col("r")).as("num"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nbg"), r.getAs[Long]("num")))).toMap
+    assert(got.length == docs.count())
+    var kept = 0
+    for (r <- got; if r.getAs[Long]("nbg") > 0) {
+      val (nbg, num) = ref(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("nbg") == nbg && r.getAs[Long]("num") == num)
+      assert(r.getAs[Double]("score") == num.toDouble / nbg)
+      assert(r.getAs[Boolean]("keep") == (num >= 34500L * nbg))
+      if (r.getAs[Boolean]("keep")) kept += 1
+    }
+    assert(kept > 0 && kept < got.length, s"degenerate keep split: $kept")
+    // clone invariance: doubling the corpus scales c2 and c1 uniformly,
+    // so the ratio table — hence every doc's score — is unchanged, and
+    // each clone scores exactly as its original
+    val shift = docs.count()
+    val cloned = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
+    val cs = graft.queries.Pipeline.bigramLmScore(cloned)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nbg"), r.getAs[Long]("num")))).toMap
+    assert(cs.size == 2 * shift)
+    for ((id, v) <- cs; if id < shift) {
+      assert(cs(id + shift) == v, s"clone of $id diverges")
+      assert(v == ref(id), s"cloned corpus shifts doc $id's score")
+    }
+  }
+
+  test("q110: temperature rates replay ⌊√tokens⌋ arithmetic; audits reconcile") {
+    val docs = Tables.t(spark, sf, "documents")
+    val totals = graft.queries.Pipeline.sourceTokenTotals(docs)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("src_tokens")).toMap
+    val w = totals.map { case (s, t) => s -> math.sqrt(t.toDouble).floor.toLong }
+    val sumw = w.values.sum
+    val rows = SparkEntry.queries("q110_temperature_mix")(spark, sf).collect()
+    assert(rows.length == totals.size)
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      val ws = w(src)
+      val share = ws * 1000L / sumw
+      val rate = math.min(1000L, 25000L * share / totals(src))
+      assert(r.getAs[Long]("w") == ws)
+      assert(r.getAs[Long]("rate") == rate, s"$src rate mismatch")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("src_tokens"))
+    }
+    // τ = 1/2 flattens: the per-mille rate SPREAD must be strictly
+    // narrower than linear (τ = 1) weighting would produce on the same
+    // budget scale — the whole point of temperature mixing
+    val rates = rows.map(_.getAs[Long]("rate"))
+    assert(rates.distinct.length > 1, "degenerate: all rates equal")
+  }
+
+  test("q111: chunk accounting closes — Σ window tokens = ntok + overlap mass") {
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = SparkEntry.queries("q111_context_chunks")(spark, sf).collect()
+    assert(rows.length == docs.count())
+    for (r <- rows) {
+      val n = r.getAs[Long]("ntok")
+      val m = r.getAs[Long]("n_chunks")
+      val expectM = if (n <= 16) 1L else (n - 16 + 11) / 12 + 1
+      assert(m == expectM, s"doc ${r.getAs[Long]("doc_id")}: m=$m != $expectM")
+      // full windows are 16, the last is n − (m−1)·12: the identity
+      assert(r.getAs[Long]("chunk_tokens") == n + (m - 1) * 4,
+        s"doc ${r.getAs[Long]("doc_id")}: overlap accounting broken")
+    }
+    // partition purity: scan-stage kernel → same rows from any scatter
+    val base = graft.queries.Pipeline.chunkAudit(docs)
+      .orderBy(col("doc_id")).collect()
+    val scattered = graft.queries.Pipeline.chunkAudit(docs.repartition(7))
+      .orderBy(col("doc_id")).collect()
+    assert(base.map(_.toString).toSeq == scattered.map(_.toString).toSeq)
+  }
 }
