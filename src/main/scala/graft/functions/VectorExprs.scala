@@ -229,6 +229,76 @@ object IScale {
   }
 }
 
+/** float32 vector → symmetric int8 quantization as int64s:
+  * round(x·127/s, HALF_UP via decimal repr) per element, where `s`
+  * is the corpus absmax (a driver scalar, the q62 two-scalar stats
+  * pattern). SYMMETRIC — sign survives, so quantized cosine still
+  * measures direction (the unsigned 0..255 form of q62 is a storage
+  * codec, not a similarity domain: shifting every coordinate positive
+  * collapses cosine toward +1). |x| ≤ s ⇒ |q| ≤ 127 by construction.
+  * One codegen kernel, not a `transform` lambda (the IScale doctrine);
+  * rounding is bit-compatible with Spark's round(double):
+  * BigDecimal.valueOf(y).setScale(0, HALF_UP), with IScale's
+  * floor fast path outside the (0.5 ± 1e-3) fraction band. */
+case class IQuantSym(child: Expression, s: Double)
+    extends UnaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(LongType, containsNull = n)
+    case _ => ArrayType(LongType, containsNull = false)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if s > 0d => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a positive scale, got $s")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${dt.simpleString}")
+  }
+
+  /** Exposed for generated code. */
+  def compute(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) out(i) = IQuantSym.quant(xs.getFloat(i), s)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val ref = ctx.addReferenceObj("iquant", this, classOf[IQuantSym].getName)
+      s"${ev.value} = $ref.compute($xs);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IQuantSym =
+    copy(child = newChild)
+  override def prettyName: String = "iquant_sym"
+}
+
+object IQuantSym {
+  /** round(x.toDouble · 127 / s, HALF_UP via decimal repr) → long.
+    * Evaluation order (x·127)/s — the oracle replays the same text. */
+  def quant(x: Float, s: Double): Long = {
+    val y = x.toDouble * 127d / s
+    if (java.lang.Double.isNaN(y)) 0L
+    else {
+      val fl = Math.floor(y)
+      val f = y - fl
+      if (f > 0.499 && f < 0.501)
+        java.math.BigDecimal.valueOf(y)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      else fl.toLong + (if (f > 0.5) 1L else 0L)
+    }
+  }
+}
+
 object VectorExprs {
   def longDot(a: Column, b: Column): Column =
     Shim.column(LongDot(Shim.expression(a), Shim.expression(b)))
@@ -241,4 +311,7 @@ object VectorExprs {
 
   def iscale(v: Column): Column =
     Shim.column(IScale(Shim.expression(v)))
+
+  def iquantSym(v: Column, s: Double): Column =
+    Shim.column(IQuantSym(Shim.expression(v), s))
 }

@@ -140,6 +140,56 @@ object Similarity {
     routeRecall("lsh", 1).unionByName(routeRecall("multiprobe", 2))
   }
 
+  /** Int8-quantization recall audit — the [[annRecallAudit]] doctrine
+    * applied to the STORAGE axis instead of the index axis: before a
+    * vector store ships 100 TB of float32 as int8 (4× bandwidth/
+    * memory), measure what the quantized representation costs in
+    * exact-top-k recall on the corpus. Vectors are SYMMETRICALLY
+    * quantized (round(x·127/absmax) — sign survives, so quantized
+    * cosine still measures direction; q62's unsigned 0..255 form is a
+    * storage codec, not a similarity domain) with the corpus absmax
+    * from the q62 two-scalar stats pass. Truth = exact brute top-k
+    * over int-scaled float vectors; the audited route = brute top-k
+    * over the int8 vectors (exact int dots, deterministic tie-break).
+    * n_hit is an integer, recall = n_hit/k an exact dyadic rational.
+    *
+    * LABELED DIAGNOSTIC (the q108 contract): both sides are |Q|·n
+    * brute passes — that is what ground truth means; run it on a
+    * sampled query set / corpus slice. The production deployment
+    * composes int8 storage with the LSH/IVF routes unchanged
+    * (signBucket reads signs, which symmetric quantization
+    * preserves). */
+  def int8RecallAudit(vectors: DataFrame, k: Int = 3): DataFrame = {
+    val r = vectors.agg(
+      min(array_min(col("embedding"))).cast(DoubleType).as("lo"),
+      max(array_max(col("embedding"))).cast(DoubleType).as("hi")).first()
+    val s = math.max(math.abs(r.getDouble(0)), math.abs(r.getDouble(1)))
+    val truth = annTopK(vectors,
+        vectors.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), iscale(col("embedding")).as("qv"))
+          .withColumn("qn", inorm(col("qv"))),
+        k, method = "brute")
+      .select(col("query_id"), col("neighbor_id"))
+      .cut() // one exact brute pass, joined against the quantized route
+    val q8 = vectors.select(col("vec_id"),
+        graft.functions.VectorExprs.iquantSym(col("embedding"), s).as("v"))
+      .withColumn("nrm", inorm(col("v")))
+    val q8q = q8.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cand = q8.join(broadcast(q8q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", icosine(col("qv"), col("v"), col("qn"), col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+    val approx = topKRanked(cand, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), lit("int8").as("method"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / k).as("recall"))
+  }
+
   /** Shared ANN tail: keep top-k (cosine desc, neighbor_id asc) per
     * query via TopKPerKey, then re-derive the dense rank over the
     * tiny surviving set (k rows per query) for the gate output. */
@@ -440,6 +490,48 @@ object Similarity {
              GROUP BY 1)
       SELECT query_id, method, n_hit, CAST(n_hit AS DOUBLE)/3 AS recall
       FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
-      ORDER BY query_id, method"""))
+      ORDER BY query_id, method""")),
+
+    // int8-quantization recall audit: exact brute top-3 as ground
+    // truth vs brute top-3 over symmetrically-quantized
+    // round(x·127/absmax) vectors — what 4×-compressed storage costs
+    // in recall, measured (oracle replays the q62 stats pass, the
+    // quantization, both brute rankings and the hit join)
+    Q("q112_ann_int8_recall", (s, d) => {
+      int8RecallAudit(t(s, d, "embeddings"))
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH $ivCte,
+      exq AS (SELECT CAST(unnest(embedding) AS DOUBLE) x FROM embeddings),
+      mm AS (SELECT greatest(abs(min(x)), abs(max(x))) s FROM exq),
+      q8 AS (SELECT vec_id,
+               [CAST(round(CAST(embedding[i] AS DOUBLE) * 127 / s) AS BIGINT)
+                for i in generate_series(1, len(embedding))] v
+             FROM embeddings, mm),
+      n8 AS (SELECT vec_id, v,
+               sqrt(CAST(list_sum([x*x for x in v]) AS DOUBLE)) nrm
+             FROM q8),
+      q0 AS (SELECT vec_id query_id, v qv, nrm qn FROM n WHERE vec_id % 100 = 0),
+      bt AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, n.vec_id neighbor_id,
+                      row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY $sqlCos DESC, n.vec_id ASC) rk
+               FROM q0 q, n WHERE n.vec_id <> q.query_id)
+             WHERE rk <= 3),
+      q80 AS (SELECT vec_id query_id, v qv, nrm qn FROM n8 WHERE vec_id % 100 = 0),
+      l8 AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, n.vec_id neighbor_id,
+                      row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY CAST(list_sum(list_transform(
+                            generate_series(1,len(q.qv)), i -> q.qv[i]*n.v[i]))
+                          AS DOUBLE)/(q.qn*n.nrm) DESC, n.vec_id ASC) rk
+               FROM q80 q, n8 n WHERE n.vec_id <> q.query_id)
+             WHERE rk <= 3)
+      SELECT t.query_id, 'int8' AS method,
+        CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+        CAST(COUNT(l.neighbor_id) AS DOUBLE)/3 AS recall
+      FROM bt t LEFT JOIN l8 l
+        ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

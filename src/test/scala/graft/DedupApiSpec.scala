@@ -617,6 +617,28 @@ class DedupApiSpec extends AnyFunSuite {
     assert(sumM > sumL, "second probe bought no recall — fixture signal gone")
   }
 
+  test("q112: int8 recall audit — exact rationals, high-but-measured recall") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.int8RecallAudit(
+      Tables.t(spark, sf, "embeddings")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.length == rows.length)
+    for (r <- rows) {
+      assert(r.getAs[String]("method") == "int8")
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0 && h <= 3)
+      assert(r.getAs[Double]("recall") == h / 3.0)
+    }
+    // 127-level symmetric quantization preserves most of the exact
+    // top-3 on this corpus — if recall collapses, the quantizer (or
+    // its sign handling) broke; if it is a hard 100% everywhere the
+    // audit would be vacuous as a diagnostic, but that is data-
+    // dependent, so only the floor is pinned
+    val total = rows.map(_.getAs[Long]("n_hit")).sum
+    assert(total * 2 >= rows.length * 3L,
+      s"int8 recall collapsed: $total hits over ${rows.length} queries")
+  }
+
   test("q106: histogram identities reconcile with the cluster table") {
     val sf = "/root/testdata/sf0.001"
     val hist = SparkEntry.queries("q106_cluster_size_hist")(

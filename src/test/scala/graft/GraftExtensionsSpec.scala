@@ -82,4 +82,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
         x => round(x.cast("double") * 1000000d).cast("long")).as("slow"))
     assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0)
   }
+
+  test("IQuantSym kernel matches transform(round(x*127/s)) bit-for-bit incl. half cases") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val s = 0.9371d // an absmax-scale constant, deliberately ugly
+    // engineered values whose x·127/s lands near k + 0.5 (the HALF_UP
+    // divergence band), plus negatives, zero, and extremes; |q| ≤ 127
+    // requires |x| ≤ s, so clamp the adversarial grid inside ±s
+    val adversarial = (0 until 2000).map { j =>
+      (((2 * j % 253 + 1) * 0.5 + (j % 7) * 1e-7) * s / 127d).toFloat *
+        (if (j % 2 == 0) 1f else -1f)
+    } ++ Seq(0.0f, -0.0f, s.toFloat, -s.toFloat, 1e-9f, Float.MinPositiveValue)
+    val vecs = (0 until 200).map(_ =>
+      (0 until 32).map(_ => (rnd.nextFloat() - 0.5f) * 2f * s.toFloat).toArray) ++
+      adversarial.grouped(32).map(_.toArray)
+    val df = vecs.toDF("v")
+    val both = df.select(
+      graft.functions.VectorExprs.iquantSym(col("v"), s).as("fast"),
+      transform(col("v"),
+        x => round(x.cast("double") * 127d / s).cast("long")).as("slow"))
+    assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0)
+    // symmetry: sign survives quantization (the property q62's
+    // unsigned codec lacks, and the reason cosine still works)
+    val q = df.select(graft.functions.VectorExprs.iquantSym(col("v"), s).as("q"),
+        col("v")).selectExpr("posexplode(q) as (i, qi)", "v")
+      .selectExpr("qi", "CAST(v[i] AS DOUBLE) xi")
+    assert(q.filter(col("qi") * col("xi") < 0).count() == 0)
+  }
 }
