@@ -492,6 +492,25 @@ object Pipeline {
         col("nbg") > 0 && col("num") >= lit(threshold) * col("nbg"))
   }
 
+  /** The q109 bigram model as an exportable (bg, r) table — the
+    * fixed-recipe artifact [[graft.streaming.PipelineStream
+    * .bigramScoreStream]] pins in its closure. Direct (uncollapsed)
+    * formulation: corpus bigram counts, prefix marginal, floor-ratio —
+    * semantically identical to [[bigramLmScore]]'s gsz-weighted
+    * internal model (the streaming parity spec proves it transitively
+    * against the q109 gate). c₂ feeds the marginal and the ratio join
+    * (two references → cut(), the derived-subtree-reuse rule). */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val ex = docs.select(
+      explode(shingles(tokens(col("text")), 2, distinct = false)).as("bg"))
+    val c2 = ex.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("pr", substring_index(col("bg"), " ", 1))
+      .cut()
+    val c1 = c2.groupBy(col("pr")).agg(sum(col("c2")).as("c1"))
+    c2.join(c1, "pr")
+      .select(col("bg"), expr("(1000000 * c2) div c1").as("r"))
+  }
+
   /** Temperature-scaled source mixing (τ = 1/2) — the multilingual /
     * multi-source rebalancing rule of mC4 (Xue et al. 2021 §3.1) and
     * XLM-R (Conneau et al. 2020 §3.1): sampling shares proportional

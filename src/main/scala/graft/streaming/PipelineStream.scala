@@ -43,6 +43,11 @@ case class SourceCapState(nTotal: Long, kept: List[(Long, Long)])
   *  - Classifier inference: a stateless typed map — zero state.
   *  - BPE encoding (q98): a stateless typed map — zero state (the
   *    merge list is a bounded task-closure constant).
+  *  - Context-window chunking (q111): a stateless typed map — zero
+  *    state (windows are row-local).
+  *  - Bigram-LM scoring (q109): a stateless typed map — zero state
+  *    (the pinned ⌊10⁶·c₂/c₁⌋ model rides the closure, the
+  *    fixed-recipe doctrine).
   *
   * Run both with `outputMode("complete")` (or `update`): the
   * aggregates are monoids, so Spark's state store merges each
@@ -191,6 +196,80 @@ object PipelineStream {
     * splits at UTF-16 char granularity — identical to the batch
     * plan's (?s)-dot code-point split over BMP text (supplementary
     * chars would split into surrogates here). */
+  /** Streaming context-window chunking (gate q111's semantics) —
+    * STATELESS: a document's windows are functions of its own token
+    * array alone, and the whole array arrives in the doc's one row,
+    * so the audit is a typed map with ZERO streaming state,
+    * append-mode safe. The imperative per-row loop replaces the batch
+    * explode(sequence)+slice+groupBy (a streaming per-doc aggregation
+    * would hold O(docs) state for no reason);
+    * [[graft.functions.ExactCols.hmodJvm]] mirrors the columnar
+    * window hash bit-for-bit and PipelineStreamSpec pins stream ≡
+    * the q111 gate, column for column. */
+  def chunkAuditStream(docs: DataFrame, chunk: Int = 16,
+                       stride: Int = 12): DataFrame = {
+    import graft.functions.ExactCols.{hmodJvm, P}
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"chunk/stride out of range: $chunk/$stride")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(docs("doc_id").cast("long"), docs("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val n = toks.length.toLong
+        if (n < 1L) (id, 0L, 0L, 0L, 0L)
+        else {
+          val m = if (n <= chunk) 1L else (n - chunk + stride - 1) / stride + 1
+          var ctoks = 0L
+          var ck = 0L
+          var j = 0L
+          while (j < m) {
+            val start = (j * stride).toInt
+            val end = math.min(start + chunk, toks.length)
+            ctoks += (end - start).toLong
+            ck = (ck + (hmodJvm(toks.slice(start, end).mkString(" ")) * (j + 1)) % P) % P
+            j += 1
+          }
+          (id, n, m, ctoks, ck)
+        }
+      }
+      .toDF("doc_id", "ntok", "n_chunks", "chunk_tokens", "chunk_checksum")
+  }
+
+  /** Streaming bigram-LM scoring (gate q109's semantics) against a
+    * PINNED model — the fixed-recipe doctrine of
+    * [[sourceMixAuditStream]] applied to the fluency filter: the
+    * ⌊10⁶·c₂/c₁⌋ ratio table ([[graft.queries.Pipeline.bigramModel]])
+    * depends on corpus-wide counts, so it enters as an explicit
+    * bounded closure map the operator holds fixed while data keeps
+    * arriving (re-derive + restart to adopt new counts). Scoring
+    * itself is row-local — a STATELESS typed map, zero streaming
+    * state, append-legal. Transitions absent from the pinned model
+    * contribute 0 (the unknown-transition floor — a production model
+    * would carry a smoothed backoff row; the batch gate never hits
+    * this because its model is trained on the same corpus, which is
+    * exactly what PipelineStreamSpec's parity pin proves). */
+  def bigramScoreStream(docs: DataFrame, ratios: Map[String, Long],
+                        threshold: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(docs("doc_id").cast("long"), docs("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        var nbg = 0L
+        var num = 0L
+        var i = 0
+        while (i + 1 < toks.length) {
+          nbg += 1L
+          num += ratios.getOrElse(toks(i) + " " + toks(i + 1), 0L)
+          i += 1
+        }
+        val score = if (nbg > 0) num.toDouble / nbg else 0.0
+        (id, nbg, num, score, nbg > 0 && num >= threshold * nbg)
+      }
+      .toDF("doc_id", "nbg", "num", "score", "keep")
+  }
+
   def bpeEncodeStream(docs: DataFrame,
                       merges: Seq[(String, String)]): DataFrame = {
     import graft.functions.ExactCols.{hmodJvm, P}

@@ -272,6 +272,56 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless streaming chunk audit equals the q111 batch gate, append mode") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = PipelineStream
+      .chunkAuditStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start() // stateless: append is legal
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val gate = graft.SparkEntry.queries("q111_context_chunks")(spark, sf)
+      assert(rowsOf(spark.table("chunk_stream")) == rowsOf(gate))
+      assert(spark.table("chunk_stream").count() == docs.length)
+    } finally q.stop()
+  }
+
+  test("stateless streaming bigram scoring against the exported model equals the q109 gate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val batch = graft.Tables.t(spark, sf, "documents")
+    // the pinned-recipe split: model exported once from the corpus,
+    // stream scored against it — parity proves bigramModel ≡ the
+    // gate's internal gsz-weighted model transitively
+    val ratios = graft.queries.Pipeline.bigramModel(batch).collect()
+      .map(r => r.getAs[String]("bg") -> r.getAs[Long]("r")).toMap
+    val docs = batch.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = PipelineStream
+      .bigramScoreStream(in.toDF().toDF("doc_id", "text"), ratios,
+        threshold = 34500L)
+      .writeStream.format("memory").queryName("bigram_stream")
+      .outputMode("append").start() // stateless: append is legal
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val gate = graft.SparkEntry.queries("q109_bigram_lm")(spark, sf)
+      assert(rowsOf(spark.table("bigram_stream")) == rowsOf(gate))
+      assert(spark.table("bigram_stream").count() == docs.length)
+    } finally q.stop()
+  }
+
   test("stateless streaming BPE encode equals the q98 batch gate, append mode") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
