@@ -190,6 +190,49 @@ object Similarity {
         (col("n_hit").cast(DoubleType) / k).as("recall"))
   }
 
+  /** kNN label-agreement audit — the embedding-space LABEL-NOISE
+    * probe (deep-kNN / Confident-Learning style, Northcutt et al.
+    * 2021): for each audited vector, do its exact top-k cosine
+    * neighbors carry its label? n_same = neighbors sharing the
+    * query's label (0..k), maj_label = the neighborhood's majority
+    * label with a total (count desc, label asc) tie-break — encoded
+    * as a struct-min on (−count, label), the q68 cross-engine argmin
+    * doctrine — and agree = own == majority. Points whose
+    * neighborhood unanimously disagrees are the mislabeled-example
+    * candidates a dataset card reports. All outputs are integers/
+    * booleans — no float crosses the oracle.
+    *
+    * LABELED DIAGNOSTIC (the q108 contract): the neighbor side is the
+    * exact brute pass over the audited sample (vec_id % 10 — audit
+    * truth wants TRUE kNN); production-scale runs audit a sample or
+    * swap in the LSH/IVF candidate routes unchanged. Selection is
+    * TopKPerKey bounded heaps, never a candidate-set window sort. */
+  def knnLabelAudit(vectors: DataFrame, k: Int = 3): DataFrame = {
+    val iv = vectors.select(col("vec_id"),
+        col("label").cast(LongType).as("nlab"),
+        iscale(col("embedding")).as("v"))
+      .withColumn("nrm", inorm(col("v")))
+    val q = iv.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("nlab").as("own_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val cand = iv.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", icosine(col("qv"), col("v"), col("qn"), col("nrm")))
+      .select(col("query_id"), col("own_label"),
+        col("vec_id").as("neighbor_id"), col("nlab"), col("cosine"))
+    val top = graft.plans.TopK.perKey(cand,
+      keys = Seq(col("query_id")),
+      order = Seq(col("cosine").desc, col("neighbor_id").asc), k = k)
+    val cnt = top.groupBy(col("query_id"), col("own_label"), col("nlab"))
+      .agg(count(lit(1)).as("cnt"))
+    cnt.groupBy(col("query_id"), col("own_label"))
+      .agg(sum(when(col("nlab") === col("own_label"), col("cnt"))
+          .otherwise(0L)).as("n_same"),
+        min(struct((-col("cnt")).as("nc"), col("nlab").as("l"))).as("mj"))
+      .select(col("query_id"), col("own_label"), col("n_same"),
+        col("mj.l").as("maj_label"))
+      .withColumn("agree", col("maj_label") === col("own_label"))
+  }
+
   /** Shared ANN tail: keep top-k (cosine desc, neighbor_id asc) per
     * query via TopKPerKey, then re-derive the dense rank over the
     * tiny surviving set (k rows per query) for the gate output. */
@@ -532,6 +575,47 @@ object Similarity {
         CAST(COUNT(l.neighbor_id) AS DOUBLE)/3 AS recall
       FROM bt t LEFT JOIN l8 l
         ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // kNN label-agreement audit: exact top-3 neighbors of each
+    // vec_id%10 vector, n_same + majority label (count desc, label
+    // asc tie-break — struct-min ≡ the oracle's row_number) — the
+    // label-noise probe a dataset card reports
+    Q("q113_knn_label_audit", (s, d) => {
+      knnLabelAudit(t(s, d, "embeddings"))
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH iv2 AS (SELECT vec_id, CAST(label AS BIGINT) nlab,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) v
+           FROM embeddings),
+      n2 AS (SELECT vec_id, nlab, v,
+               sqrt(CAST(list_sum([x*x for x in v]) AS DOUBLE)) nrm
+             FROM iv2),
+      q0 AS (SELECT vec_id query_id, nlab own_label, v qv, nrm qn
+             FROM n2 WHERE vec_id % 10 = 0),
+      top AS (SELECT query_id, own_label, nlab FROM (
+                SELECT q.query_id, q.own_label, n.nlab,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY CAST(list_sum(list_transform(
+                             generate_series(1,len(q.qv)), i -> q.qv[i]*n.v[i]))
+                           AS DOUBLE)/(q.qn*n.nrm) DESC, n.vec_id ASC) rk
+                FROM q0 q, n2 n WHERE n.vec_id <> q.query_id)
+              WHERE rk <= 3),
+      cnt AS (SELECT query_id, own_label, nlab, CAST(count(*) AS BIGINT) cnt
+              FROM top GROUP BY 1, 2, 3),
+      mj AS (SELECT query_id, nlab maj FROM (
+               SELECT query_id, nlab,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cnt DESC, nlab ASC) rn
+               FROM cnt) WHERE rn = 1),
+      ns AS (SELECT query_id, own_label,
+               CAST(SUM(CASE WHEN nlab = own_label THEN cnt ELSE 0 END)
+                    AS BIGINT) n_same
+             FROM cnt GROUP BY 1, 2)
+      SELECT ns.query_id, ns.own_label, ns.n_same,
+        CAST(mj.maj AS BIGINT) AS maj_label,
+        (mj.maj = ns.own_label) AS agree
+      FROM ns JOIN mj USING (query_id) ORDER BY query_id"""))
   )
 }

@@ -639,6 +639,32 @@ class DedupApiSpec extends AnyFunSuite {
       s"int8 recall collapsed: $total hits over ${rows.length} queries")
   }
 
+  test("q113: kNN label audit — counts close, majority is a neighbor label, repartition-pure") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.t(spark, sf, "embeddings")
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.knnLabelAudit(emb).collect()
+    val nQ = emb.filter(col("vec_id") % 10 === 0).count()
+    assert(rows.length == nQ && nQ > 0)
+    val labels = emb.select(col("label").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    for (r <- rows) {
+      val same = r.getAs[Long]("n_same")
+      assert(same >= 0 && same <= 3)
+      assert(labels.contains(r.getAs[Long]("maj_label")))
+      assert(r.getAs[Boolean]("agree") ==
+        (r.getAs[Long]("maj_label") == r.getAs[Long]("own_label")))
+      // if the query's own label holds a strict majority of the 3,
+      // it must BE the majority label (tie-breaks can't override it)
+      if (same >= 2)
+        assert(r.getAs[Long]("maj_label") == r.getAs[Long]("own_label"))
+    }
+    val again = Similarity.knnLabelAudit(emb.repartition(7))
+      .orderBy(col("query_id")).collect()
+    assert(rows.sortBy(_.getAs[Long]("query_id")).map(_.toString).toSeq ==
+      again.map(_.toString).toSeq)
+  }
+
   test("q106: histogram identities reconcile with the cluster table") {
     val sf = "/root/testdata/sf0.001"
     val hist = SparkEntry.queries("q106_cluster_size_hist")(
