@@ -1093,6 +1093,37 @@ object Dedup {
                        for k in generate_series(0,${SIMBITS - 1})]) AS BIGINT) simhash
       FROM hs)"""
 
+  /** Cross-source duplication matrix — the provenance-overlap report
+    * a corpus card publishes (how much of source A is near-duplicated
+    * in source B: CommonCrawl-vs-Wikipedia style overlap accounting,
+    * the per-source-PAIR refinement of q85's mixing inputs): q24's
+    * skew-guarded near-dup pair surface, each pair labeled with its
+    * endpoints' sources normalized to an unordered (least, greatest)
+    * key, rolled up to per-source-pair counts + a membership
+    * checksum. Diagonal rows (src_a = src_b) are within-source
+    * duplication; off-diagonal rows are the cross-source leakage
+    * that double-counts mixing budgets.
+    *
+    * 100 TB shape: inherits [[nearDupPairs]]' whole design (clone
+    * collapse, banded equi-joins, bucket caps); the source labeling
+    * is two O(pairs + docs) equi-joins on doc_id and the rollup is a
+    * bounded |sources|² aggregate. */
+  def crossSourceDupMatrix(docs: DataFrame,
+                           cfg: LshConfig = LshConfig()): DataFrame = {
+    val pairs = nearDupPairs(docs, cfg).select(col("a_id"), col("b_id"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        col("a_id"), col("b_id"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(hmod(concat(col("a_id").cast("string"), lit(":"),
+          col("b_id").cast("string")))) % P).as("pair_checksum"))
+  }
+
   val entries: Vector[Q] = Vector(
 
     // per-doc MinHash signature (sentinel P for shingle-less docs)
@@ -1647,7 +1678,40 @@ object Dedup {
         COALESCE(n_docs, 0) AS n_docs,
         COALESCE(pair_checksum, 0) AS pair_checksum
       FROM th t LEFT JOIN pa USING (threshold) LEFT JOIN da USING (threshold)
-      ORDER BY threshold"""))
+      ORDER BY threshold""")),
+
+    // cross-source duplication matrix: q24's near-dup pair surface
+    // rolled up by unordered source pair — diagonal = within-source
+    // duplication, off-diagonal = cross-source leakage; membership
+    // pinned by a pair checksum
+    Q("q115_cross_source_dups", (s, d) => {
+      crossSourceDupMatrix(t(s, d, "documents"))
+        .orderBy(col("src_a"), col("src_b"))
+    }, Some(s"""
+      WITH $tkCte, $shCte, $mhCte,
+      bands AS (
+        SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+        FROM mh, generate_series(0,${BANDS - 1}) g(b)
+        WHERE len(shingles) > 0),
+      cand AS (
+        SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        FROM bands a JOIN bands b ON a.b=b.b AND a.sig=b.sig AND a.doc_id<b.doc_id),
+      p AS (
+        SELECT a_id, b_id FROM (
+          SELECT a_id, b_id,
+            len(list_intersect(x.shingles,y.shingles))::DOUBLE /
+              len(list_distinct(x.shingles||y.shingles)) jaccard
+          FROM cand JOIN sh x ON a_id=x.doc_id JOIN sh y ON b_id=y.doc_id)
+        WHERE jaccard >= 0.5),
+      sp AS (SELECT least(da.source, db.source) src_a,
+               greatest(da.source, db.source) src_b,
+               p.a_id, p.b_id
+             FROM p JOIN documents da ON p.a_id = da.doc_id
+             JOIN documents db ON p.b_id = db.doc_id)
+      SELECT src_a, src_b, count(*) AS n_pairs,
+        CAST(SUM(${sql.hmod("CAST(a_id AS VARCHAR)||':'||CAST(b_id AS VARCHAR)")})
+             % ${P} AS BIGINT) AS pair_checksum
+      FROM sp GROUP BY 1, 2 ORDER BY src_a, src_b"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -492,6 +492,72 @@ object Pipeline {
         col("nbg") > 0 && col("num") >= lit(threshold) * col("nbg"))
   }
 
+  /** Noise-span localization — [[bigramLmScore]] sharpened from a
+    * per-document verdict to a WHERE: the worst `window`-bigram
+    * sliding sum of floor-ratio transition scores, with its position.
+    * This is the span-level refinement of the CCNet page-level
+    * perplexity filter: a document that is globally fluent but
+    * carries one garbled segment (OCR noise, encoding damage, spam
+    * injection) scores fine on the q109 mean yet flags here, and
+    * worst_pos says where to look (or cut). Scores are the q109
+    * model's exact int64 ratios; the sliding sum runs the IDENTICAL
+    * window SQL on both engines (the q103 doctrine), and the
+    * argmin's (sum asc, pos asc) tie-break is encoded arithmetically
+    * as min(ws·2²⁰ + pos) — the q60 doctrine; positions must stay
+    * below 2²⁰ (a 1 M-token doc — far above any pretraining doc cap).
+    *
+    * 100 TB shape: the model is q109's O(distinct bigrams) shuffle;
+    * the window is doc-LOCAL (partitionBy doc, parallelism = docs —
+    * never a corpus-wide window); per-doc argmin is a partial+final
+    * aggregate. Exact-clone collapsed like q109 (positions are
+    * text-pure; the positional table is cut() once and feeds the
+    * model, the instance join and the bigram count). */
+  def noiseSpanAudit(docs: DataFrame, window: Int = 8,
+                     perBigramFloor: Long = 29000L): DataFrame = {
+    require(window > 0, s"window out of range: $window")
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id"))
+      .cut() // feeds the expansion join and sizes
+    val reps = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("text"))
+    val sizes = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+    val posTable = reps
+      .select(col("gid"),
+        posexplode(shingles(tokens(col("text")), 2, distinct = false)))
+      .select(col("gid"), (col("pos") + 1L).as("pos"), col("col").as("bg"))
+      .cut() // feeds the model counts, the instance join and nbg
+    val c2 = posTable.join(sizes, "gid")
+      .groupBy(col("bg")).agg(sum(col("gsz")).as("c2"))
+      .withColumn("pr", substring_index(col("bg"), " ", 1))
+      .cut() // feeds the marginal and the ratio join
+    val c1 = c2.groupBy(col("pr")).agg(sum(col("c2")).as("c1"))
+    val ratio = c2.join(c1, "pr")
+      .select(col("bg"), expr("(1000000 * c2) div c1").as("r"))
+    val w = Window.partitionBy(col("gid")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val win = posTable.join(ratio, "bg")
+      .select(col("gid"), col("pos"), col("r"))
+      .withColumn("ws", sum(col("r")).over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+    val per = win.filter(col("wn") === window)
+      .groupBy(col("gid"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("ws") * lit(1048576L) + col("pos")).as("m"))
+    val nbgT = posTable.groupBy(col("gid")).agg(count(lit(1)).as("nbg"))
+    members
+      .join(nbgT, Seq("gid"), "left")
+      .join(per, Seq("gid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nbg"), lit(0L)).as("nbg"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(expr("m div 1048576"), lit(0L)).as("worst_sum"),
+        coalesce(col("m") % 1048576L, lit(0L)).as("worst_pos"))
+      .withColumn("flag",
+        col("n_windows") > 0 &&
+          col("worst_sum") < lit(window.toLong * perBigramFloor))
+  }
+
   /** The q109 bigram model as an exportable (bg, r) table — the
     * fixed-recipe artifact [[graft.streaming.PipelineStream
     * .bigramScoreStream]] pins in its closure. Direct (uncollapsed)
@@ -1945,6 +2011,49 @@ object Pipeline {
         CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
         CAST(COALESCE(chunk_tokens, 0) AS BIGINT) AS chunk_tokens,
         CAST(COALESCE(chunk_checksum, 0) AS BIGINT) AS chunk_checksum
-      FROM tk t LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+      FROM tk t LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // noise-span localization: worst 8-bigram sliding fluency sum +
+    // its position under the q109 model — the span-level refinement
+    // of the page-level perplexity filter; identical window SQL on
+    // both engines, argmin encoded as min(ws·2^20 + pos); floor
+    // 29000/bigram flags 77 docs on this corpus
+    Q("q114_noise_spans", (s, d) => {
+      noiseSpanAudit(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      bgl AS (SELECT doc_id, CASE WHEN len(tk) >= 2
+                THEN [{'p': i, 'bg': tk[i]||' '||tk[i+1]}
+                      for i in generate_series(1, len(tk)-1)]
+                ELSE [] END bs FROM tk),
+      ex AS (SELECT doc_id, u.p pos, u.bg bg
+             FROM (SELECT doc_id, unnest(bs) u FROM bgl)),
+      c2 AS (SELECT bg, CAST(count(*) AS BIGINT) c2 FROM ex GROUP BY 1),
+      c1 AS (SELECT split_part(bg,' ',1) pr, CAST(SUM(c2) AS BIGINT) c1
+             FROM c2 GROUP BY 1),
+      r AS (SELECT bg, CAST((1000000*c2) // c1 AS BIGINT) r
+            FROM c2 JOIN c1 ON split_part(c2.bg,' ',1) = c1.pr),
+      inst AS (SELECT doc_id, pos, r.r FROM ex JOIN r USING (bg)),
+      win AS (SELECT doc_id, pos,
+                SUM(r) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) ws,
+                COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) wn
+              FROM inst),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_windows,
+                CAST(MIN(ws * 1048576 + pos) AS BIGINT) m
+              FROM win WHERE wn = 8 GROUP BY 1),
+      nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) nbg FROM ex GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(nbg, 0) AS BIGINT) AS nbg,
+        CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+        CAST(COALESCE(m // 1048576, 0) AS BIGINT) AS worst_sum,
+        CAST(COALESCE(m % 1048576, 0) AS BIGINT) AS worst_pos,
+        (COALESCE(n_windows, 0) > 0 AND COALESCE(m // 1048576, 0) < 232000)
+          AS flag
+      FROM documents d LEFT JOIN nb USING (doc_id)
+      LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
   )
 }

@@ -665,6 +665,25 @@ class DedupApiSpec extends AnyFunSuite {
       again.map(_.toString).toSeq)
   }
 
+  test("q115: cross-source matrix accounts for every near-dup pair, normalized and pure") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = Dedup.crossSourceDupMatrix(docs).collect()
+    assert(rows.nonEmpty)
+    // every pair lands in exactly one cell: Σ n_pairs ≡ the q24 surface
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(total == Dedup.nearDupPairs(docs).count(), "pair mass leaked")
+    // unordered normalization: src_a ≤ src_b lexicographically
+    for (r <- rows)
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"))
+    // membership checksum survives repartitioning
+    val again = Dedup.crossSourceDupMatrix(docs.repartition(7))
+      .orderBy(col("src_a"), col("src_b")).collect()
+    assert(rows.sortBy(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")))
+      .map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q106: histogram identities reconcile with the cluster table") {
     val sf = "/root/testdata/sf0.001"
     val hist = SparkEntry.queries("q106_cluster_size_hist")(

@@ -747,6 +747,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(rates.distinct.length > 1, "degenerate: all rates equal")
   }
 
+  test("q114: worst window localizes a garbled span; accounting + clone invariance") {
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = SparkEntry.queries("q114_noise_spans")(spark, sf).collect()
+    assert(rows.length == docs.count())
+    var flags = 0
+    for (r <- rows) {
+      val nbg = r.getAs[Long]("nbg")
+      assert(r.getAs[Long]("n_windows") == math.max(0L, nbg - 7),
+        s"doc ${r.getAs[Long]("doc_id")}: window count broken")
+      assert(r.getAs[Boolean]("flag") ==
+        (r.getAs[Long]("n_windows") > 0 && r.getAs[Long]("worst_sum") < 232000L))
+      if (r.getAs[Boolean]("flag")) flags += 1
+    }
+    assert(flags > 0 && flags < rows.length, s"degenerate flag split: $flags")
+    // engineered localization: fluent docs alternate 'a b'; the
+    // garbled doc carries a run of a→a transitions (common prefix,
+    // rare transition — the unsmoothed-bigram noise signature). Its
+    // worst window must be strictly below every fluent doc's and sit
+    // at the run's first all-anomalous window (pos 9, tie-break asc)
+    import spark.implicits._
+    val fluent = (1L to 10L).map(i => (i, Seq.fill(12)("a b").mkString(" ")))
+    val garbled = (11L,
+      (Seq.fill(4)("a b") ++ Seq.fill(10)("a") ++ Seq.fill(4)("a b")).mkString(" "))
+    val fix = (fluent :+ garbled).toDF("doc_id", "text")
+    val out = graft.queries.Pipeline.noiseSpanAudit(fix).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g = out(11L)
+    assert(fluent.forall { case (i, _) =>
+      out(i).getAs[Long]("worst_sum") > g.getAs[Long]("worst_sum") })
+    assert(g.getAs[Long]("worst_pos") == 9L,
+      s"worst_pos ${g.getAs[Long]("worst_pos")} missed the garbled run")
+    // clone invariance: uniform cloning scales c2 and c1 together, so
+    // every ratio — hence every window sum and argmin — is unchanged
+    val shift = docs.count()
+    val cloned = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("nbg"), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("worst_sum"), r.getAs[Long]("worst_pos"))
+    val cs = graft.queries.Pipeline.noiseSpanAudit(cloned).collect()
+      .map(r => r.getAs[Long]("doc_id") -> key(r)).toMap
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      assert(cs(id) == key(r), s"cloned corpus shifts doc $id")
+      assert(cs(id + shift) == key(r), s"clone of $id diverges")
+    }
+  }
+
   test("q111: chunk accounting closes — Σ window tokens = ntok + overlap mass") {
     val docs = Tables.t(spark, sf, "documents")
     val rows = SparkEntry.queries("q111_context_chunks")(spark, sf).collect()
