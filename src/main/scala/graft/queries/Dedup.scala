@@ -1124,6 +1124,56 @@ object Dedup {
           col("b_id").cast("string")))) % P).as("pair_checksum"))
   }
 
+  /** Keep-best survivorship audit — measure-don't-guess for the
+    * dedup keep policy: per multi-doc near-dup cluster, the kept
+    * doc's quality (q88 classifier score) against its removed
+    * members' aggregate, with `kept_better` decided by integer
+    * cross-multiplication of the two means (kept_score·removed_ntok ≥
+    * removed_score·kept_ntok — denominators are positive token
+    * counts, so no division crosses the oracle). Answers the
+    * dataset-card question "does keep-longest actually keep the
+    * better document, or does it select for bloat" with per-cluster
+    * receipts.
+    *
+    * The winner is re-derived from ONE clustering pass (argmax
+    * (ntok desc, doc_id asc) per cluster — [[deduplicateKeepBest]]'s
+    * exact rule, struct-max encoded; DedupApiSpec pins the winners
+    * identical) instead of running the full dedup twice. 100 TB
+    * shape: [[clusters]]' audited cost + one classifier pass + an
+    * O(docs) join and a per-cluster aggregate. */
+  def keepBestQualityAudit(docs: DataFrame, weights: DataFrame,
+                           cfg: LshConfig = LshConfig()): DataFrame = {
+    val lab = clusters(docs, cfg)
+      .select(col("doc_id"), col("cluster_id"))
+      .cut() // feeds the argmax and the final rollup
+    val kept = lab
+      .join(docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("kntok")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("kntok"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nd")).as("kept_doc"))
+    val sc = graft.queries.Pipeline.classifierScore(docs, weights)
+      .select(col("doc_id"), col("ntok"), col("score_num"))
+    lab.join(sc, "doc_id")
+      .join(kept, "cluster_id")
+      .groupBy(col("cluster_id"), col("kept_doc"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("kept_doc"), col("score_num"))
+          .otherwise(0L)).as("kept_score"),
+        sum(when(col("doc_id") === col("kept_doc"), col("ntok"))
+          .otherwise(0L)).as("kept_ntok"),
+        sum(when(col("doc_id") =!= col("kept_doc"), col("score_num"))
+          .otherwise(0L)).as("removed_score"),
+        sum(when(col("doc_id") =!= col("kept_doc"), col("ntok"))
+          .otherwise(0L)).as("removed_ntok"),
+        sum(when(col("doc_id") =!= col("kept_doc"), 1L)
+          .otherwise(0L)).as("n_removed"))
+      .filter(col("n_removed") > 0)
+      .withColumn("kept_better",
+        col("kept_score") * col("removed_ntok") >=
+          col("removed_score") * col("kept_ntok"))
+  }
+
   val entries: Vector[Q] = Vector(
 
     // per-doc MinHash signature (sentinel P for shingle-less docs)
@@ -1711,7 +1761,58 @@ object Dedup {
       SELECT src_a, src_b, count(*) AS n_pairs,
         CAST(SUM(${sql.hmod("CAST(a_id AS VARCHAR)||':'||CAST(b_id AS VARCHAR)")})
              % ${P} AS BIGINT) AS pair_checksum
-      FROM sp GROUP BY 1, 2 ORDER BY src_a, src_b"""))
+      FROM sp GROUP BY 1, 2 ORDER BY src_a, src_b""")),
+
+    // keep-best survivorship audit: per multi-doc cluster, the kept
+    // (longest, min-id tie) doc's classifier quality vs its removed
+    // members' — kept_better by integer cross-multiplication of means
+    Q("q116_keep_best_audit", (s, d) => {
+      val w = s.range(512).select(col("id").as("bucket"),
+        (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L)
+          .as("w"))
+      keepBestQualityAudit(t(s, d, "documents"), w)
+        .orderBy(col("cluster_id"))
+    }, Some(s"""
+      $ccCtes,
+      lab AS (SELECT d.doc_id,
+                CAST(COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) AS BIGINT)
+                  cluster_id
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+      ntk AS (SELECT doc_id, CAST(len(tk) AS BIGINT) ntok FROM tk),
+      rk AS (SELECT l.doc_id, l.cluster_id,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY n.ntok DESC, l.doc_id ASC) rn
+             FROM lab l JOIN ntk n USING (doc_id)),
+      kept AS (SELECT cluster_id, doc_id kept_doc FROM rk WHERE rn = 1),
+      exq AS (SELECT doc_id, unnest(tk) tok FROM tk),
+      fq AS (SELECT doc_id, ${sql.hmod("'qw:'||tok")} % 512 b FROM exq),
+      wq AS (SELECT b, ${sql.hmod("'w:'||CAST(b AS VARCHAR)")} % 2001 - 1000 w
+             FROM generate_series(0,511) g(b)),
+      sc AS (SELECT d.doc_id,
+               CAST(COALESCE(p.ntok, 0) AS BIGINT) ntok,
+               CAST(COALESCE(p.sn, 0) AS BIGINT) score_num
+             FROM documents d LEFT JOIN
+               (SELECT doc_id, count(*) ntok, SUM(w) sn
+                FROM fq JOIN wq USING (b) GROUP BY 1) p USING (doc_id)),
+      agg AS (SELECT l.cluster_id, k.kept_doc,
+                CAST(count(*) AS BIGINT) n_docs,
+                CAST(SUM(CASE WHEN l.doc_id = k.kept_doc
+                         THEN s.score_num ELSE 0 END) AS BIGINT) kept_score,
+                CAST(SUM(CASE WHEN l.doc_id = k.kept_doc
+                         THEN s.ntok ELSE 0 END) AS BIGINT) kept_ntok,
+                CAST(SUM(CASE WHEN l.doc_id <> k.kept_doc
+                         THEN s.score_num ELSE 0 END) AS BIGINT) removed_score,
+                CAST(SUM(CASE WHEN l.doc_id <> k.kept_doc
+                         THEN s.ntok ELSE 0 END) AS BIGINT) removed_ntok,
+                CAST(SUM(CASE WHEN l.doc_id <> k.kept_doc
+                         THEN 1 ELSE 0 END) AS BIGINT) n_removed
+              FROM lab l JOIN kept k USING (cluster_id)
+              JOIN sc s ON l.doc_id = s.doc_id
+              GROUP BY 1, 2)
+      SELECT cluster_id, kept_doc, n_docs, kept_score, kept_ntok,
+        removed_score, removed_ntok, n_removed,
+        (kept_score * removed_ntok >= removed_score * kept_ntok) AS kept_better
+      FROM agg WHERE n_removed > 0 ORDER BY cluster_id"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -684,6 +684,29 @@ class DedupApiSpec extends AnyFunSuite {
       .map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q116: audit winners ≡ deduplicateKeepBest; accounting and verdict close") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.functions.ExactCols.hmod
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sf, "documents")
+    val w = spark.range(512).select(col("id").as("bucket"),
+      (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L).as("w"))
+    val rows = Dedup.keepBestQualityAudit(docs, w).collect()
+    assert(rows.nonEmpty, "no multi-doc clusters — fixture signal gone")
+    val kb = Dedup.deduplicateKeepBest(docs).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("doc_id")).toMap
+    for (r <- rows) {
+      // the single-pass argmax must select exactly the doc the full
+      // keep-best dedup keeps for that cluster
+      assert(kb(r.getAs[Long]("cluster_id")) == r.getAs[Long]("kept_doc"))
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("n_removed") + 1)
+      assert(r.getAs[Long]("kept_ntok") > 0 && r.getAs[Long]("removed_ntok") > 0)
+      assert(r.getAs[Boolean]("kept_better") ==
+        (r.getAs[Long]("kept_score") * r.getAs[Long]("removed_ntok") >=
+          r.getAs[Long]("removed_score") * r.getAs[Long]("kept_ntok")))
+    }
+  }
+
   test("q106: histogram identities reconcile with the cluster table") {
     val sf = "/root/testdata/sf0.001"
     val hist = SparkEntry.queries("q106_cluster_size_hist")(
