@@ -177,8 +177,8 @@ object Dedup {
     * C(cap, 2) candidate pairs instead of going quadratic. The window
     * shuffles on the bucket key the self-join needs anyway, so the
     * partitioning is reused — no extra exchange. */
-  private def capBuckets(df: DataFrame, keys: Seq[String], idCol: String,
-                         cap: Int): DataFrame = {
+  private[queries] def capBuckets(df: DataFrame, keys: Seq[String], idCol: String,
+                                  cap: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= cap)

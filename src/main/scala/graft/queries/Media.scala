@@ -1,17 +1,129 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
+import graft.Checkpoints._
 import graft.Tables._
+import graft.functions.ExactCols._
+import graft.multimodal.Codecs
 
-/** Multimodal metadata query: the relational face of the binary-
-  * payload pipeline (graft.multimodal). Payloads are opaque bytes;
-  * everything aggregable about them (sizes, checksums, dedup state)
-  * is computed without interpreting the content, so the plan is
-  * identical for real media. Feature extraction itself is covered by
-  * MultimodalSpec (the decode kernel is a stub — not oracle-checkable
-  * in SQL, deliberately). */
+/** Multimodal queries: the relational face of the binary-payload
+  * pipeline (graft.multimodal). q42 treats payloads as opaque bytes
+  * (sizes, checksums, dedup state — the plan is identical for real
+  * media). q117 goes through the REAL codec: per-document images are
+  * rendered as genuine binary P6 PPM, decoded back by the byte-level
+  * parser, and perceptually hashed from what the DECODER returns —
+  * so the gate certifies the encode→decode round trip, not just the
+  * hash arithmetic. */
 object Media {
+
+  /** Perceptual-hash (aHash) image near-dup pairs — the image-side
+    * member of the dedup family (pHash/aHash dedup is how image
+    * corpora are near-deduplicated at scale; LAION's pipeline is the
+    * canonical example): each record's image is reduced to a 63-bit
+    * average-hash (one bit per pixel: 63·p > Σp, integer-exact), and
+    * near-dups are pairs at hamming ≤ `maxHamming`, found via the
+    * q26 pigeonhole design — 4 blocks (16/16/16/15 bits), hamming ≤ 3
+    * forces an exact match in ≥ 1 block, so candidates come from a
+    * capped equi-join on block value, never n².
+    *
+    * Images here are DERIVED from document content (pixel k =
+    * min(255, 16·|{distinct 3-shingles hashing to bucket k}|), a 9×7
+    * grayscale shingle histogram) so near-dup texts yield near-dup
+    * images — planted pairs land at hamming ≤ 1 while unrelated docs
+    * sit ≥ 17 (measured) — and the ORACLE can replay the pixels from
+    * the shingles. The Spark side does what a real image pipeline
+    * does: render genuine P6 bytes, ship them as a binary column,
+    * decode with [[Codecs.decodePpm]], hash the decoded raster. Any
+    * header/raster bug in either codec direction breaks the gate.
+    *
+    * 100 TB shape: per-record render/decode/hash is scan-stage typed
+    * map work (O(bytes), no shuffle); the only shuffle is the block
+    * equi-join, and every block bucket is capped (`maxBucketSize`,
+    * the LshConfig discipline — a no-op at gate sf, so the oracle
+    * carries no cap term). */
+  def imageNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                        maxBucketSize: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole covers hamming <= 3, got $maxHamming")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // exact-clone collapse (the dedup-family doctrine): the hash is a
+    // function of text alone, so render/decode/hash once per DISTINCT
+    // text and expand — clones pair at hamming 0 (intra), rep pairs
+    // carry their hamming verbatim (cross); both expansions ride the
+    // capped member table, so output stays bounded under replication
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = Dedup.capBuckets(withGid.select(col("gid"), col("doc_id")),
+        Seq("gid"), "doc_id", maxBucketSize)
+      .cut() // intra self-join sides + cross expansion
+    val reps = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+    val counts = reps
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 3, distinct = true)).as("s"))
+      .select(col("doc_id"), (hmod(col("s")) % 63L).as("k"))
+      .groupBy(col("doc_id"), col("k")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("k"), col("c"))).as("kc"))
+    val hashed = counts.as[(Long, Seq[(Long, Long)])].map { case (id, kc) =>
+      val px = new Array[Int](63)
+      kc.foreach { case (k, c) => px(k.toInt) = math.min(255L, 16L * c).toInt }
+      val rgb = new Array[Byte](63 * 3)
+      var i = 0
+      while (i < 63) {
+        val v = px(i).toByte
+        rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+        i += 1
+      }
+      // REAL round trip: render P6 bytes, parse them back, hash what
+      // the decoder returns (grayscale = red channel of the raster)
+      val payload = Codecs.encodePpm(Codecs.Image(9, 7, rgb))
+      val img = Codecs.decodePpm(payload)
+        .getOrElse(throw new IllegalStateException(s"codec round trip failed for $id"))
+      var sp = 0L
+      i = 0
+      while (i < 63) { sp += (img.rgb(3 * i) & 0xff).toLong; i += 1 }
+      var ah = 0L
+      i = 0
+      while (i < 63) {
+        if (63L * (img.rgb(3 * i) & 0xff) > sp) ah |= (1L << i)
+        i += 1
+      }
+      (id, ah)
+    }.toDF("doc_id", "ah")
+    val blocks = Dedup.capBuckets(
+      hashed.select(col("doc_id"), col("ah"),
+          explode(expr("sequence(0, 3)")).as("bi"))
+        .withColumn("bv", expr(
+          "CASE WHEN bi = 3 THEN shiftright(ah, 48) & 32767 " +
+            "ELSE shiftright(ah, bi * 16) & 65535 END")),
+      Seq("bi", "bv"), "doc_id", maxBucketSize)
+    val repPairs = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.ah").bitwiseXOR(col("b.ah"))).cast(LongType)
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        lit(0L).as("hamming"))
+    val cross = repPairs
+      .join(members.select(col("gid").as("a_id"), col("doc_id").as("xa")), "a_id")
+      .join(members.select(col("gid").as("b_id"), col("doc_id").as("xb")), "b_id")
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("hamming"))
+    cross.unionByName(intra)
+  }
 
   val entries: Vector[Q] = Vector(
 
@@ -31,6 +143,45 @@ object Media {
              CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
              CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
              CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_payloads
-      FROM documents GROUP BY 1 ORDER BY 1"""))
+      FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // perceptual-hash image near-dup pairs: content-derived 9×7
+    // grayscale images rendered as REAL P6 bytes, decoded back by the
+    // byte-level parser, aHashed from the decoded raster, paired via
+    // the 4-block pigeonhole — the oracle replays the pixels straight
+    // from the shingles, so the gate certifies the codec round trip
+    Q("q117_image_phash_pairs", (s, d) => {
+      imageNearDupPairs(t(s, d, "documents"))
+        .orderBy(col("a_id"), col("b_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      sh AS (SELECT doc_id, list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                                           for i in generate_series(1,len(tk)-2)])
+               shingles
+             FROM tk WHERE len(tk) >= 3),
+      ex AS (SELECT doc_id, ${sql.hmod("s")} % 63 k
+             FROM (SELECT doc_id, unnest(shingles) s FROM sh)),
+      cnt AS (SELECT doc_id, k, CAST(count(*) AS BIGINT) c FROM ex GROUP BY 1, 2),
+      px AS (SELECT doc_id, k, least(255, 16*c) p FROM cnt),
+      fl AS (SELECT dg.doc_id, dg.k, COALESCE(p.p, 0) p
+             FROM (SELECT d.doc_id, g.k
+                   FROM (SELECT DISTINCT doc_id FROM px) d
+                   CROSS JOIN generate_series(0,62) g(k)) dg
+             LEFT JOIN px p ON p.doc_id = dg.doc_id AND p.k = dg.k),
+      tot AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) sp FROM fl GROUP BY 1),
+      bits AS (SELECT f.doc_id,
+                 CAST(SUM(CASE WHEN 63*f.p > t.sp THEN (1::BIGINT << f.k)
+                          ELSE 0 END) AS BIGINT) ah
+               FROM fl f JOIN tot t USING (doc_id) GROUP BY 1),
+      blocks AS (SELECT doc_id, ah, bi,
+                   CASE WHEN bi = 3 THEN (ah >> 48) & 32767
+                        ELSE (ah >> (bi*16)) & 65535 END bv
+                 FROM bits, generate_series(0,3) g(bi)),
+      cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.ah ax, b.ah bx
+               FROM blocks a JOIN blocks b
+                 ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, CAST(bit_count(xor(ax, bx)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ax, bx)) <= 3 ORDER BY a_id, b_id"""))
   )
 }

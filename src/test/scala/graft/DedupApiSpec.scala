@@ -707,6 +707,50 @@ class DedupApiSpec extends AnyFunSuite {
     }
   }
 
+  test("q117: image phash pairs recover the planted near-dups; mega-bucket capped") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sf, "documents")
+    val pairs = graft.queries.Media.imageNearDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // every exact-jaccard near-dup pair (the planted ground truth)
+    // must land within hamming 3 of the codec round trip — measured
+    // separation is <=1 vs >=17, so this is a real margin, not luck
+    val truth = Dedup.nearDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(truth.nonEmpty && truth.subsetOf(pairs),
+      s"missed planted pairs: ${truth -- pairs}")
+    // an all-clones corpus collides every block into one mega-bucket;
+    // the cap must bound the pair count at C(cap, 2)
+    val capped = graft.queries.Media
+      .imageNearDupPairs(identicalDocs(300), maxBucketSize = 10).count()
+    assert(capped == 45L, s"cap leaked: $capped pairs")
+    // and the audit is repartition-pure
+    val again = graft.queries.Media.imageNearDupPairs(docs.repartition(7))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(again == pairs)
+    // clone collapse expands bit-exactly: doubling the corpus turns
+    // each base pair into 4 cross copies (hamming verbatim) and adds
+    // one hamming-0 intra pair per doc (the cosinePairs contract)
+    import org.apache.spark.sql.functions.col
+    val shift = 100000L
+    val cloned = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
+    val rep = graft.queries.Media.imageNearDupPairs(cloned).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming")))
+    val nDocs = docs.count()
+    val basePairs = graft.queries.Media.imageNearDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(rep.length == 4 * basePairs.size + nDocs,
+      s"${rep.length} != 4*${basePairs.size} cross + $nDocs intra")
+    val crossBack = rep.filter { case (a, b, _) => b % shift != a }
+      .map { case (a, b, h) =>
+        (math.min(a % shift, b % shift), math.max(a % shift, b % shift), h) }.toSet
+    assert(crossBack == basePairs)
+  }
+
   test("q106: histogram identities reconcile with the cluster table") {
     val sf = "/root/testdata/sf0.001"
     val hist = SparkEntry.queries("q106_cluster_size_hist")(
