@@ -125,6 +125,63 @@ object Media {
     cross.unionByName(intra)
   }
 
+  /** WAV round-trip audit — q117's codec-certification doctrine for
+    * the audio side: each document's token sequence becomes a PCM16
+    * waveform (sample i = hmod("au:"+tokᵢ) % 16384 − 8192 — signed,
+    * sequence-ordered), serialized as a genuine RIFF/WAVE container
+    * ([[Codecs.encodeWav]]), parsed back by the chunk-walking decoder,
+    * and reduced to exact integer stats OF THE DECODED samples:
+    * count, Σ|s|, peak, zero crossings (the audioFeatures rule in
+    * exact ints) and an ORDER-SENSITIVE amplitude checksum
+    * Σ (s+32768)·i mod P. The oracle replays the sample formula
+    * directly — so the gate passes iff the 44-byte header, LE int16
+    * packing and chunk walk are byte-perfect in both directions.
+    *
+    * 100 TB shape: pure scan-stage typed-map work, O(bytes) per
+    * record, no shuffle at all (the output is per-record). */
+  def audioRoundTripStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // exact-clone collapse: the waveform — hence every stat — is a
+    // function of text alone, so the per-token MD5s and the codec
+    // round trip run once per DISTINCT text and the results expand
+    // through the (gid, doc_id) member table
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id"))
+    val reps = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("text"))
+    val perRep = reps.as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val samples = toks.map(t =>
+          ((hmodJvm("au:" + t) % 16384L) - 8192L).toShort)
+        val payload = Codecs.encodeWav(Codecs.Audio(16000, samples))
+        val dec = Codecs.decodeWav(payload)
+          .getOrElse(throw new IllegalStateException(s"WAV round trip failed for $id"))
+        var sumAbs = 0L
+        var peak = 0L
+        var zc = 0L
+        var ck = 0L
+        var i = 0
+        while (i < dec.samples.length) {
+          val s = dec.samples(i).toLong
+          sumAbs += math.abs(s)
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && ((s >= 0L) != (dec.samples(i - 1).toLong >= 0L))) zc += 1L
+          ck = (ck + ((s + 32768L) * (i + 1L)) % P) % P
+          i += 1
+        }
+        (id, dec.samples.length.toLong, sumAbs, peak, zc, ck)
+      }
+      .toDF("gid", "n_samples", "sum_abs", "peak", "zero_cross",
+        "amp_checksum")
+    members.join(perRep, "gid")
+      .select(col("doc_id"), col("n_samples"), col("sum_abs"), col("peak"),
+        col("zero_cross"), col("amp_checksum"))
+  }
+
   val entries: Vector[Q] = Vector(
 
     // per-source payload accounting + content-hash dedup counts
@@ -182,6 +239,42 @@ object Media {
                FROM blocks a JOIN blocks b
                  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
       SELECT a_id, b_id, CAST(bit_count(xor(ax, bx)) AS BIGINT) AS hamming
-      FROM cand WHERE bit_count(xor(ax, bx)) <= 3 ORDER BY a_id, b_id"""))
+      FROM cand WHERE bit_count(xor(ax, bx)) <= 3 ORDER BY a_id, b_id""")),
+
+    // WAV round-trip audit: token sequence → PCM16 → real RIFF/WAVE
+    // encode → chunk-walking decode → exact integer stats of the
+    // DECODED samples (order-sensitive checksum pins the sequence);
+    // the oracle replays the sample formula — any header/endianness/
+    // chunk bug in either codec direction breaks the gate
+    Q("q118_audio_roundtrip", (s, d) => {
+      audioRoundTripStats(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      sl AS (SELECT doc_id, CASE WHEN len(tk) >= 1
+               THEN [{'i': i, 's': (${sql.hmod("'au:'||tk[i]")} % 16384) - 8192}
+                     for i in generate_series(1, len(tk))]
+               ELSE [] END ss FROM tk),
+      ex AS (SELECT doc_id, u.i i, u.s s
+             FROM (SELECT doc_id, unnest(ss) u FROM sl)),
+      lg AS (SELECT doc_id, i, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) ps
+             FROM ex),
+      per AS (SELECT doc_id,
+                CAST(count(*) AS BIGINT) n_samples,
+                CAST(SUM(abs(s)) AS BIGINT) sum_abs,
+                CAST(MAX(abs(s)) AS BIGINT) peak,
+                CAST(SUM(CASE WHEN ps IS NOT NULL AND (s >= 0) <> (ps >= 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) zero_cross,
+                CAST(SUM(((s + 32768) * i) % ${P}) % ${P} AS BIGINT) amp_checksum
+              FROM lg GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(n_samples, 0) AS BIGINT) AS n_samples,
+        CAST(COALESCE(sum_abs, 0) AS BIGINT) AS sum_abs,
+        CAST(COALESCE(peak, 0) AS BIGINT) AS peak,
+        CAST(COALESCE(zero_cross, 0) AS BIGINT) AS zero_cross,
+        CAST(COALESCE(amp_checksum, 0) AS BIGINT) AS amp_checksum
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
   )
 }

@@ -60,4 +60,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizePayload(p, 2).toSeq == Seq[Byte](1, 2))
     assert(Multimodal.resizePayload(p, 5).toSeq == Seq[Byte](1, 2, 3, 0, 0))
   }
+
+  test("q118: decoded-WAV stats match a direct JVM replay of the sample formula") {
+    import graft.functions.ExactCols.{hmodJvm, P}
+    val d = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.queries.Media.audioRoundTripStats(
+      spark.read.parquet(s"$sf/documents.parquet")).collect()
+    assert(rows.length == d.size)
+    for (r <- rows.take(50)) {
+      val toks = d(r.getAs[Long]("doc_id")).split(" ").filter(_.nonEmpty)
+      val s = toks.map(t => (hmodJvm("au:" + t) % 16384L) - 8192L)
+      assert(r.getAs[Long]("n_samples") == s.length.toLong)
+      assert(r.getAs[Long]("sum_abs") == s.map(math.abs).sum)
+      assert(r.getAs[Long]("peak") == (if (s.isEmpty) 0L else s.map(math.abs).max))
+      val zc = s.indices.drop(1)
+        .count(i => (s(i) >= 0L) != (s(i - 1) >= 0L)).toLong
+      assert(r.getAs[Long]("zero_cross") == zc)
+      val ck = s.indices.foldLeft(0L)((a, i) =>
+        (a + ((s(i) + 32768L) * (i + 1L)) % P) % P)
+      assert(r.getAs[Long]("amp_checksum") == ck)
+    }
+    // signal sanity: real waveforms cross zero and peak below the clamp
+    assert(rows.forall(_.getAs[Long]("peak") <= 8192L))
+    assert(rows.exists(_.getAs[Long]("zero_cross") > 0L))
+  }
 }

@@ -176,6 +176,46 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming temperature-mix audit against a streamed-totals recipe equals the q110 gate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // streamed totals → τ = 1/2 rates (the data-derived recipe) →
+    // streamed audit; equals the graded gate minus its w join
+    val in1 = MemoryStream[(String, Long, String)]
+    val q1 = PipelineStream
+      .sourceTokensStream(in1.toDF().toDF("source", "doc_id", "text"))
+      .writeStream.format("memory").queryName("tmix_totals_stream")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        in1.addData(chunk.toIndexedSeq)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    val rates = Pipeline.temperatureMixRates(
+        spark.table("tmix_totals_stream"), 25000L)
+      .select(col("source"), col("src_tokens"), col("rate")).cache()
+    val in2 = MemoryStream[(String, Long, String)]
+    val q2 = PipelineStream
+      .sourceMixAuditStream(in2.toDF().toDF("source", "doc_id", "text"), rates)
+      .writeStream.format("memory").queryName("tmix_audit_stream")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { chunk =>
+        in2.addData(chunk.toIndexedSeq)
+        q2.processAllAvailable()
+      }
+      val gate = graft.SparkEntry.queries("q110_temperature_mix")(spark, sf)
+        .drop("w")
+      assert(rowsOf(spark.table("tmix_audit_stream")) == rowsOf(gate))
+      assert(spark.table("tmix_audit_stream").count() > 0)
+    } finally q2.stop()
+  }
+
   test("streaming epoch-plan audit against a pinned plan table equals the q99 gate") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
