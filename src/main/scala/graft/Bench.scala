@@ -171,9 +171,15 @@ object Bench {
     // after spark.stop(), so no executor/GC/log chatter can land
     // between it and end-of-stream.
     def shortId(name: String): String = name.takeWhile(_ != '_')
+    // centisecond precision in the COMPACT line only (full ms precision
+    // stays in bench_full.json): at 118 queries the 3-decimal form sits
+    // ~1.7 KB — one decimal of slack buys headroom to ~135 queries
+    // inside the driver's 2000-char tail window
+    def cs(v: Double): String =
+      if (v < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val shortsUnique = results.map(r => shortId(r._1)).distinct.size == results.size
     def sid(name: String): String = if (shortsUnique) shortId(name) else name
-    val compactQ = results.map(r => "\"" + sid(r._1) + "\":" + ms(r._2))
+    val compactQ = results.map(r => "\"" + sid(r._1) + "\":" + cs(r._2))
       .mkString("{", ",", "}")
     val compactFailed = failed.map("\"" + sid(_) + "\"").mkString("[", ",", "]")
     val compactFlaky = flaky.map(r => "\"" + sid(r._1) + "\":" + r._8)

@@ -32,8 +32,14 @@ object Codecs {
     * single whitespace byte after maxval, then w*h*3 raw RGB bytes.
     * Returns None on any malformed input (wrong magic, maxval ≠ 255,
     * truncated raster). */
-  def decodePpm(bytes: Array[Byte]): Option[Image] = try {
-    var pos = 0
+  def decodePpm(bytes: Array[Byte]): Option[Image] =
+    decodePpmAt(bytes, 0).map(_._1)
+
+  /** One P6 frame starting at `start`; returns the image plus the
+    * offset one past its raster (the next frame's start in a
+    * concatenated stream). */
+  private def decodePpmAt(bytes: Array[Byte], start: Int): Option[(Image, Int)] = try {
+    var pos = start
     def skipWsAndComments(): Unit = {
       var go = true
       while (go && pos < bytes.length) {
@@ -50,8 +56,8 @@ object Codecs {
       if (pos == start) None
       else Some(new String(bytes, start, pos - start, StandardCharsets.US_ASCII).toInt)
     }
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
-    pos = 2
+    if (bytes.length < start + 2 || bytes(start) != 'P' || bytes(start + 1) != '6') return None
+    pos = start + 2
     for {
       w <- int()
       h <- int()
@@ -64,11 +70,45 @@ object Codecs {
       // long math: w*h*3 can overflow Int for hostile headers; when it
       // fits under bytes.length (an Int) the Int product is safe
       if bytes.length.toLong - raster >= w.toLong * h * 3
-    } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, raster, raster + w * h * 3))
+    } yield (Image(w, h, java.util.Arrays.copyOfRange(bytes, raster, raster + w * h * 3)),
+      raster + w * h * 3)
   } catch {
     // malformed input must yield None, never a task-killing throw
     // (oversized dimension literals overflow toInt, etc.)
     case scala.util.control.NonFatal(_) => None
+  }
+
+  // ----------------------------------------------------- PPM video stream
+
+  /** Concatenated-P6 "video": frames laid head-to-tail, each a complete
+    * binary PPM. This is the netpbm pipe form real tools consume
+    * (`ffmpeg -f image2pipe -c:v ppm` reads exactly this stream), so
+    * the container is a genuine interchange format, not an invented
+    * one — frames may differ in size, and the only framing is each
+    * header's own width×height. */
+  def encodePpmStream(frames: Seq[Image]): Array[Byte] = {
+    val encoded = frames.map(encodePpm)
+    val out = new Array[Byte](encoded.map(_.length).sum)
+    var off = 0
+    encoded.foreach { e =>
+      System.arraycopy(e, 0, out, off, e.length); off += e.length
+    }
+    out
+  }
+
+  /** Walk a concatenated-P6 stream to the end. None if any frame is
+    * malformed or trailing garbage follows the last raster — a
+    * truncated or corrupt stream must not silently yield a prefix. */
+  def decodePpmStream(bytes: Array[Byte]): Option[Vector[Image]] = {
+    var pos = 0
+    val acc = Vector.newBuilder[Image]
+    while (pos < bytes.length) {
+      decodePpmAt(bytes, pos) match {
+        case Some((img, next)) => acc += img; pos = next
+        case None => return None
+      }
+    }
+    Some(acc.result())
   }
 
   /** Per-channel means + 8-bin luminance histogram (L1-normalized) —

@@ -182,6 +182,112 @@ object Media {
         col("zero_cross"), col("amp_checksum"))
   }
 
+  /** Video frame-sampling audit — the video-side member of the q117/
+    * q118 codec-certification family, covering the three standard
+    * video-pipeline steps over a REAL container: decode a multi-frame
+    * stream, sample every `stride`-th frame, and detect scene cuts
+    * (consecutive sampled frames whose perceptual hashes differ by
+    * ≥ `sceneHamming` bits — the classic shot-boundary heuristic).
+    *
+    * The container is genuine: frames are rendered as independent
+    * binary P6 PPMs laid head-to-tail ([[Codecs.encodePpmStream]]),
+    * the exact stream `ffmpeg -f image2pipe` consumes, and the decode
+    * side re-walks it frame by frame from the headers alone
+    * ([[Codecs.decodePpmStream]]) — a length, header, or raster bug in
+    * either direction changes every downstream number and breaks the
+    * gate. Frame content derives from the document (frame j rotates
+    * the q117 shingle-histogram raster by j pixels and WIPES pixels
+    * k < 3j to black — a rotation alone leaves every consecutive
+    * hamming equal because popcount is rotation-invariant, measured:
+    * all-or-nothing scene counts; the wipe is what makes consecutive
+    * frame distances genuinely vary within a doc. Frame count =
+    * 4 + ntok % 5), so the ORACLE can replay each sampled frame's
+    * aHash from the text with pure integer arithmetic.
+    *
+    * Outputs per doc: n_frames, n_sampled, n_scene_cut, and an
+    * order-sensitive Σ((ahⱼ mod P)·rank) mod P checksum of the
+    * sampled-frame hashes (pins both values and order).
+    *
+    * 100 TB shape: exact-clone collapsed (every number is a function
+    * of text alone — render/decode/hash once per distinct text, expand
+    * through the member table); per-rep work is scan-stage typed-map
+    * O(bytes); the only shuffles are the collapse window and the
+    * shingle-histogram groupBy. */
+  def videoFrameSampleAudit(docs: DataFrame, stride: Int = 2,
+                            sceneHamming: Int = 28): DataFrame = {
+    require(stride >= 1 && sceneHamming >= 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id"))
+    val reps = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("text"))
+    val nt = reps.select(col("gid"), size(tokens(col("text"))).cast(LongType).as("ntok"))
+    val counts = reps
+      .select(col("gid"),
+        explode(shingles(tokens(col("text")), 3, distinct = true)).as("s"))
+      .select(col("gid"), (hmod(col("s")) % 63L).as("k"))
+      .groupBy(col("gid"), col("k")).agg(count(lit(1)).as("c"))
+      .groupBy(col("gid"))
+      .agg(collect_list(struct(col("k"), col("c"))).as("kc"))
+    val perRep = nt.join(counts, Seq("gid"), "left")
+      .as[(Long, Long, Option[Seq[(Long, Long)]])]
+      .map { case (id, ntok, kcOpt) =>
+        val px0 = new Array[Int](63)
+        kcOpt.getOrElse(Nil).foreach { case (k, c) =>
+          px0(k.toInt) = math.min(255L, 16L * c).toInt
+        }
+        val nf = (4L + ntok % 5L).toInt
+        val frames = (0 until nf).map { j =>
+          val rgb = new Array[Byte](63 * 3)
+          var k = 0
+          while (k < 63) {
+            val v = if (k < 3 * j) 0.toByte
+                    else px0(((k - j) % 63 + 63) % 63).toByte
+            rgb(3 * k) = v; rgb(3 * k + 1) = v; rgb(3 * k + 2) = v
+            k += 1
+          }
+          Codecs.Image(9, 7, rgb)
+        }
+        // REAL round trip: serialize the whole stream, re-walk it from
+        // the headers, and hash what the DECODER returns
+        val stream = Codecs.encodePpmStream(frames)
+        val dec = Codecs.decodePpmStream(stream)
+          .getOrElse(throw new IllegalStateException(s"PPM stream round trip failed for $id"))
+        if (dec.length != nf)
+          throw new IllegalStateException(s"frame count ${dec.length} != $nf for $id")
+        val hashes = dec.zipWithIndex.collect { case (img, j) if j % stride == 0 =>
+          var sp = 0L
+          var i = 0
+          while (i < 63) { sp += (img.rgb(3 * i) & 0xff).toLong; i += 1 }
+          var ah = 0L
+          i = 0
+          while (i < 63) {
+            if (63L * (img.rgb(3 * i) & 0xff) > sp) ah |= (1L << i)
+            i += 1
+          }
+          ah
+        }
+        var scenes = 0L
+        var ck = 0L
+        var s = 0
+        while (s < hashes.length) {
+          ck = (ck + ((hashes(s) % P) * (s + 1L)) % P) % P
+          if (s > 0 &&
+            java.lang.Long.bitCount(hashes(s) ^ hashes(s - 1)) >= sceneHamming)
+            scenes += 1L
+          s += 1
+        }
+        (id, nf.toLong, hashes.length.toLong, scenes, ck)
+      }
+      .toDF("gid", "n_frames", "n_sampled", "n_scene_cut", "hash_checksum")
+    members.join(perRep, "gid")
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        col("n_scene_cut"), col("hash_checksum"))
+  }
+
   val entries: Vector[Q] = Vector(
 
     // per-source payload accounting + content-hash dedup counts
@@ -275,6 +381,60 @@ object Media {
         CAST(COALESCE(peak, 0) AS BIGINT) AS peak,
         CAST(COALESCE(zero_cross, 0) AS BIGINT) AS zero_cross,
         CAST(COALESCE(amp_checksum, 0) AS BIGINT) AS amp_checksum
-      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // video frame-sampling audit: multi-frame concatenated-P6 stream
+    // (the image2pipe form) rendered, re-walked frame-by-frame from
+    // the headers, every 2nd frame aHashed from the DECODED raster,
+    // scene cuts at hamming ≥ 28 between consecutive sampled frames —
+    // the oracle replays frame pixels (rotate-by-j + wipe k<3j) and
+    // hashes with pure integer arithmetic
+    Q("q119_video_frame_sample", (s, d) => {
+      videoFrameSampleAudit(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) ntok FROM tk),
+      sh AS (SELECT doc_id, list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                                           for i in generate_series(1,len(tk)-2)])
+               shingles
+             FROM tk WHERE len(tk) >= 3),
+      ex AS (SELECT doc_id, ${sql.hmod("s")} % 63 k
+             FROM (SELECT doc_id, unnest(shingles) s FROM sh)),
+      cnt AS (SELECT doc_id, k, CAST(count(*) AS BIGINT) c FROM ex GROUP BY 1, 2),
+      px AS (SELECT doc_id, k, least(255, 16*c) p FROM cnt),
+      fl AS (SELECT dg.doc_id, dg.k, COALESCE(p.p, 0) p
+             FROM (SELECT d.doc_id, g.k
+                   FROM (SELECT DISTINCT doc_id FROM px) d
+                   CROSS JOIN generate_series(0,62) g(k)) dg
+             LEFT JOIN px p ON p.doc_id = dg.doc_id AND p.k = dg.k),
+      fr AS (SELECT doc_id, ntok, 4 + (ntok % 5) nf FROM nt),
+      fj AS (SELECT doc_id, nf, unnest(generate_series(0, nf-1)) j FROM fr),
+      pxj AS (SELECT f.doc_id, f.nf, f.j, (fl.k + f.j) % 63 k,
+                CASE WHEN (fl.k + f.j) % 63 < 3*f.j THEN 0 ELSE fl.p END p
+              FROM fj f JOIN fl ON fl.doc_id = f.doc_id),
+      totj AS (SELECT doc_id, j, CAST(SUM(p) AS BIGINT) sp
+               FROM pxj GROUP BY 1, 2),
+      fb0 AS (SELECT p.doc_id, p.j,
+                CAST(SUM(CASE WHEN 63*p.p > t.sp
+                         THEN (1::BIGINT << CAST(p.k AS INT)) ELSE 0 END) AS BIGINT) ahj
+              FROM pxj p JOIN totj t ON t.doc_id = p.doc_id AND t.j = p.j
+              GROUP BY 1, 2),
+      fb AS (SELECT f.doc_id, f.nf, f.j, COALESCE(b.ahj, 0) ahj
+             FROM fj f LEFT JOIN fb0 b ON b.doc_id = f.doc_id AND b.j = f.j),
+      sampled AS (SELECT doc_id, nf, j, ahj,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY j) rn,
+                    lag(ahj) OVER (PARTITION BY doc_id ORDER BY j) pa
+                  FROM fb WHERE j % 2 = 0),
+      per AS (SELECT doc_id, CAST(MAX(nf) AS BIGINT) n_frames,
+                CAST(count(*) AS BIGINT) n_sampled,
+                CAST(SUM(CASE WHEN pa IS NOT NULL
+                              AND bit_count(xor(ahj, pa)) >= 28
+                         THEN 1 ELSE 0 END) AS BIGINT) n_scene_cut,
+                CAST(SUM(((ahj % ${P}) * rn) % ${P}) % ${P} AS BIGINT) hash_checksum
+              FROM sampled GROUP BY 1)
+      SELECT doc_id, n_frames, n_sampled, n_scene_cut, hash_checksum
+      FROM per ORDER BY doc_id"""))
   )
 }

@@ -38,6 +38,29 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.decodePpm("P6\n50000 50000\n255\n".getBytes ++ new Array[Byte](48)).isEmpty)
   }
 
+  test("PPM stream: multi-frame round trip with varied sizes, rejects corrupt/truncated") {
+    val frames = Seq(
+      Multimodal.syntheticImage(1L, 4, 3),
+      Multimodal.syntheticImage(2L, 9, 7),
+      Multimodal.syntheticImage(3L, 2, 2))
+    val stream = Codecs.encodePpmStream(frames)
+    val dec = Codecs.decodePpmStream(stream)
+    assert(dec.isDefined && dec.get.length == 3)
+    dec.get.zip(frames).foreach { case (a, b) =>
+      assert(a.width == b.width && a.height == b.height)
+      assert(a.rgb.sameElements(b.rgb))
+    }
+    // empty stream = zero frames (a valid, if dull, video)
+    assert(Codecs.decodePpmStream(Array.emptyByteArray).contains(Vector()))
+    // truncation mid-raster and trailing garbage both fail loudly
+    assert(Codecs.decodePpmStream(stream.dropRight(1)).isEmpty)
+    assert(Codecs.decodePpmStream(stream :+ 'X'.toByte).isEmpty)
+    // a corrupt magic in the SECOND frame fails the whole stream
+    val f0len = Codecs.encodePpm(frames.head).length
+    val corrupt = stream.clone(); corrupt(f0len) = 'Q'.toByte
+    assert(Codecs.decodePpmStream(corrupt).isEmpty)
+  }
+
   test("WAV round trip is sample-exact and chunk-walker skips extra chunks") {
     val audio = Multimodal.syntheticAudio(11L, 16000, 500)
     val bytes = Codecs.encodeWav(audio)

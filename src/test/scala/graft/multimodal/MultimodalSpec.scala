@@ -85,4 +85,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("peak") <= 8192L))
     assert(rows.exists(_.getAs[Long]("zero_cross") > 0L))
   }
+
+  test("q119: decoded-stream frame hashes match a direct JVM replay") {
+    import graft.functions.ExactCols.{hmodJvm, P}
+    val d = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.queries.Media.videoFrameSampleAudit(
+      spark.read.parquet(s"$sf/documents.parquet")).collect()
+    assert(rows.length == d.size)
+    for (r <- rows.take(50)) {
+      val toks = d(r.getAs[Long]("doc_id")).split(" ").filter(_.nonEmpty)
+      val px0 = new Array[Long](63)
+      if (toks.length >= 3)
+        toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+          .groupBy(s => (hmodJvm(s) % 63L).toInt)
+          .foreach { case (k, ss) => px0(k) = math.min(255L, 16L * ss.size) }
+      val nf = (4L + toks.length % 5L).toInt
+      val hashes = (0 until nf).filter(_ % 2 == 0).map { j =>
+        val px = (0 until 63).map { k =>
+          if (k < 3 * j) 0L else px0(((k - j) % 63 + 63) % 63)
+        }
+        val sp = px.sum
+        (0 until 63).foldLeft(0L)((ah, k) =>
+          if (63L * px(k) > sp) ah | (1L << k) else ah)
+      }
+      assert(r.getAs[Long]("n_frames") == nf.toLong)
+      assert(r.getAs[Long]("n_sampled") == hashes.length.toLong)
+      val scenes = hashes.indices.drop(1).count(i =>
+        java.lang.Long.bitCount(hashes(i) ^ hashes(i - 1)) >= 28).toLong
+      assert(r.getAs[Long]("n_scene_cut") == scenes)
+      val ck = hashes.indices.foldLeft(0L)((a, i) =>
+        (a + ((hashes(i) % P) * (i + 1L)) % P) % P)
+      assert(r.getAs[Long]("hash_checksum") == ck)
+    }
+    // the wipe makes consecutive distances vary WITHIN docs: scene
+    // counts must not be the all-or-nothing {0, n_sampled-1} pattern a
+    // pure rotation produces (popcount is rotation-invariant)
+    assert(rows.exists { r =>
+      val sc = r.getAs[Long]("n_scene_cut")
+      sc > 0L && sc < r.getAs[Long]("n_sampled") - 1L
+    })
+  }
 }
