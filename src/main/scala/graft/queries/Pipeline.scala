@@ -884,6 +884,76 @@ object Pipeline {
         coalesce(col("span_checksum"), lit(0L)).as("span_checksum"))
   }
 
+  /** Contaminated-span localization — q76's membership test sharpened
+    * to a WHERE, the way production decontamination actually removes
+    * leakage (PaLM and GPT-4 drop a window AROUND each n-gram
+    * collision rather than the whole document; Brown et al. 2020 §C
+    * documents the 13-gram window form): for each eval-side doc,
+    * every positional `k`-gram that appears anywhere in the train
+    * side is a hit, overlapping/adjacent hit windows merge into
+    * maximal spans (the q103 gaps-and-islands rule), and the audit
+    * reports what span-removal would cut — n_hits, n_spans, longest
+    * span, flagged tokens, plus the q103 extent checksum pinning
+    * exact span boundaries.
+    *
+    * Split rule is q76's verbatim: bucket = hmod(doc_id) % 100,
+    * train < 80, eval ≥ 90 (the gap rows simulate held-out data).
+    *
+    * 100 TB shape: train side reduces to a DISTINCT hash set (one
+    * shuffle, text-collapsed by construction); eval side is
+    * exact-clone collapsed (spans are a pure function of text given
+    * the train set — one island pass per distinct eval text, expanded
+    * through the member table); the hit test is a semi-join on hash
+    * (AQE skew-splittable); the island window is doc-LOCAL, never
+    * corpus-wide. */
+  def contaminationSpanAudit(docs: DataFrame, k: Int = 5): DataFrame = {
+    val kl = k.toLong
+    val withBucket = docs.withColumn("bucket",
+      hmod(col("doc_id").cast("string")) % 100L)
+    val train = withBucket.filter(col("bucket") < 80L)
+      .select(explode(shingles(tokens(col("text")), k, distinct = true)).as("sg"))
+      .select(hmod(col("sg")).as("h")).distinct()
+    val withGid = withBucket.filter(col("bucket") >= 90L)
+      .withColumn("gid",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id"))
+    val base = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), tokens(col("text")).as("tk"))
+      .select(col("gid"), size(col("tk")).cast(LongType).as("ntok"),
+        shingles(col("tk"), k, distinct = false).as("ws"))
+      .cut() // feeds the hit join and the per-doc base
+    val ex = base.select(col("gid"), posexplode(col("ws")))
+      .select(col("gid"), (col("pos") + 1).cast(LongType).as("p"),
+        hmod(col("col")).as("h"))
+    val hits = ex.join(train, Seq("h"), "leftsemi")
+    val wOrd = Window.partitionBy(col("gid")).orderBy(col("p"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = hits
+      .select(col("gid"), col("p"))
+      .withColumn("pe", max(col("p") + lit(kl - 1L)).over(wPrev))
+      .withColumn("ni",
+        when(col("pe").isNull || col("p") > col("pe") + 1L, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(wOrd))
+      .groupBy(col("gid"), col("isl"))
+      .agg(count(lit(1)).as("nh"), min(col("p")).as("s"),
+        (max(col("p")) + lit(kl - 1L)).as("e"))
+    val per = spans.groupBy(col("gid"))
+      .agg(sum(col("nh")).as("n_hits"),
+        count(lit(1)).as("n_spans"),
+        max(col("e") - col("s") + 1L).as("max_span_tokens"),
+        sum(col("e") - col("s") + 1L).as("flagged_tokens"),
+        (sum((col("s") * lit(4096L) + col("e")) % P) % P).as("span_checksum"))
+    members
+      .join(base.select(col("gid"), col("ntok")), "gid")
+      .join(per, Seq("gid"), "left")
+      .select(col("doc_id"), col("ntok"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("flagged_tokens"), lit(0L)).as("flagged_tokens"),
+        coalesce(col("span_checksum"), lit(0L)).as("span_checksum"))
+  }
+
   /** Content-defined-chunk dedup report (the LBFS/CDC boundary rule
     * applied to corpus dedup): chunks end where hmod(token) ≡ 0
     * (mod `mod`) — boundaries are a function of CONTENT, so an
@@ -2054,6 +2124,57 @@ object Pipeline {
         (COALESCE(n_windows, 0) > 0 AND COALESCE(m // 1048576, 0) < 232000)
           AS flag
       FROM documents d LEFT JOIN nb USING (doc_id)
-      LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+      LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // contaminated-span localization: q76's train/eval split, but hits
+    // are POSITIONAL 5-grams and overlapping hits merge into maximal
+    // spans (q103's islands) — the PaLM/GPT-4 remove-a-window form of
+    // decontamination; the extent checksum pins exact boundaries
+    Q("q120_contamination_spans", (s, d) => {
+      contaminationSpanAudit(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH bk AS (SELECT doc_id,
+                    ${sql.hmod("CAST(doc_id AS VARCHAR)")} % 100 bucket,
+                    list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      train AS (SELECT DISTINCT ${sql.hmod("s")} h
+                FROM (SELECT unnest(CASE WHEN len(tk) >= 5
+                        THEN list_distinct([array_to_string(tk[i : i+4], ' ')
+                               for i in generate_series(1, len(tk)-4)])
+                        ELSE [] END) s
+                      FROM bk WHERE bucket < 80)),
+      ev AS (SELECT doc_id, tk FROM bk WHERE bucket >= 90),
+      sg AS (SELECT doc_id, CASE WHEN len(tk) >= 5
+               THEN [{'p': i, 'h': ${sql.hmod("array_to_string(tk[i : i+4], ' ')")}}
+                     for i in generate_series(1, len(tk)-4)]
+               ELSE [] END ws FROM ev),
+      ex AS (SELECT doc_id, u.p p, u.h h
+             FROM (SELECT doc_id, unnest(ws) u FROM sg)),
+      ht AS (SELECT doc_id, p FROM ex WHERE h IN (SELECT h FROM train)),
+      fl AS (SELECT doc_id, p,
+               max(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pe
+             FROM ht),
+      il AS (SELECT doc_id, p,
+               SUM(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) isl
+             FROM fl),
+      sp AS (SELECT doc_id, isl, CAST(count(*) AS BIGINT) nh,
+               min(p) s, max(p) + 4 e
+             FROM il GROUP BY 1, 2),
+      per AS (SELECT doc_id, CAST(SUM(nh) AS BIGINT) n_hits,
+                CAST(count(*) AS BIGINT) n_spans,
+                CAST(MAX(e - s + 1) AS BIGINT) max_span_tokens,
+                CAST(SUM(e - s + 1) AS BIGINT) flagged_tokens,
+                CAST(SUM((s*4096 + e) % ${P}) % ${P} AS BIGINT) span_checksum
+              FROM sp GROUP BY 1)
+      SELECT e.doc_id, CAST(len(tk) AS BIGINT) AS ntok,
+        CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(COALESCE(max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+        CAST(COALESCE(flagged_tokens, 0) AS BIGINT) AS flagged_tokens,
+        CAST(COALESCE(span_checksum, 0) AS BIGINT) AS span_checksum
+      FROM ev e LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
   )
 }

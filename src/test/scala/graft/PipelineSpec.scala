@@ -815,4 +815,46 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect()
     assert(base.map(_.toString).toSeq == scattered.map(_.toString).toSeq)
   }
+
+  test("q120: span extents exact on an engineered leak; flags ≡ q76 membership") {
+    import spark.implicits._
+    // ids chosen by the SPLIT RULE itself (hmod(id)%100): 2,3 train
+    // (<80); 1,4 eval (≥90) — verified constants, the q76 buckets
+    val run = (1 to 10).map(i => s"leak$i").mkString(" ")
+    val docs = Seq(
+      (2L, s"filler1 $run filler2"),        // train doc carrying the leak
+      (3L, "other train words only here"),  // train noise
+      (1L, s"x1 x2 $run y1 y2"),            // eval: leak at tokens 3..12
+      (4L, "c1 c2 c3 c4 c5 c6 clean")       // eval: no overlap
+    ).toDF("doc_id", "text")
+    val r = graft.queries.Pipeline.contaminationSpanAudit(docs)
+      .orderBy(col("doc_id")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_hits"), x.getAs[Long]("n_spans"),
+          x.getAs[Long]("max_span_tokens"), x.getAs[Long]("flagged_tokens"),
+          x.getAs[Long]("span_checksum"))).toMap
+    assert(r.keySet == Set(1L, 4L)) // eval docs only
+    // 10-token run at positions 3..12 → six 5-gram hits (p=3..8),
+    // one merged span [3,12] → checksum (3·4096+12) % P
+    assert(r(1L) == (6L, 1L, 10L, 10L, 3L * 4096L + 12L), s"got ${r(1L)}")
+    assert(r(4L) == (0L, 0L, 0L, 0L, 0L))
+    // anti-drift vs q76 on the real corpus: a doc has a positional hit
+    // iff it has a distinct-shingle hit (same k, same split rule)
+    val real = Tables.t(spark, sf, "documents")
+    val spanFlagged = graft.queries.Pipeline.contaminationSpanAudit(real)
+      .filter(col("n_hits") > 0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val q76 = real.select(col("doc_id"),
+        (hmod(col("doc_id").cast("string")) % 100).as("bucket"),
+        shingles(tokens(col("text")), 5, distinct = true).as("sg"))
+    val train = q76.filter(col("bucket") < 80)
+      .select(explode(col("sg")).as("sh"))
+      .select(hmod(col("sh")).as("h")).distinct()
+    val membershipFlagged = q76.filter(col("bucket") >= 90)
+      .select(col("doc_id"), explode(col("sg")).as("sh"))
+      .select(col("doc_id"), hmod(col("sh")).as("h"))
+      .join(train, Seq("h"), "leftsemi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(spanFlagged == membershipFlagged)
+  }
 }
