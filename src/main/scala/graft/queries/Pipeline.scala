@@ -954,6 +954,97 @@ object Pipeline {
         coalesce(col("span_checksum"), lit(0L)).as("span_checksum"))
   }
 
+  /** Packing-efficiency A/B — the measure-don't-guess audit for the
+    * q73 packing knob: what each packing strategy costs in padding at
+    * a fixed sequence budget. Four strategies over the same sharded
+    * corpus (shard/order rules = q73's verbatim):
+    *
+    *  - `a_pad_each`: one doc per sequence, padded to the budget
+    *    (docs over budget take ⌈ntok/budget⌉ sequences) — the naive
+    *    baseline every padding-waste paper measures against.
+    *  - `b_nextfit`: docs kept WHOLE in hash order, a new sequence
+    *    opens when the current one can't fit the next doc (next-fit
+    *    bin packing; no cross-sequence attention contamination).
+    *  - `c_nextfit_sorted`: next-fit after sorting the shard by ntok
+    *    DESC (the decreasing heuristic — long docs first, short docs
+    *    plug the gaps).
+    *  - `d_concat`: q73's concatenation packing (docs may span
+    *    sequences; only the last sequence per shard is padded).
+    *
+    * One row per strategy: sequences, total/pad tokens, utilization
+    * ppm (⌊10⁶·tokens/(budget·seqs)⌋ — integer, oracle-exact).
+    *
+    * 100 TB shape: a/d are shard-local window/aggregate arithmetic
+    * (q73's plan); b/c are inherently sequential PER SHARD — the
+    * parallel unit is the shard (as in any production packer: shard
+    * count is the knob that sizes a shard to an executor), so both
+    * run as one typed mapGroups over the shard key, one shuffle
+    * total, state = the shard's (ntok, order) pairs. The ORACLE
+    * replays b/c with a recursive CTE stepping doc-by-doc per shard
+    * (the q77/q97 trajectory-replay doctrine). */
+  def packingEfficiencyAudit(docs: DataFrame, budget: Long = 256L,
+                             numShards: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pd = docs
+      .select(col("doc_id"),
+        (hmod(col("doc_id").cast("string")) % numShards).as("shard"),
+        hmod(concat(lit("pack:"), col("doc_id").cast("string"))).as("h"),
+        size(tokens(col("text"))).cast(LongType).as("ntok"))
+      .filter(col("ntok") > 0)
+      .cut() // feeds all four strategies
+    // next-fit fold over one explicit ordering; docs ≥ budget take
+    // dedicated ⌈ntok/budget⌉ sequences and reset the open one
+    def nextFit(sorted: Seq[Long]): (Long, Long) = {
+      var nseq = 0L
+      var fill = 0L
+      var total = 0L
+      sorted.foreach { ntok =>
+        total += ntok
+        if (ntok >= budget) {
+          if (fill > 0L) { nseq += 1L; fill = 0L }
+          nseq += (ntok + budget - 1L) / budget
+        } else if (fill + ntok <= budget) fill += ntok
+        else { nseq += 1L; fill = ntok }
+      }
+      if (fill > 0L) nseq += 1L
+      (nseq, nseq * budget - total)
+    }
+    val bc = pd.select(col("shard"), col("h"), col("doc_id"), col("ntok"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (_: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+        val rows = it.toArray
+        val byHash = rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+        val byLenDesc = rows.sortBy(r => (-r._4, r._2, r._3)).map(_._4).toSeq
+        val (nb, pb) = nextFit(byHash)
+        val (nc, pc) = nextFit(byLenDesc)
+        (nb, pb, nc, pc)
+      }
+      .toDF("nb", "pb", "nc", "pc")
+      .agg(sum(col("nb")).as("nb"), sum(col("pb")).as("pb"),
+        sum(col("nc")).as("nc"), sum(col("pc")).as("pc"))
+    val aAgg = pd.agg(
+      sum(expr(s"(ntok + ${budget - 1}) div $budget")).as("na"),
+      sum(expr(s"((ntok + ${budget - 1}) div $budget) * $budget - ntok")).as("pa"))
+    val dAgg = pd.groupBy(col("shard"))
+      .agg(sum(col("ntok")).as("tt"))
+      .agg(sum(expr(s"(tt + ${budget - 1}) div $budget")).as("nd"),
+        sum(expr(s"((tt + ${budget - 1}) div $budget) * $budget - tt")).as("pd"))
+    val tot = pd.agg(sum(col("ntok")).as("total_tokens"))
+    val one = tot.crossJoin(aAgg).crossJoin(bc).crossJoin(dAgg)
+    // util in INTEGER division (div both engines) — a double quotient
+    // cast to long can land 1 ulp under an exact integer and floor low
+    def strat(name: String, n: String, p: String): DataFrame =
+      one.selectExpr(s"'$name' AS strategy", s"$n AS n_seqs",
+        "total_tokens", s"$p AS pad_tokens",
+        s"(1000000 * total_tokens) div ($n * $budget) AS util_ppm")
+    strat("a_pad_each", "na", "pa")
+      .unionByName(strat("b_nextfit", "nb", "pb"))
+      .unionByName(strat("c_nextfit_sorted", "nc", "pc"))
+      .unionByName(strat("d_concat", "nd", "pd"))
+  }
+
   /** Content-defined-chunk dedup report (the LBFS/CDC boundary rule
     * applied to corpus dedup): chunks end where hmod(token) ≡ 0
     * (mod `mod`) — boundaries are a function of CONTENT, so an
@@ -2175,6 +2266,71 @@ object Pipeline {
         CAST(COALESCE(max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
         CAST(COALESCE(flagged_tokens, 0) AS BIGINT) AS flagged_tokens,
         CAST(COALESCE(span_checksum, 0) AS BIGINT) AS span_checksum
-      FROM ev e LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+      FROM ev e LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // packing-efficiency A/B: pad-each vs next-fit (hash order) vs
+    // next-fit-decreasing vs q73 concat at budget 256 — the oracle
+    // replays both next-fit folds doc-by-doc per shard with a
+    // recursive CTE (q77/q97 trajectory doctrine); measured story at
+    // gate sf: 21% / 80% / 79% / 87% utilization
+    Q("q121_packing_efficiency", (s, d) => {
+      packingEfficiencyAudit(t(s, d, "documents"))
+        .orderBy(col("strategy"))
+    }, Some(s"""
+      WITH RECURSIVE pd AS (
+        SELECT doc_id, ${sql.hmod("CAST(doc_id AS VARCHAR)")} % 32 shard,
+          ${sql.hmod("'pack:'||CAST(doc_id AS VARCHAR)")} h,
+          CAST(len(list_filter(string_split(text,' '), x->x<>'')) AS BIGINT) ntok
+        FROM documents),
+      pf AS (SELECT * FROM pd WHERE ntok > 0),
+      ob AS (SELECT shard, ntok,
+               row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) rn
+             FROM pf),
+      oc AS (SELECT shard, ntok,
+               row_number() OVER (PARTITION BY shard ORDER BY ntok DESC, h, doc_id) rn
+             FROM pf),
+      rws AS (SELECT 'b_nextfit' strat, shard, ntok, rn FROM ob
+              UNION ALL
+              SELECT 'c_nextfit_sorted', shard, ntok, rn FROM oc),
+      cnt AS (SELECT strat, shard, CAST(max(rn) AS BIGINT) mx FROM rws GROUP BY 1, 2),
+      rec AS (
+        SELECT strat, shard, CAST(0 AS BIGINT) rn,
+          CAST(0 AS BIGINT) nseq, CAST(0 AS BIGINT) fill
+        FROM cnt
+        UNION ALL
+        SELECT r.strat, r.shard, r.rn + 1,
+          r.nseq + CASE WHEN w.ntok >= 256
+                        THEN (CASE WHEN r.fill > 0 THEN 1 ELSE 0 END)
+                             + (w.ntok + 255) // 256
+                        WHEN r.fill + w.ntok <= 256 THEN 0 ELSE 1 END,
+          CASE WHEN w.ntok >= 256 THEN 0
+               WHEN r.fill + w.ntok <= 256 THEN r.fill + w.ntok
+               ELSE w.ntok END
+        FROM rec r JOIN rws w
+          ON w.strat = r.strat AND w.shard = r.shard AND w.rn = r.rn + 1),
+      fin AS (SELECT r.strat,
+                CAST(SUM(r.nseq + CASE WHEN r.fill > 0 THEN 1 ELSE 0 END) AS BIGINT) ns
+              FROM rec r JOIN cnt c
+                ON c.strat = r.strat AND c.shard = r.shard AND r.rn = c.mx
+              GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ntok) AS BIGINT) total_tokens FROM pf),
+      sa AS (SELECT CAST(SUM((ntok + 255) // 256) AS BIGINT) ns,
+               CAST(SUM(((ntok + 255) // 256) * 256 - ntok) AS BIGINT) pad
+             FROM pf),
+      sd AS (SELECT CAST(SUM((tt + 255) // 256) AS BIGINT) ns,
+               CAST(SUM(((tt + 255) // 256) * 256 - tt) AS BIGINT) pad
+             FROM (SELECT shard, SUM(ntok) tt FROM pf GROUP BY 1)),
+      allr AS (
+        SELECT 'a_pad_each' strategy, sa.ns n_seqs, t.total_tokens,
+               sa.pad pad_tokens
+        FROM sa, tot t
+        UNION ALL
+        SELECT f.strat, f.ns, t.total_tokens, f.ns * 256 - t.total_tokens
+        FROM fin f, tot t
+        UNION ALL
+        SELECT 'd_concat', sd.ns, t.total_tokens, sd.pad FROM sd, tot t)
+      SELECT strategy, n_seqs, total_tokens, pad_tokens,
+        CAST((1000000 * total_tokens) // (n_seqs * 256) AS BIGINT) AS util_ppm
+      FROM allr ORDER BY strategy"""))
   )
 }

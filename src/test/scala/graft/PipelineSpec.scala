@@ -857,4 +857,63 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(spanFlagged == membershipFlagged)
   }
+
+  test("q121: next-fit fold exact (order-sensitive), accounting identities hold") {
+    import spark.implicits._
+    // one shard, budget 10, doc sizes 6,5,4,3,2 — hash order vs
+    // size-desc order genuinely differ in next-fit seq count, and a
+    // 23-token doc exercises the dedicated ⌈ntok/budget⌉ rule
+    val sizes = Map(1L -> 6, 2L -> 5, 3L -> 4, 4L -> 3, 5L -> 2, 6L -> 23)
+    val docs = sizes.toSeq.map { case (id, n) =>
+      (id, (1 to n).map(i => s"w$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = graft.queries.Pipeline
+      .packingEfficiencyAudit(docs, budget = 10L, numShards = 1)
+      .collect()
+      .map(x => x.getAs[String]("strategy") ->
+        (x.getAs[Long]("n_seqs"), x.getAs[Long]("total_tokens"),
+          x.getAs[Long]("pad_tokens"), x.getAs[Long]("util_ppm"))).toMap
+    val total = sizes.values.sum.toLong
+    // independent JVM replay of the fold in BOTH orders
+    def fold(order: Seq[Long]): Long = {
+      var nseq = 0L; var fill = 0L
+      order.map(sizes(_).toLong).foreach { n =>
+        if (n >= 10L) { if (fill > 0) { nseq += 1; fill = 0 }; nseq += (n + 9) / 10 }
+        else if (fill + n <= 10L) fill += n
+        else { nseq += 1; fill = n }
+      }
+      nseq + (if (fill > 0) 1L else 0L)
+    }
+    def hj(s: String) = hmodJvm(s)
+    val byHash = sizes.keys.toSeq.sortBy(id => (hj(s"pack:$id"), id))
+    val byLen = sizes.keys.toSeq
+      .sortBy(id => (-sizes(id), hj(s"pack:$id"), id))
+    assert(r("b_nextfit")._1 == fold(byHash))
+    assert(r("c_nextfit_sorted")._1 == fold(byLen))
+    // next-fit IS order-sensitive (the reason b and c are separate
+    // strategies): interleaved 5,6,5,6 wastes a seq that grouped
+    // 5,5,6,6 does not
+    def foldSizes(ns: Seq[Long]): Long = {
+      var nseq = 0L; var fill = 0L
+      ns.foreach { n =>
+        if (fill + n <= 10L) fill += n else { nseq += 1; fill = n }
+      }
+      nseq + (if (fill > 0) 1L else 0L)
+    }
+    assert(foldSizes(Seq(5L, 6L, 5L, 6L)) == 4L)
+    assert(foldSizes(Seq(5L, 5L, 6L, 6L)) == 3L)
+    assert(r("a_pad_each")._1 ==
+      sizes.values.map(n => (n + 9L) / 10L).sum)
+    assert(r("d_concat")._1 == (total + 9) / 10)
+    // identities: pad = capacity − tokens; util = floor(1e6·t/cap)
+    r.values.foreach { case (n, t, p, u) =>
+      assert(t == total)
+      assert(p == n * 10L - t)
+      assert(u == 1000000L * t / (n * 10L))
+    }
+    // packing dominance: any packer beats pad-each; concat is optimal
+    assert(r("b_nextfit")._1 <= r("a_pad_each")._1)
+    assert(r("d_concat")._1 <= r("b_nextfit")._1 &&
+      r("d_concat")._1 <= r("c_nextfit_sorted")._1)
+  }
 }
