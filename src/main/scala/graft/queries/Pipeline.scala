@@ -1010,6 +1010,9 @@ object Pipeline {
       if (fill > 0L) nseq += 1L
       (nseq, nseq * budget - total)
     }
+    // every branch carries its own total_tokens so the final shape is
+    // a plain union of one-row aggregates — no scalar cross joins (the
+    // PlanSpec nested-loop sweep rightly dislikes even 1-row ones)
     val bc = pd.select(col("shard"), col("h"), col("doc_id"), col("ntok"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
@@ -1019,30 +1022,31 @@ object Pipeline {
         val byLenDesc = rows.sortBy(r => (-r._4, r._2, r._3)).map(_._4).toSeq
         val (nb, pb) = nextFit(byHash)
         val (nc, pc) = nextFit(byLenDesc)
-        (nb, pb, nc, pc)
+        (nb, pb, nc, pc, rows.map(_._4).sum)
       }
-      .toDF("nb", "pb", "nc", "pc")
+      .toDF("nb", "pb", "nc", "pc", "tt")
       .agg(sum(col("nb")).as("nb"), sum(col("pb")).as("pb"),
-        sum(col("nc")).as("nc"), sum(col("pc")).as("pc"))
+        sum(col("nc")).as("nc"), sum(col("pc")).as("pc"),
+        sum(col("tt")).as("total_tokens"))
     val aAgg = pd.agg(
       sum(expr(s"(ntok + ${budget - 1}) div $budget")).as("na"),
-      sum(expr(s"((ntok + ${budget - 1}) div $budget) * $budget - ntok")).as("pa"))
+      sum(expr(s"((ntok + ${budget - 1}) div $budget) * $budget - ntok")).as("pa"),
+      sum(col("ntok")).as("total_tokens"))
     val dAgg = pd.groupBy(col("shard"))
       .agg(sum(col("ntok")).as("tt"))
       .agg(sum(expr(s"(tt + ${budget - 1}) div $budget")).as("nd"),
-        sum(expr(s"((tt + ${budget - 1}) div $budget) * $budget - tt")).as("pd"))
-    val tot = pd.agg(sum(col("ntok")).as("total_tokens"))
-    val one = tot.crossJoin(aAgg).crossJoin(bc).crossJoin(dAgg)
+        sum(expr(s"((tt + ${budget - 1}) div $budget) * $budget - tt")).as("pd"),
+        sum(col("tt")).as("total_tokens"))
     // util in INTEGER division (div both engines) — a double quotient
     // cast to long can land 1 ulp under an exact integer and floor low
-    def strat(name: String, n: String, p: String): DataFrame =
-      one.selectExpr(s"'$name' AS strategy", s"$n AS n_seqs",
+    def strat(src: DataFrame, name: String, n: String, p: String): DataFrame =
+      src.selectExpr(s"'$name' AS strategy", s"$n AS n_seqs",
         "total_tokens", s"$p AS pad_tokens",
         s"(1000000 * total_tokens) div ($n * $budget) AS util_ppm")
-    strat("a_pad_each", "na", "pa")
-      .unionByName(strat("b_nextfit", "nb", "pb"))
-      .unionByName(strat("c_nextfit_sorted", "nc", "pc"))
-      .unionByName(strat("d_concat", "nd", "pd"))
+    strat(aAgg, "a_pad_each", "na", "pa")
+      .unionByName(strat(bc, "b_nextfit", "nb", "pb"))
+      .unionByName(strat(bc, "c_nextfit_sorted", "nc", "pc"))
+      .unionByName(strat(dAgg, "d_concat", "nd", "pd"))
   }
 
   /** Content-defined-chunk dedup report (the LBFS/CDC boundary rule

@@ -5,7 +5,7 @@ import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables._
 import graft.functions.ExactCols._
@@ -231,6 +231,58 @@ object Similarity {
       .select(col("query_id"), col("own_label"), col("n_same"),
         col("mj.l").as("maj_label"))
       .withColumn("agree", col("maj_label") === col("own_label"))
+  }
+
+  /** Per-label centroid-distance outlier audit — the embedding-space
+    * data-quality probe next to q113's label audit: for each labeled
+    * cluster, the exact integer centroid (per-dim HALF_UP mean of the
+    * int-scaled vectors, the q77 recenter rule), each member's exact
+    * squared distance to it, and an outlier flag by integer cross
+    * comparison 20·dist²·n > 21·Σdist² (distance above 1.05× the
+    * label mean — no division crosses the oracle; sums go through
+    * DECIMAL(38,0) because Σdist² overflows int64 at replicated
+    * scale). The 21/20 ratio is calibrated to this corpus (TESTDATA
+    * doctrine): the synthetic embeddings are isotropic, so per-label
+    * distances concentrate within ±12% of the mean and the classic
+    * 2× rule never fires — on real clustered embeddings the ratio is
+    * a knob. Flagged points are the mislabeled/out-of-distribution
+    * candidates a dataset card reports (the SemDeDup/CL pruning
+    * signal at cluster granularity).
+    *
+    * 100 TB shape: two keyed aggregations over |labels| groups (per-
+    * dim sums are ONE map-side-combined groupBy producing
+    * |labels|×dim longs) plus two broadcast joins of |labels|-row
+    * tables; per-row distance is the LongSqDist codegen kernel.
+    * Everything else is scan-stage. */
+  def centroidOutlierAudit(vectors: DataFrame, dim: Int = 64): DataFrame = {
+    val iv = vectors.select(col("vec_id"),
+        col("label").cast(LongType).as("label"),
+        iscale(col("embedding")).as("v"))
+      .cut() // feeds the centroid aggregate AND the distance pass
+    val stats = iv.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(i =>
+          sum(element_at(col("v"), i + 1))): _*).as("sums"))
+    // HALF_UP(s/n) in pure int64: sign(s)·((2|s|+n) div (2n)) — the
+    // same closed form the q77 oracle uses; 64 explicit codegen
+    // expressions, no interpreted lambda
+    val cent = stats.select(col("label"),
+      array((0 until dim).map { i =>
+        val s = s"element_at(sums, ${i + 1})"
+        expr(s"CASE WHEN $s >= 0 THEN (2*$s + n) div (2*n) " +
+          s"ELSE -((2*(-($s)) + n) div (2*n)) END")
+      }: _*).as("cv"))
+    val dist = iv.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorExprs.longSqDist(col("v"), col("cv")).as("dist2"))
+      .cut() // feeds the label rollup AND the final flag join
+    val agg = dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist2").cast(DecimalType(38, 0))).as("sd"))
+    dist.join(broadcast(agg), "label")
+      .select(col("vec_id"), col("label"), col("dist2"),
+        (col("dist2").cast(DecimalType(38, 0)) * col("n") * lit(20) >
+          col("sd") * lit(21)).as("is_outlier"))
   }
 
   /** Shared ANN tail: keep top-k (cosine desc, neighbor_id asc) per
@@ -616,6 +668,39 @@ object Similarity {
       SELECT ns.query_id, ns.own_label, ns.n_same,
         CAST(mj.maj AS BIGINT) AS maj_label,
         (mj.maj = ns.own_label) AS agree
-      FROM ns JOIN mj USING (query_id) ORDER BY query_id"""))
+      FROM ns JOIN mj USING (query_id) ORDER BY query_id""")),
+
+    // per-label centroid outliers: exact HALF_UP integer centroids
+    // (the q77 recenter rule), exact int64 distances, outlier by
+    // integer cross comparison 20·dist²·n > 21·Σdist² — Σ through
+    // DECIMAL(38,0)/HUGEINT on the two engines
+    Q("q122_centroid_outliers", (s, d) => {
+      centroidOutlierAudit(t(s, d, "embeddings"))
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH iv AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) v
+        FROM embeddings),
+      ex AS (SELECT vec_id, label, g.i i, v[g.i] x
+             FROM iv CROSS JOIN generate_series(1, 64) g(i)),
+      cent AS (SELECT label, i, CAST(count(*) AS BIGINT) n,
+                 CAST(SUM(x) AS BIGINT) s
+               FROM ex GROUP BY 1, 2),
+      c2 AS (SELECT label, i,
+               CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                    ELSE -((2*(-s) + n) // (2*n)) END c
+             FROM cent),
+      dist AS (SELECT e.vec_id, e.label,
+                 CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) dist2
+               FROM ex e JOIN c2 c ON c.label = e.label AND c.i = e.i
+               GROUP BY 1, 2),
+      agg AS (SELECT label, CAST(count(*) AS BIGINT) n,
+                SUM(CAST(dist2 AS HUGEINT)) sd
+              FROM dist GROUP BY 1)
+      SELECT d.vec_id, d.label AS label, d.dist2,
+        (20 * CAST(d.dist2 AS HUGEINT) * a.n > 21 * a.sd) AS is_outlier
+      FROM dist d JOIN agg a USING (label) ORDER BY d.vec_id"""))
   )
 }

@@ -665,6 +665,60 @@ class DedupApiSpec extends AnyFunSuite {
       again.map(_.toString).toSeq)
   }
 
+  test("q122: centroid HALF_UP-exact vs JVM replay; planted outlier flagged; pure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // label 0: three tight vectors + one antipodal plant; label 1:
+    // negative per-dim sums at odd n — the HALF_UP sign corner
+    val data = Seq(
+      (0L, 0, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (1L, 0, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (2L, 0, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (3L, 0, Seq(-0.5f, -0.5f, -0.5f, -0.5f)),
+      (4L, 1, Seq(-0.1f, -0.3f, 0.7f, -0.11f)),
+      (5L, 1, Seq(-0.2f, -0.3f, 0.1f, -0.23f)),
+      (6L, 1, Seq(-0.4f, 0.3f, 0.2f, 0.17f)))
+    val vecs = data.toDF("vec_id", "label", "embedding")
+    val rows = Similarity.centroidOutlierAudit(vecs, dim = 4)
+      .orderBy(col("vec_id")).collect()
+    assert(rows.length == data.length)
+    // independent JVM replay: int-scale, HALF_UP centroid, exact
+    // distances, 20·d²·n > 21·Σd² flag
+    val iv = data.map { case (id, lab, e) =>
+      (id, lab, e.map(x => Math.round(x.toDouble * 1e6)).toArray)
+    }
+    val byLab = iv.groupBy(_._2)
+    val cent = byLab.map { case (lab, vs) =>
+      val n = vs.size.toLong
+      lab -> (0 until 4).map { i =>
+        val s = vs.map(_._3(i)).sum
+        new java.math.BigDecimal(s).divide(new java.math.BigDecimal(n), 0,
+          java.math.RoundingMode.HALF_UP).longValueExact()
+      }.toArray
+    }
+    val d2 = iv.map { case (id, lab, v) =>
+      id -> v.zip(cent(lab)).map { case (x, c) => (x - c) * (x - c) }.sum
+    }.toMap
+    val sums = byLab.map { case (lab, vs) =>
+      lab -> (vs.size.toLong, vs.map(x => BigInt(d2(x._1))).sum)
+    }
+    for (r <- rows) {
+      val id = r.getAs[Long]("vec_id")
+      val lab = iv.find(_._1 == id).get._2
+      assert(r.getAs[Long]("dist2") == d2(id), s"dist2 mismatch for $id")
+      val (n, sd) = sums(lab)
+      assert(r.getAs[Boolean]("is_outlier") ==
+        (BigInt(20) * d2(id) * n > BigInt(21) * sd))
+    }
+    val flagged = rows.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(flagged.contains(3L) && !flagged.exists(Set(0L, 1L, 2L)))
+    // repartition purity
+    val again = Similarity.centroidOutlierAudit(vecs.repartition(5), dim = 4)
+      .orderBy(col("vec_id")).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q115: cross-source matrix accounts for every near-dup pair, normalized and pure") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
