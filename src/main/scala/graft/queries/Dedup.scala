@@ -1124,6 +1124,48 @@ object Dedup {
           col("b_id").cast("string")))) % P).as("pair_checksum"))
   }
 
+  /** Dedup-route agreement matrix — measure-don't-guess for the
+    * dedup ROUTE choice (the q105/q107 calibration doctrine one level
+    * up): the three text near-dup detectors this engine ships —
+    * MinHash-LSH (q24), SimHash hamming ≤ 3 (q26) and exact n-gram
+    * Jaccard (q55) — run over the same corpus at their gate
+    * thresholds, and every unordered route pair reports how many doc
+    * pairs both found (diagonal = the route's own pair count). The
+    * corpus-card overlap table that answers "would the cheaper route
+    * have caught what the exact one catches" with exact counts
+    * instead of sampled anecdotes.
+    *
+    * 100 TB shape: each route inherits its own audited design (clone
+    * collapse, banded/pigeonhole equi-joins, bucket caps); the matrix
+    * itself is one equi-join of the tagged pair surfaces on
+    * (a_id, b_id) plus a bounded 3×3 rollup, with the union cut()
+    * once for the self-join's two sides. */
+  def dedupRouteMatrix(docs: DataFrame,
+                       jaccardThreshold: Double = 0.3,
+                       cfg: LshConfig = LshConfig()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r1 = nearDupPairs(docs, cfg)
+      .select(col("a_id"), col("b_id"), lit("minhash").as("r"))
+    val r2 = simhashPairs(docs, cfg)
+      .select(col("a_id"), col("b_id"), lit("simhash").as("r"))
+    val r3 = ngramJaccardPairs(docs, jaccardThreshold, cfg)
+      .select(col("a_id"), col("b_id"), lit("jaccard").as("r"))
+    val allp = r1.unionByName(r2).unionByName(r3)
+      .cut() // both sides of the agreement self-join
+    val m = allp.as("x").join(allp.as("y"),
+        col("x.a_id") === col("y.a_id") && col("x.b_id") === col("y.b_id") &&
+          col("x.r") <= col("y.r"))
+      .groupBy(col("x.r").as("route_a"), col("y.r").as("route_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val names = Seq("jaccard", "minhash", "simhash")
+    val base = (for { a <- names; b <- names if a <= b } yield (a, b))
+      .toDF("route_a", "route_b")
+    base.join(m, Seq("route_a", "route_b"), "left")
+      .select(col("route_a"), col("route_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
   /** Keep-best survivorship audit — measure-don't-guess for the
     * dedup keep policy: per multi-doc near-dup cluster, the kept
     * doc's quality (q88 classifier score) against its removed
@@ -1812,7 +1854,70 @@ object Dedup {
       SELECT cluster_id, kept_doc, n_docs, kept_score, kept_ntok,
         removed_score, removed_ntok, n_removed,
         (kept_score * removed_ntok >= removed_score * kept_ntok) AS kept_better
-      FROM agg WHERE n_removed > 0 ORDER BY cluster_id"""))
+      FROM agg WHERE n_removed > 0 ORDER BY cluster_id""")),
+
+    // dedup-route agreement matrix: MinHash-LSH vs SimHash vs exact
+    // n-gram Jaccard pair surfaces at their gate thresholds, every
+    // unordered route pair reporting shared pair count (diagonal =
+    // own count) — the oracle replays all three routes (jaccard-chain
+    // CTEs renamed: simCte also defines an hs) and rolls up the same
+    // tagged self-join
+    Q("q123_dedup_route_matrix", (s, d) => {
+      dedupRouteMatrix(t(s, d, "documents"))
+        .orderBy(col("route_a"), col("route_b"))
+    }, Some(s"""
+      WITH $tkCte, $shCte, $mhCte,
+      bands AS (
+        SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+        FROM mh, generate_series(0,${BANDS - 1}) g(b)
+        WHERE len(shingles) > 0),
+      mcand AS (
+        SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        FROM bands a JOIN bands b ON a.b=b.b AND a.sig=b.sig AND a.doc_id<b.doc_id),
+      r1 AS (
+        SELECT a_id, b_id FROM (
+          SELECT a_id, b_id,
+            len(list_intersect(x.shingles,y.shingles))::DOUBLE /
+              len(list_distinct(x.shingles||y.shingles)) jaccard
+          FROM mcand JOIN sh x ON a_id=x.doc_id JOIN sh y ON b_id=y.doc_id)
+        WHERE jaccard >= 0.5),
+      $simCte,
+      blocks AS (
+        SELECT doc_id, simhash, bi,
+          (simhash >> (bi*8)) & (CASE WHEN bi=3 THEN 63 ELSE 255 END) bv
+        FROM sim, generate_series(0,3) g(bi)),
+      scand AS (
+        SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.simhash ah, b.simhash bh
+        FROM blocks a JOIN blocks b ON a.bi=b.bi AND a.bv=b.bv AND a.doc_id<b.doc_id),
+      r2 AS (SELECT a_id, b_id FROM scand WHERE bit_count(xor(ah,bh)) <= 3),
+      jh AS (SELECT doc_id,
+               list_distinct([('0x'||substring(md5(s),1,15))::BIGINT % $P
+                              for s in shingles]) h
+             FROM sh WHERE len(shingles) > 0),
+      jex AS (SELECT doc_id, unnest(h) hh FROM jh),
+      jrare AS (SELECT hh FROM jex GROUP BY hh HAVING count(*) <= 100),
+      jkept AS (SELECT doc_id, hh FROM jex JOIN jrare USING (hh)),
+      jsz AS (SELECT doc_id, count(*) n FROM jkept GROUP BY 1),
+      jshared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+                  FROM jkept a JOIN jkept b ON a.hh=b.hh AND a.doc_id<b.doc_id
+                  GROUP BY 1, 2),
+      r3 AS (
+        SELECT a_id, b_id FROM (
+          SELECT a_id, b_id, CAST(inter AS DOUBLE)/(x.n+y.n-inter) jaccard
+          FROM jshared JOIN jsz x ON a_id=x.doc_id JOIN jsz y ON b_id=y.doc_id)
+        WHERE jaccard >= 0.3),
+      allp AS (SELECT 'minhash' r, a_id, b_id FROM r1
+               UNION ALL SELECT 'simhash', a_id, b_id FROM r2
+               UNION ALL SELECT 'jaccard', a_id, b_id FROM r3),
+      mm AS (SELECT x.r ra, y.r rb, CAST(count(*) AS BIGINT) n
+             FROM allp x JOIN allp y
+               ON x.a_id = y.a_id AND x.b_id = y.b_id AND x.r <= y.r
+             GROUP BY 1, 2),
+      rt AS (SELECT * FROM (VALUES ('jaccard'), ('minhash'), ('simhash')) t(r)),
+      pairsrt AS (SELECT a.r route_a, b.r route_b FROM rt a JOIN rt b ON a.r <= b.r)
+      SELECT route_a, route_b, CAST(COALESCE(n, 0) AS BIGINT) AS n_common
+      FROM pairsrt LEFT JOIN mm ON ra = route_a AND rb = route_b
+      ORDER BY route_a, route_b"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -719,6 +719,34 @@ class DedupApiSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q123: route matrix diagonal ≡ route pair counts; intersections bounded; pure") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = Dedup.dedupRouteMatrix(docs).collect()
+      .map(r => (r.getAs[String]("route_a"), r.getAs[String]("route_b")) ->
+        r.getAs[Long]("n_common")).toMap
+    assert(rows.size == 6) // full upper triangle, zero rows included
+    // diagonal cells ARE the route surfaces
+    assert(rows(("minhash", "minhash")) == Dedup.nearDupPairs(docs).count())
+    assert(rows(("simhash", "simhash")) == Dedup.simhashPairs(docs).count())
+    assert(rows(("jaccard", "jaccard")) ==
+      Dedup.ngramJaccardPairs(docs, 0.3).count())
+    // an intersection can't exceed either of its routes
+    for (((a, b), n) <- rows if a != b) {
+      assert(n <= rows((a, a)) && n <= rows((b, b)),
+        s"intersection ($a,$b)=$n exceeds a diagonal")
+    }
+    // calibration fact the matrix exists to report: minhash agrees
+    // with exact jaccard on this corpus's planted pairs
+    assert(rows(("jaccard", "minhash")) > 0)
+    val again = Dedup.dedupRouteMatrix(docs.repartition(7))
+      .orderBy(col("route_a"), col("route_b")).collect()
+    assert(rows.toSeq.sortBy(_._1).map(_.toString) ==
+      again.map(r => ((r.getAs[String]("route_a"), r.getAs[String]("route_b")) ->
+        r.getAs[Long]("n_common")).toString).toSeq)
+  }
+
   test("q115: cross-source matrix accounts for every near-dup pair, normalized and pure") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
