@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.Tables._
 
@@ -305,6 +306,31 @@ object Analytics {
     }, Some(s"""
       SELECT event_type, count(*) AS logs, ${sqlDsum("value")} AS sum_value,
              min(user_id) AS min_user, max(user_id) AS max_user
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // semi-structured extraction: the JSON props column parsed by a
+    // REAL JSON path (get_json_object is codegen'd jackson in Spark,
+    // json_extract_string the DuckDB json extension) and rolled up as
+    // typed integers — the log-analytics shape for event payloads the
+    // reference stores as opaque strings (hdfs_logformat.json's
+    // props-style fields); all aggregates int64
+    Q("q124_json_extract", (s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("logs"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("distinct_k"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, count(*) AS logs,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        CAST(COUNT(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS distinct_k
       FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -270,6 +270,97 @@ object PipelineStream {
       .toDF("doc_id", "nbg", "num", "score", "keep")
   }
 
+  /** Streaming noise-span localization (gate q114's semantics)
+    * against a PINNED bigram model — the worst sliding window is
+    * doc-LOCAL, so given the model the whole audit is a STATELESS
+    * typed map: zero streaming state, append-legal. Same pinned-model
+    * contract as [[bigramScoreStream]] (absent transitions floor at
+    * 0; re-derive + restart to adopt new corpus counts). */
+  def noiseSpanStream(docs: DataFrame, ratios: Map[String, Long],
+                      window: Int = 8,
+                      perBigramFloor: Long = 29000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(docs("doc_id").cast("long"), docs("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val nbg = math.max(0, toks.length - 1)
+        val rs = new Array[Long](nbg)
+        var i = 0
+        while (i + 1 < toks.length) {
+          rs(i) = ratios.getOrElse(toks(i) + " " + toks(i + 1), 0L)
+          i += 1
+        }
+        val nWin = math.max(0, nbg - window + 1)
+        var m = Long.MaxValue
+        var p = 0
+        var ws = 0L
+        while (p < nWin) {
+          if (p == 0) { var j = 0; while (j < window) { ws += rs(j); j += 1 } }
+          else ws += rs(p + window - 1) - rs(p - 1)
+          val enc = ws * 1048576L + (p + 1L) // the q114 argmin encoding
+          if (enc < m) m = enc
+          p += 1
+        }
+        val worstSum = if (nWin > 0) m / 1048576L else 0L
+        val worstPos = if (nWin > 0) m % 1048576L else 0L
+        (id, nbg.toLong, nWin.toLong, worstSum, worstPos,
+          nWin > 0 && worstSum < window.toLong * perBigramFloor)
+      }
+      .toDF("doc_id", "nbg", "n_windows", "worst_sum", "worst_pos", "flag")
+  }
+
+  /** Streaming contaminated-span localization (gate q120's
+    * semantics) against a PINNED train-side hash set — the
+    * decontamination shape of a CDC ingest: the train corpus's
+    * distinct k-gram hashes are exported once (production would ship
+    * them as a Bloom + exact verify, the q82 pattern; here the exact
+    * set, bounded by the train corpus's distinct shingles), and every
+    * arriving doc is scanned, hit positions merged into maximal
+    * spans row-locally. STATELESS, append-legal. */
+  def contaminationSpanStream(docs: DataFrame, trainHashes: Set[Long],
+                              k: Int = 5): DataFrame = {
+    import graft.functions.ExactCols.{hmodJvm, P}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(docs("doc_id").cast("long"), docs("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val ntok = toks.length.toLong
+        var nHits = 0L
+        var nSpans = 0L
+        var maxSpan = 0L
+        var flagged = 0L
+        var ck = 0L
+        var s = -1L // open span [s, e]
+        var e = -1L
+        def close(): Unit = if (s > 0) {
+          nSpans += 1L
+          val len = e - s + 1L
+          if (len > maxSpan) maxSpan = len
+          flagged += len
+          ck = (ck + (s * 4096L + e) % P) % P
+          s = -1L; e = -1L
+        }
+        var i = 0
+        while (i + k <= toks.length) {
+          val h = hmodJvm(toks.slice(i, i + k).mkString(" "))
+          if (trainHashes.contains(h)) {
+            nHits += 1L
+            val p = i + 1L // 1-indexed, the q120 convention
+            if (s < 0) { s = p; e = p + k - 1L }
+            else if (p > e + 1L) { close(); s = p; e = p + k - 1L }
+            else { val ne = p + k - 1L; if (ne > e) e = ne }
+          }
+          i += 1
+        }
+        close()
+        (id, ntok, nHits, nSpans, maxSpan, flagged, ck)
+      }
+      .toDF("doc_id", "ntok", "n_hits", "n_spans", "max_span_tokens",
+        "flagged_tokens", "span_checksum")
+  }
+
   def bpeEncodeStream(docs: DataFrame,
                       merges: Seq[(String, String)]): DataFrame = {
     import graft.functions.ExactCols.{hmodJvm, P}

@@ -385,4 +385,62 @@ class PipelineStreamSpec extends AnyFunSuite {
       assert(spark.table("bpe_stream").count() == docs.length)
     } finally q.stop()
   }
+
+  test("stateless streaming noise-span audit against the exported model equals the q114 gate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val batch = graft.Tables.t(spark, sf, "documents")
+    val ratios = graft.queries.Pipeline.bigramModel(batch).collect()
+      .map(r => r.getAs[String]("bg") -> r.getAs[Long]("r")).toMap
+    val docs = batch.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = PipelineStream
+      .noiseSpanStream(in.toDF().toDF("doc_id", "text"), ratios)
+      .writeStream.format("memory").queryName("noise_stream")
+      .outputMode("append").start() // stateless: append is legal
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val gate = graft.SparkEntry.queries("q114_noise_spans")(spark, sf)
+      assert(rowsOf(spark.table("noise_stream")) == rowsOf(gate))
+      assert(spark.table("noise_stream").count() == docs.length)
+    } finally q.stop()
+  }
+
+  test("stateless streaming contamination spans against the exported train set equals the q120 gate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.ExactCols._
+    val batch = graft.Tables.t(spark, sf, "documents")
+    // export the train side once (the pinned-recipe artifact): the
+    // q76/q120 split rule, distinct 5-gram hashes of bucket < 80
+    val train = batch
+      .withColumn("bucket", hmod(col("doc_id").cast("string")) % 100)
+      .filter(col("bucket") < 80)
+      .select(explode(shingles(tokens(col("text")), 5, distinct = true)).as("sg"))
+      .select(hmod(col("sg")).as("h")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // the stream carries the eval side (arriving docs)
+    val docs = batch.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => hmodJvm(id.toString) % 100 >= 90 }
+    val in = MemoryStream[(Long, String)]
+    val q = PipelineStream
+      .contaminationSpanStream(in.toDF().toDF("doc_id", "text"), train)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start() // stateless: append is legal
+    try {
+      docs.grouped(math.max(1, docs.length / 2)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val gate = graft.SparkEntry.queries("q120_contamination_spans")(spark, sf)
+      assert(rowsOf(spark.table("contam_stream")) == rowsOf(gate))
+      assert(spark.table("contam_stream").count() == docs.length)
+    } finally q.stop()
+  }
 }
