@@ -1124,6 +1124,28 @@ object Dedup {
           col("b_id").cast("string")))) % P).as("pair_checksum"))
   }
 
+  /** Soft-dedup downweighting — the non-destructive alternative to
+    * removal (SlimPajama/RefinedWeb ablations: instead of dropping
+    * near-dup members, keep them at weight 1/cluster_size so each
+    * duplicate FAMILY contributes one document's worth of gradient):
+    * per doc, its q56 near-dup cluster, the family size, and the
+    * integer sampling weight ⌊10⁶/size⌋ ppm. The invariant that makes
+    * this the "soft" dedup: Σ weights ≈ 10⁶ · n_clusters — the
+    * effective corpus size IS the cluster count, which the spec pins.
+    *
+    * 100 TB shape: [[clusters]]' audited CC design (one shuffle per
+    * round, localCheckpoint lineage cuts) plus one size rollup and
+    * one join-back on cluster_id — both O(docs). */
+  def softDedupWeights(docs: DataFrame,
+                       cfg: LshConfig = LshConfig()): DataFrame = {
+    val lab = clusters(docs, cfg).select(col("doc_id"), col("cluster_id"))
+      .cut() // feeds the size rollup and the join-back
+    val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+  }
+
   /** Dedup-route agreement matrix — measure-don't-guess for the
     * dedup ROUTE choice (the q105/q107 calibration doctrine one level
     * up): the three text near-dup detectors this engine ships —
@@ -1917,7 +1939,26 @@ object Dedup {
       pairsrt AS (SELECT a.r route_a, b.r route_b FROM rt a JOIN rt b ON a.r <= b.r)
       SELECT route_a, route_b, CAST(COALESCE(n, 0) AS BIGINT) AS n_common
       FROM pairsrt LEFT JOIN mm ON ra = route_a AND rb = route_b
-      ORDER BY route_a, route_b"""))
+      ORDER BY route_a, route_b""")),
+
+    // soft-dedup downweighting: per doc its near-dup family, family
+    // size and ⌊10⁶/size⌋ ppm sampling weight — duplicates kept, each
+    // family contributing one doc's worth; oracle = the q56 closure
+    // plus a size rollup
+    Q("q125_soft_dedup_weights", (s, d) => {
+      softDedupWeights(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      $ccCtes,
+      lab AS (
+        SELECT d.doc_id,
+          CAST(COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) AS BIGINT) cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) cluster_size
+             FROM lab GROUP BY 1)
+      SELECT doc_id, cluster_id, cluster_size,
+        CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+      FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

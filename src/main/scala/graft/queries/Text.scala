@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
+import graft.Checkpoints._
 import graft.Tables._
 import graft.functions.ExactCols._
 
@@ -398,6 +399,67 @@ object Text {
              count(*) AS docs,
              CAST(SUM(ntotal) AS BIGINT) AS sum_ngrams,
              CAST(SUM(ntotal-ndist) AS BIGINT) AS sum_dups
-      FROM pd GROUP BY 1 ORDER BY 1"""))
+      FROM pd GROUP BY 1 ORDER BY 1""")),
+
+    // Good–Turing frequency-of-frequencies: how many word types occur
+    // exactly c times, plus that stratum's token mass — the corpus-
+    // linguistics card behind smoothing estimators (hapax legomena =
+    // the c=1 row) and vocabulary-growth planning. Pure counts: one
+    // token-count shuffle, one count-of-counts rollup; output rows
+    // bounded by distinct frequency VALUES (≈√mass)
+    Q("q126_freq_spectrum", (s, d) => {
+      t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c")).as("token_mass"),
+          (sum(hmod(col("tok"))) % P).as("type_checksum"))
+        .select(col("c").as("freq"), col("n_types"), col("token_mass"),
+          col("type_checksum"))
+        .orderBy(col("freq"))
+    }, Some(s"""
+      WITH ex AS (SELECT unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+                  FROM documents),
+      tc AS (SELECT tok, CAST(count(*) AS BIGINT) c FROM ex GROUP BY 1)
+      SELECT c AS freq, CAST(count(*) AS BIGINT) AS n_types,
+        CAST(SUM(c) AS BIGINT) AS token_mass,
+        CAST(SUM(${sql.hmod("tok")}) % ${P} AS BIGINT) AS type_checksum
+      FROM tc GROUP BY 1 ORDER BY 1""")),
+
+    // per-source vocabulary card: token mass, type count, types
+    // EXCLUSIVE to the source (df-over-sources = 1 — the q55 df idea
+    // at source granularity), and the integer type-token ratio — the
+    // lexical-diversity row a corpus card prints per provenance
+    Q("q127_vocab_by_source", (s, d) => {
+      val ex = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val tc = ex.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .cut() // feeds the df-over-sources rollup and the per-source card
+      val df = tc.groupBy(col("tok"))
+        .agg(count(lit(1)).as("nsrc"))
+      tc.join(df, "tok")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_exclusive"),
+          (sum(hmod(col("tok"))) % P).as("type_checksum"))
+        .withColumn("ttr_ppm", expr("(1000000 * n_types) div n_tokens"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH ex AS (SELECT source,
+                    unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+                  FROM documents),
+      tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) c
+             FROM ex GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) nsrc FROM tc GROUP BY 1)
+      SELECT source,
+        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+        CAST(SUM(${sql.hmod("tok")}) % ${P} AS BIGINT) AS type_checksum,
+        CAST((1000000 * count(*)) // SUM(c) AS BIGINT) AS ttr_ppm
+      FROM tc JOIN df USING (tok) GROUP BY 1 ORDER BY 1"""))
   )
 }

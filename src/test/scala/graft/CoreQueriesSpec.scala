@@ -64,4 +64,34 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(top.getAs[String]("word") == direct.getAs[String]("w"))
     assert(top.getAs[Long]("cnt") == direct.getAs[Long]("count"))
   }
+
+  test("q126/q127: spectrum and per-source vocab close over the corpus token mass") {
+    import org.apache.spark.sql.functions._
+    val corpusTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    val spec = SparkEntry.queries("q126_freq_spectrum")(spark, sf).collect()
+    // Σ freq·n_types = Σ token_mass = corpus token count (Good–Turing
+    // mass closure), and hapax stratum exists on real text
+    assert(spec.map(r => r.getAs[Long]("freq") * r.getAs[Long]("n_types")).sum
+      == corpusTokens)
+    assert(spec.map(_.getAs[Long]("token_mass")).sum == corpusTokens)
+    // the synthetic vocab is tiny, so every type recurs (no hapax row
+    // at this sf) — pin a non-degenerate multi-stratum spectrum instead
+    assert(spec.length > 1)
+    assert(spec.map(_.getAs[Long]("freq")).distinct.length == spec.length)
+    val voc = SparkEntry.queries("q127_vocab_by_source")(spark, sf).collect()
+    assert(voc.map(_.getAs[Long]("n_tokens")).sum == corpusTokens)
+    val globalTypes = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().count()
+    // Σ per-source exclusive types ≤ global type count; per-source
+    // types ≥ exclusives; ttr is the integer ratio
+    assert(voc.map(_.getAs[Long]("n_exclusive")).sum <= globalTypes)
+    voc.foreach { r =>
+      assert(r.getAs[Long]("n_exclusive") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Long]("ttr_ppm") ==
+        1000000L * r.getAs[Long]("n_types") / r.getAs[Long]("n_tokens"))
+    }
+  }
 }

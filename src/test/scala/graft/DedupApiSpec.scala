@@ -747,6 +747,34 @@ class DedupApiSpec extends AnyFunSuite {
         r.getAs[Long]("n_common")).toString).toSeq)
   }
 
+  test("q125: soft-dedup weights — labels ≡ q56, family mass ≈ 1e6 within div remainder") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = Dedup.softDedupWeights(docs).collect()
+    assert(rows.length == docs.count())
+    // labels are exactly the q56 clustering
+    val lab = Dedup.clusters(docs).select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") == lab(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("weight_ppm") ==
+        1000000L / r.getAs[Long]("cluster_size"))
+    }
+    // soft-dedup's defining invariant: each family contributes one
+    // doc's worth (10⁶ ppm) up to the integer-div remainder, so the
+    // effective corpus size is the cluster count
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, members) =>
+      val size = members.head.getAs[Long]("cluster_size")
+      val mass = members.map(_.getAs[Long]("weight_ppm")).sum
+      assert(members.length.toLong == size)
+      assert(mass <= 1000000L && 1000000L - mass < size)
+    }
+    // the corpus HAS multi-doc families (the planted pairs) — the
+    // weights are not a constant-1e6 triviality
+    assert(rows.exists(_.getAs[Long]("cluster_size") > 1L))
+  }
+
   test("q115: cross-source matrix accounts for every near-dup pair, normalized and pure") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
