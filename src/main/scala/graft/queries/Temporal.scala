@@ -94,6 +94,112 @@ object Temporal {
         FROM sid GROUP BY 1, 2)
       SELECT user_id, count(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
              CAST(MAX(dur) AS BIGINT) AS longest_ms
-      FROM sess GROUP BY 1 ORDER BY 1"""))
+      FROM sess GROUP BY 1 ORDER BY 1""")),
+
+    // rolling 7-day distinct active users (DAU/WAU) — the sliding
+    // DISTINCT that naive windowing can't do: formulated SHUFFLE-
+    // FRIENDLY as an explode of each (day, user) into its 7 target
+    // days + one distinct-count groupBy, never a range join (a
+    // 30-row broadcast range join is fine here but becomes a
+    // nested-loop fan-out at a year × 1e9 users; the explode form is
+    // Θ(7·|day-user pairs|) of narrow rows with map-side combine).
+    // Day = integer offset from 2024-01-01 (engine-exact under the
+    // pinned UTC session, the q11 convention)
+    Q("q128_rolling_active_users", (s, d) => {
+      val du = t(s, d, "events")
+        .select(datediff(to_date(col("ts")), lit("2024-01-01")).as("d"),
+          col("user_id"))
+        .distinct()
+      val days = du.select(col("d")).distinct()
+      du.select(explode(expr("sequence(d, d + 6)")).as("day"), col("user_id"))
+        .join(days.withColumnRenamed("d", "day"), Seq("day"), "leftsemi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .join(du.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau")),
+          "day")
+        .select(col("day").cast("long").as("day"), col("dau"), col("wau"))
+        .orderBy(col("day"))
+    }, Some("""
+      WITH du AS (SELECT DISTINCT
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) d,
+                    user_id
+                  FROM events),
+      days AS (SELECT DISTINCT d FROM du),
+      ex AS (SELECT unnest(generate_series(d, d + 6)) AS day, user_id FROM du),
+      wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) wau
+              FROM ex WHERE day IN (SELECT d FROM days) GROUP BY 1),
+      dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) dau FROM du GROUP BY 1)
+      SELECT CAST(day AS BIGINT) AS day, dau, wau
+      FROM dau JOIN wau USING (day) ORDER BY day""")),
+
+    // first-touch event funnel: users whose FIRST view precedes their
+    // first click precedes their first purchase — the product-
+    // analytics conversion ladder as one per-user min-ts aggregate
+    // (scan-stage conditional mins, one shuffle on user_id, a 3-row
+    // bounded rollup; deterministic under the strict-< rule)
+    Q("q129_event_funnel", (s, d) => {
+      val mt = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      mt.agg(
+          sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("s1"),
+          sum(when(col("tv").isNotNull && col("tc").isNotNull &&
+            col("tv") < col("tc"), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("tv").isNotNull && col("tc").isNotNull &&
+            col("tp").isNotNull && col("tv") < col("tc") &&
+            col("tc") < col("tp"), 1L).otherwise(0L)).as("s3"))
+        .selectExpr("stack(3, '1_view', s1, '2_click', s2, '3_purchase', s3) " +
+          "AS (step, n_users)")
+        .orderBy(col("step"))
+    }, Some("""
+      WITH mt AS (
+        SELECT user_id,
+          min(CASE WHEN event_type='view' THEN ts END) tv,
+          min(CASE WHEN event_type='click' THEN ts END) tc,
+          min(CASE WHEN event_type='purchase' THEN ts END) tp
+        FROM events GROUP BY 1),
+      agg AS (
+        SELECT
+          CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) s1,
+          CAST(SUM(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tv < tc
+                   THEN 1 ELSE 0 END) AS BIGINT) s2,
+          CAST(SUM(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL
+                    AND tp IS NOT NULL AND tv < tc AND tc < tp
+                   THEN 1 ELSE 0 END) AS BIGINT) s3
+        FROM mt)
+      SELECT '1_view' AS step, s1 AS n_users FROM agg
+      UNION ALL SELECT '2_click', s2 FROM agg
+      UNION ALL SELECT '3_purchase', s3 FROM agg
+      ORDER BY step""")),
+
+    // retention cohort matrix: users bucketed by first-active day,
+    // distinct actives per (cohort, day offset) — the classic
+    // triangle, bounded |days|² rows; offset 0 is the cohort size.
+    // Two keyed shuffles (first-day per user, cohort-offset rollup)
+    Q("q130_retention_cohorts", (s, d) => {
+      val du = t(s, d, "events")
+        .select(datediff(to_date(col("ts")), lit("2024-01-01")).as("d"),
+          col("user_id"))
+        .distinct()
+      val first = du.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+      du.join(first, "user_id")
+        .groupBy(col("cohort"), (col("d") - col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .select(col("cohort").cast("long").as("cohort"),
+          col("day_offset").cast("long").as("day_offset"), col("n_active"))
+        .orderBy(col("cohort"), col("day_offset"))
+    }, Some("""
+      WITH du AS (SELECT DISTINCT
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) d,
+                    user_id
+                  FROM events),
+      first AS (SELECT user_id, min(d) cohort FROM du GROUP BY 1)
+      SELECT CAST(cohort AS BIGINT) AS cohort,
+        CAST(d - cohort AS BIGINT) AS day_offset,
+        CAST(count(*) AS BIGINT) AS n_active
+      FROM du JOIN first USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -94,4 +94,36 @@ class CoreQueriesSpec extends AnyFunSuite {
         1000000L * r.getAs[Long]("n_types") / r.getAs[Long]("n_tokens"))
     }
   }
+
+  test("q128/q129/q130: event-analytics invariants (windows, funnel, cohorts)") {
+    import org.apache.spark.sql.functions._
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    val roll = SparkEntry.queries("q128_rolling_active_users")(spark, sf).collect()
+    assert(roll.nonEmpty)
+    // a 7-day window can only add actives over its last day
+    roll.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"))
+      assert(r.getAs[Long]("wau") <= users)
+    }
+    // window widening must bite somewhere (wau > dau on some day)
+    assert(roll.exists(r => r.getAs[Long]("wau") > r.getAs[Long]("dau")))
+    val fun = SparkEntry.queries("q129_event_funnel")(spark, sf).collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(fun("1_view") >= fun("2_click") &&
+      fun("2_click") >= fun("3_purchase"))
+    assert(fun("1_view") <= users && fun("3_purchase") >= 0)
+    val coh = SparkEntry.queries("q130_retention_cohorts")(spark, sf).collect()
+    // offset-0 rows are the cohort sizes and sum to the user count
+    val sizes = coh.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(_.getAs[Long]("n_active"))
+    assert(sizes.sum == users)
+    // no (cohort, offset) cell can exceed its cohort size
+    val sizeOf = coh.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(r => r.getAs[Long]("cohort") -> r.getAs[Long]("n_active")).toMap
+    coh.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= sizeOf(r.getAs[Long]("cohort")))
+      assert(r.getAs[Long]("day_offset") >= 0L)
+    }
+  }
 }
