@@ -1167,25 +1167,28 @@ object Dedup {
                        cfg: LshConfig = LshConfig()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val r1 = nearDupPairs(docs, cfg)
-      .select(col("a_id"), col("b_id"), lit("minhash").as("r"))
-    val r2 = simhashPairs(docs, cfg)
-      .select(col("a_id"), col("b_id"), lit("simhash").as("r"))
-    val r3 = ngramJaccardPairs(docs, jaccardThreshold, cfg)
-      .select(col("a_id"), col("b_id"), lit("jaccard").as("r"))
-    val allp = r1.unionByName(r2).unionByName(r3)
-      .cut() // both sides of the agreement self-join
-    val m = allp.as("x").join(allp.as("y"),
-        col("x.a_id") === col("y.a_id") && col("x.b_id") === col("y.b_id") &&
-          col("x.r") <= col("y.r"))
-      .groupBy(col("x.r").as("route_a"), col("y.r").as("route_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val names = Seq("jaccard", "minhash", "simhash")
-    val base = (for { a <- names; b <- names if a <= b } yield (a, b))
-      .toDF("route_a", "route_b")
-    base.join(m, Seq("route_a", "route_b"), "left")
-      .select(col("route_a"), col("route_b"),
-        coalesce(col("n_common"), lit(0L)).as("n_common"))
+    // each route's pair surface computed ONCE (cut narrow 2-col
+    // tables), then 3 diagonal counts + 3 pairwise equi-join counts
+    // as a union of one-row aggregates — the tagged-union self-join
+    // form emitted ~|pairs|·routes matched rows and cost 29 s at
+    // sf10; this shape is the routes' own cost + three hash joins
+    val routes = Seq(
+      "jaccard" -> ngramJaccardPairs(docs, jaccardThreshold, cfg)
+        .select(col("a_id"), col("b_id")).cut(),
+      "minhash" -> nearDupPairs(docs, cfg)
+        .select(col("a_id"), col("b_id")).cut(),
+      "simhash" -> simhashPairs(docs, cfg)
+        .select(col("a_id"), col("b_id")).cut())
+    val cells = for {
+      (na, pa) <- routes
+      (nb, pb) <- routes
+      if na <= nb
+    } yield {
+      val common = if (na == nb) pa else pa.join(pb, Seq("a_id", "b_id"))
+      common.agg(count(lit(1)).as("n_common"))
+        .select(lit(na).as("route_a"), lit(nb).as("route_b"), col("n_common"))
+    }
+    cells.reduce(_.unionByName(_))
   }
 
   /** Keep-best survivorship audit — measure-don't-guess for the

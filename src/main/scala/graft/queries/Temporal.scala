@@ -200,6 +200,37 @@ object Temporal {
         CAST(d - cohort AS BIGINT) AS day_offset,
         CAST(count(*) AS BIGINT) AS n_active
       FROM du JOIN first USING (user_id)
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // burst detection — the brute-force/bot heuristic of the
+    // reference's log-analytics domain: each user's peak event count
+    // inside any trailing 10-minute window, via a per-user RANGE
+    // frame over epoch seconds (equal-second events share a frame —
+    // identical semantics both engines; flag threshold ≥ 2 calibrated
+    // to this corpus: 91/150 users at sf0.01). The user-partitioned
+    // window is the honest shape: per-user event counts are bounded,
+    // so no partition is a skew risk (the q75 caveat applies to
+    // corpus-wide keys, not per-entity timelines)
+    Q("q131_burst_detection", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-599L, 0L)
+      t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("b", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("b")).as("peak_burst"))
+        .withColumn("is_burst", col("peak_burst") >= 2L)
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ms(ts)//1000 sec FROM events),
+      w AS (SELECT user_id,
+              CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+                RANGE BETWEEN 599 PRECEDING AND CURRENT ROW) AS BIGINT) b
+            FROM e)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(MAX(b) AS BIGINT) AS peak_burst,
+        (MAX(b) >= 2) AS is_burst
+      FROM w GROUP BY 1 ORDER BY 1"""))
   )
 }
