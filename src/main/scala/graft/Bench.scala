@@ -175,16 +175,27 @@ object Bench {
     // stays in bench_full.json): at 118 queries the 3-decimal form sits
     // ~1.7 KB — one decimal of slack buys headroom to ~135 queries
     // inside the driver's 2000-char tail window
-    def cs(v: Double): String =
-      if (v < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val shortsUnique = results.map(r => shortId(r._1)).distinct.size == results.size
     def sid(name: String): String = if (shortsUnique) shortId(name) else name
-    val compactQ = results.map(r => "\"" + sid(r._1) + "\":" + cs(r._2))
-      .mkString("{", ",", "}")
-    val compactFailed = failed.map("\"" + sid(_) + "\"").mkString("[", ",", "]")
-    val compactFlaky = flaky.map(r => "\"" + sid(r._1) + "\":" + r._8)
-      .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":$compactQ,"failed":$compactFailed,"flaky_passes":$compactFlaky,"mode":"$mode","passes":$passes,"full":"$out","sf":"$sfDir"}"""
+    // adaptive precision: 2 decimals while the line fits, else 1 — the
+    // query count grows every round and the 2000-char tail window does
+    // not; the guard keeps the compact line parseable FOREVER (full ms
+    // precision always lives in bench_full.json)
+    def render(decimals: Int): String = {
+      def cs(v: Double): String =
+        if (v < 0) "-1"
+        else s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+      val compactQ = results.map(r => "\"" + sid(r._1) + "\":" + cs(r._2))
+        .mkString("{", ",", "}")
+      val compactFailed = failed.map("\"" + sid(_) + "\"").mkString("[", ",", "]")
+      val compactFlaky = flaky.map(r => "\"" + sid(r._1) + "\":" + r._8)
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":$compactQ,"failed":$compactFailed,"flaky_passes":$compactFlaky,"mode":"$mode","passes":$passes,"full":"$out","sf":"$sfDir"}"""
+    }
+    val compact = {
+      val two = render(2)
+      if (two.length <= 1800) two else render(1)
+    }
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(compact)

@@ -2335,6 +2335,67 @@ object Pipeline {
         SELECT 'd_concat', sd.ns, t.total_tokens, sd.pad FROM sd, tot t)
       SELECT strategy, n_seqs, total_tokens, pad_tokens,
         CAST((1000000 * total_tokens) // (n_seqs * 256) AS BIGINT) AS util_ppm
-      FROM allr ORDER BY strategy"""))
+      FROM allr ORDER BY strategy""")),
+
+    // perplexity-bucket partitioning — CCNet's head/middle/tail split
+    // (Wenzek et al. 2020 §4.3: rank documents by LM perplexity, train
+    // preferentially on the fluent head). The LM is q109's bigram
+    // model; a doc's integer score s = ⌊num/nbg⌋ (floor of the mean
+    // per-bigram ratio — higher = more fluent). Buckets by FIXED
+    // calibrated thresholds (head s ≥ 35000, tail s < 34000, middle
+    // between, bigram-less docs '3_short') — a scan-stage CASE, NOT a
+    // corpus-wide rank: the exact-tertile form needs a total-order
+    // window (single-partition sort at 100 TB), while CCNet itself
+    // thresholds on scalars computed once from a sample. Calibrated
+    // on this corpus: ≈30/40/30 at both gate sfs, all buckets live.
+    // Per bucket: docs, bigram mass, exact score range, membership
+    // checksum. Cost: q109's model (clone-collapsed, O(distinct
+    // bigrams) shuffle) + one bounded 4-row rollup
+    Q("q133_perplexity_buckets", (s, d) => {
+      bigramLmScore(t(s, d, "documents"))
+        .withColumn("sc",
+          when(col("nbg") > 0, expr("num div nbg")).otherwise(lit(0L)))
+        .withColumn("bucket",
+          when(col("nbg") === 0L, lit("3_short"))
+            .when(col("sc") >= 35000L, lit("0_head"))
+            .when(col("sc") < 34000L, lit("2_tail"))
+            .otherwise(lit("1_middle")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nbg")).as("bigram_mass"),
+          min(col("sc")).as("min_s"),
+          max(col("sc")).as("max_s"),
+          (sum(hmod(col("doc_id").cast("string"))) % P).as("doc_checksum"))
+        .orderBy(col("bucket"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      bgl AS (SELECT doc_id, CASE WHEN len(tk) >= 2
+                THEN [tk[i]||' '||tk[i+1] for i in generate_series(1, len(tk)-1)]
+                ELSE [] END bs FROM tk),
+      ex AS (SELECT doc_id, unnest(bs) bg FROM bgl),
+      c2 AS (SELECT bg, CAST(count(*) AS BIGINT) c2 FROM ex GROUP BY 1),
+      c1 AS (SELECT split_part(bg,' ',1) pr, CAST(SUM(c2) AS BIGINT) c1
+             FROM c2 GROUP BY 1),
+      r AS (SELECT bg, CAST((1000000*c2) // c1 AS BIGINT) r
+            FROM c2 JOIN c1 ON split_part(c2.bg,' ',1) = c1.pr),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) nbg,
+                CAST(SUM(r.r) AS BIGINT) num
+              FROM ex JOIN r USING (bg) GROUP BY 1),
+      sc AS (SELECT d.doc_id, COALESCE(nbg, 0) nbg,
+               CASE WHEN COALESCE(nbg, 0) > 0 THEN num // nbg ELSE 0 END s
+             FROM documents d LEFT JOIN per USING (doc_id)),
+      b AS (SELECT doc_id, nbg, s,
+              CASE WHEN nbg = 0 THEN '3_short'
+                   WHEN s >= 35000 THEN '0_head'
+                   WHEN s < 34000 THEN '2_tail'
+                   ELSE '1_middle' END bucket
+            FROM sc)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nbg) AS BIGINT) AS bigram_mass,
+        CAST(MIN(s) AS BIGINT) AS min_s, CAST(MAX(s) AS BIGINT) AS max_s,
+        CAST(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}) % ${P} AS BIGINT)
+          AS doc_checksum
+      FROM b GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -285,6 +285,95 @@ object Similarity {
           col("sd") * lit(21)).as("is_outlier"))
   }
 
+  /** Product-quantization recall audit — the VECTOR-quantization
+    * member of the compression family (Jégou, Douze & Schmid, TPAMI
+    * 2011: split each vector into m subvectors, quantize each against
+    * its own k-codeword codebook, estimate distances from the m code
+    * bytes alone), next to q112's SCALAR int8 codec: PQ stores
+    * 64 int64 dims as m=4 codes (128× smaller) and answers queries by
+    * Asymmetric Distance Computation — exact query subvector vs the
+    * quantized database. Codebooks here are the q45 coarse-quantizer
+    * convention (codewords = the subvectors of the 16 lowest-id
+    * vectors — fixed, data-independent, reproducible; the ITERATED
+    * k-means refinement is q77's gate and composes here unchanged),
+    * so every arithmetic step is exact int64 and the oracle replays
+    * the whole pipeline: encode = per-subspace argmin with the (d²,
+    * code) struct-min tie-break, ADC = Σ_s d²(q_s, cb_s[code_s(x)]),
+    * truth = exact L2 brute top-k, recall = integer hits / k.
+    *
+    * 100 TB shape — NOT the q108 |Q|·n diagnostic contract: the query
+    * set is id-bounded (≤ 8 at ANY scale factor — vec_id < 800), so
+    * every pass is LINEAR in n: encoding is n·m·k codegen kernel evals
+    * against a 64-row broadcast codebook + one (vec_id, sub) argmin
+    * groupBy; ADC joins the 4n-row code table to a ≤512-row broadcast
+    * ADC table and sums 4 partials per (query, vector) through a
+    * map-side-combined groupBy; selection is TopKPerKey bounded heaps.
+    * The brute L2 truth side is the same 8·n linear pass q28 runs. */
+  def pqRecallAudit(vectors: DataFrame, dim: Int = 64, m: Int = 4,
+                    k: Int = 3): DataFrame = {
+    import graft.functions.VectorExprs.longSqDist
+    val sub = dim / m
+    val iv = vectors.select(col("vec_id"), iscale(col("embedding")).as("v"))
+      .cut() // feeds codebook, encoding, queries and the truth pass
+    // codebooks: subvectors of the 16 lowest-id vectors (code = vec_id)
+    val cb = iv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"),
+        explode(array((0 until m).map(si =>
+          struct(lit(si.toLong).as("sub"),
+            slice(col("v"), si * sub + 1, sub).as("cw"))): _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.cw").as("cw"))
+    // encode: per-subspace argmin over the broadcast codebook
+    val codes = iv
+      .select(col("vec_id"),
+        explode(array((0 until m).map(si =>
+          struct(lit(si.toLong).as("sub"),
+            slice(col("v"), si * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(longSqDist(col("sv"), col("cw")).as("d"), col("code")).as("dc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    // id-bounded query set: ≤ 8 queries at any scale factor
+    val qset = iv.filter(col("vec_id") % 100 === 0 && col("vec_id") < 800)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // ADC lookup table: exact query subvector vs every codeword
+    val adc = qset
+      .select(col("query_id"),
+        explode(array((0 until m).map(si =>
+          struct(lit(si.toLong).as("sub"),
+            slice(col("qv"), si * sub + 1, sub).as("qs"))): _*)).as("e"))
+      .select(col("query_id"), col("e.sub").as("sub"), col("e.qs").as("qs"))
+      .join(broadcast(cb), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        longSqDist(col("qs"), col("cw")).as("d2"))
+    // estimated distance = Σ over subspaces of the looked-up partials
+    val est = codes.join(broadcast(adc), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("est"))
+    val approx = graft.plans.TopK.perKey(
+        est.select(col("query_id"), col("vec_id").as("neighbor_id"), col("est")),
+        keys = Seq(col("query_id")),
+        order = Seq(col("est").asc, col("neighbor_id").asc), k = k)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    // exact L2 brute truth (linear: ≤ 8 broadcast queries)
+    val truth = graft.plans.TopK.perKey(
+        iv.join(broadcast(qset), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            longSqDist(col("qv"), col("v")).as("dist2")),
+        keys = Seq(col("query_id")),
+        order = Seq(col("dist2").asc, col("neighbor_id").asc), k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), lit("pq_adc").as("method"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / k).as("recall"))
+  }
+
   /** Shared ANN tail: keep top-k (cosine desc, neighbor_id asc) per
     * query via TopKPerKey, then re-derive the dense rank over the
     * tiny surviving set (k rows per query) for the gate output. */
@@ -701,6 +790,56 @@ object Similarity {
               FROM dist GROUP BY 1)
       SELECT d.vec_id, d.label AS label, d.dist2,
         (20 * CAST(d.dist2 AS HUGEINT) * a.n > 21 * a.sd) AS is_outlier
-      FROM dist d JOIN agg a USING (label) ORDER BY d.vec_id"""))
+      FROM dist d JOIN agg a USING (label) ORDER BY d.vec_id""")),
+
+    // product-quantization recall audit: 64 dims → 4 code bytes
+    // (subvector argmin against fixed 16-codeword codebooks), ADC
+    // estimated distances vs exact L2 brute truth — what 128×
+    // compression costs in top-3 recall, measured; linear in n (the
+    // query set is id-bounded), so this stays in the production
+    // surface at any scale factor
+    Q("q136_pq_recall", (s, d) => {
+      pqRecallAudit(t(s, d, "embeddings"))
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH $ivCte,
+      cb AS (SELECT g.sub sub, vec_id code,
+               v[g.sub*16+1 : g.sub*16+16] cw
+             FROM iv, generate_series(0,3) g(sub) WHERE vec_id < 16),
+      ex AS (SELECT vec_id, g.sub sub, v[g.sub*16+1 : g.sub*16+16] sv
+             FROM iv, generate_series(0,3) g(sub)),
+      enc AS (SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, e.sub, c.code,
+                  row_number() OVER (PARTITION BY e.vec_id, e.sub ORDER BY
+                    CAST(list_sum([(e.sv[i]-c.cw[i])*(e.sv[i]-c.cw[i])
+                                   for i in generate_series(1,16)]) AS BIGINT),
+                    c.code) rn
+                FROM ex e JOIN cb c USING (sub)) WHERE rn = 1),
+      q0 AS (SELECT vec_id query_id, v qv FROM iv
+             WHERE vec_id % 100 = 0 AND vec_id < 800),
+      adc AS (SELECT q.query_id, c.sub, c.code,
+                CAST(list_sum([(q.qv[c.sub*16+i]-c.cw[i])*(q.qv[c.sub*16+i]-c.cw[i])
+                               for i in generate_series(1,16)]) AS BIGINT) d2
+              FROM q0 q, cb c),
+      est AS (SELECT a.query_id, e.vec_id, CAST(SUM(a.d2) AS BIGINT) est
+              FROM enc e JOIN adc a USING (sub, code)
+              WHERE e.vec_id <> a.query_id GROUP BY 1, 2),
+      pq AS (SELECT query_id, vec_id neighbor_id FROM (
+               SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY est, vec_id) rk FROM est) WHERE rk <= 3),
+      bt AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, n.vec_id neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   CAST(list_sum([(q.qv[i]-n.v[i])*(q.qv[i]-n.v[i])
+                                  for i in generate_series(1,64)]) AS BIGINT),
+                   n.vec_id) rk
+               FROM q0 q, iv n WHERE n.vec_id <> q.query_id) WHERE rk <= 3)
+      SELECT t.query_id, 'pq_adc' AS method,
+        CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+        CAST(COUNT(l.neighbor_id) AS DOUBLE)/3 AS recall
+      FROM bt t LEFT JOIN pq l
+        ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Tables._
+import graft.functions.ExactCols._
 import graft.operators.TimeJoins
 
 /** Temporal correlation through the correctness gate: the bucketed
@@ -231,6 +233,124 @@ object Temporal {
       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         CAST(MAX(b) AS BIGINT) AS peak_burst,
         (MAX(b) >= 2) AS is_burst
-      FROM w GROUP BY 1 ORDER BY 1"""))
+      FROM w GROUP BY 1 ORDER BY 1""")),
+
+    // beacon-regularity detection — the complement of q131's burst
+    // heuristic in the reference's log-analytics domain (C2 beacons
+    // call home on a TIMER: near-constant inter-arrival gaps, i.e.
+    // coefficient of variation << 1, where organic activity is
+    // bursty-Poisson with CV ≈ 1). Per user: consecutive inter-
+    // arrival gaps in epoch seconds (lag window over a per-entity
+    // timeline — bounded partitions, the q131 no-skew argument), then
+    // one integer aggregate. CV² = (n·Σd² − (Σd)²)/(Σd)² compared
+    // against 3/4 by cross-multiplication — no division crosses the
+    // oracle; products go through DECIMAL(38,0)/HUGEINT so the test
+    // is exact at any gap magnitude. cv2_ppm = ⌊10⁶·num/(Σd)²⌋ rides
+    // along for ranking (same floor on both engines). Calibration on
+    // this corpus: CV² spans [0.60, 1.63], p10 ≈ 0.76 → the 3/4 flag
+    // marks ~10% of users as suspiciously regular (non-degenerate,
+    // both directions live)
+    Q("q132_beacon_regularity", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      val gaps = t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sum_gap"),
+          sum(col("gap") * col("gap")).as("sum_gap2"))
+        .withColumn("num",
+          col("n_gaps").cast(dec) * col("sum_gap2").cast(dec) -
+            col("sum_gap").cast(dec) * col("sum_gap").cast(dec))
+        .withColumn("den", col("sum_gap").cast(dec) * col("sum_gap").cast(dec))
+        .select(col("user_id"), col("n_gaps"), col("sum_gap"), col("sum_gap2"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * num) div den")
+            .cast(LongType).as("cv2_ppm"),
+          (col("num") * lit(4).cast(dec) <= col("den") * lit(3).cast(dec))
+            .as("is_beacon"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ms(ts)//1000 sec FROM events),
+      g AS (SELECT user_id,
+              sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) gap
+            FROM e),
+      a AS (SELECT user_id, CAST(count(*) AS BIGINT) n_gaps,
+              CAST(SUM(gap) AS BIGINT) sum_gap,
+              CAST(SUM(CAST(gap AS HUGEINT)*gap) AS BIGINT) sum_gap2
+            FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      c AS (SELECT user_id, n_gaps, sum_gap, sum_gap2,
+              CAST(n_gaps AS HUGEINT)*sum_gap2
+                - CAST(sum_gap AS HUGEINT)*sum_gap num,
+              CAST(sum_gap AS HUGEINT)*sum_gap den
+            FROM a)
+      SELECT user_id, n_gaps, sum_gap, sum_gap2,
+        CAST((1000000 * num) // den AS BIGINT) AS cv2_ppm,
+        (4 * num <= 3 * den) AS is_beacon
+      FROM c ORDER BY user_id""")),
+
+    // hourly spike detection — count-based anomaly over the event
+    // stream (the reference's log-analytics "alert on a surge"
+    // report): per event type, hourly counts vs the trailing-24-hour
+    // baseline (RANGE frame over integer hours: rows 24..1 PRECEDING;
+    // hours with zero events are absent, so a spike verdict requires
+    // the FULL 24-hour baseline present — no inflated ratios off
+    // sparse windows). Spike when cnt·24·10 ≥ 25·Σtrailing (2.5× the
+    // trailing mean, cross-multiplied — integer-exact; 14 of 719 full
+    // windows fire at sf0.01). Rolled up per type: hours, full
+    // windows, spikes, peak ratio ppm over full windows, and a spike
+    // membership checksum Σ hmod(type:hr). The type-partitioned
+    // window is bounded by the time span, never the corpus (the
+    // per-entity-timeline argument of q131/q132 — event types are few
+    // and their hourly tables are |hours| rows after the first
+    // map-side-combined groupBy)
+    Q("q135_hourly_spike", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rangeBetween(-24L, -1L)
+      t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("ts24", sum(col("cnt")).over(w))
+        .withColumn("nh", count(lit(1)).over(w))
+        .withColumn("full", col("nh") === 24L)
+        .withColumn("spike",
+          col("full") && col("cnt") * 240L >= lit(25L) * col("ts24"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("full"), 1L).otherwise(0L)).as("n_full"),
+          sum(when(col("spike"), 1L).otherwise(0L)).as("n_spikes"),
+          coalesce(max(when(col("full"),
+            expr("(cnt * 24 * 1000000) div ts24"))), lit(0L)).as("peak_ppm"),
+          coalesce(sum(when(col("spike"),
+            hmod(concat(col("event_type"), lit(":"), col("hr"))))
+            .otherwise(0L)) % P, lit(0L)).as("spike_checksum"))
+        .orderBy(col("event_type"))
+    }, Some(s"""
+      WITH e AS (SELECT event_type, epoch_ms(ts)//3600000 hr FROM events),
+      h AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) cnt
+            FROM e GROUP BY 1, 2),
+      w AS (SELECT event_type, hr, cnt,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) ts24,
+              COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) nh
+            FROM h),
+      f AS (SELECT event_type, hr, cnt, ts24, (nh = 24) AS fl,
+              (nh = 24 AND cnt*240 >= 25*ts24) AS spike
+            FROM w)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        CAST(SUM(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+        CAST(SUM(CASE WHEN spike THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes,
+        CAST(COALESCE(MAX(CASE WHEN fl THEN (cnt*24*1000000)//ts24 END), 0)
+             AS BIGINT) AS peak_ppm,
+        CAST(COALESCE(SUM(CASE WHEN spike
+               THEN ${sql.hmod("event_type||':'||CAST(hr AS VARCHAR)")}
+               ELSE 0 END) % ${P}, 0) AS BIGINT) AS spike_checksum
+      FROM f GROUP BY 1 ORDER BY 1"""))
   )
 }

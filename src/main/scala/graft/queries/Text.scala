@@ -460,6 +460,47 @@ object Text {
         CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
         CAST(SUM(${sql.hmod("tok")}) % ${P} AS BIGINT) AS type_checksum,
         CAST((1000000 * count(*)) // SUM(c) AS BIGINT) AS ttr_ppm
-      FROM tc JOIN df USING (tok) GROUP BY 1 ORDER BY 1"""))
+      FROM tc JOIN df USING (tok) GROUP BY 1 ORDER BY 1""")),
+
+    // Zipf rank-frequency card (Zipf 1949; the corpus-statistics row
+    // next to q126's Good–Turing spectrum): top-40 token types by
+    // corpus frequency with rank, rank·frequency (Zipf predicts ≈
+    // constant) and cumulative corpus share ppm. Scale shape: the
+    // top-40 is orderBy+limit — Spark's TakeOrderedAndProject, a
+    // distributed per-partition top-k + driver merge, NEVER a
+    // single-partition sort of the vocabulary; rank/cumsum windows
+    // then run on the bounded 40-row table. The corpus token total is
+    // one scalar to the driver (the q62 contract) re-entering as a
+    // literal — not a 1-row cross join (the PlanSpec rule q121
+    // documents). Ties rank deterministically by (freq desc, token)
+    Q("q134_zipf_card", (s, d) => {
+      val tc = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .cut() // feeds the total scalar and the top-40
+      val total = tc.agg(sum(col("f"))).first().getLong(0)
+      val w = Window.orderBy(col("f").desc, col("tok").asc)
+      tc.orderBy(col("f").desc, col("tok").asc).limit(40)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .withColumn("rf", col("rank") * col("f"))
+        .withColumn("cum_share_ppm",
+          expr(s"(1000000 * sum(f) OVER (ORDER BY f DESC, tok ASC " +
+            s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) div ${total}L"))
+        .select(col("rank"), col("tok"), col("f"), col("rf"),
+          col("cum_share_ppm"))
+        .orderBy(col("rank"))
+    }, Some(s"""
+      WITH ex AS (SELECT unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+                  FROM documents),
+      c AS (SELECT tok, CAST(count(*) AS BIGINT) f FROM ex GROUP BY 1),
+      tot AS (SELECT CAST(SUM(f) AS BIGINT) total FROM c),
+      rk AS (SELECT tok, f,
+               CAST(row_number() OVER (ORDER BY f DESC, tok ASC) AS BIGINT) rank,
+               CAST(SUM(f) OVER (ORDER BY f DESC, tok ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum
+             FROM c)
+      SELECT rank, tok, f, rank * f AS rf,
+        CAST((1000000 * cum) // total AS BIGINT) AS cum_share_ppm
+      FROM rk, tot WHERE rank <= 40 ORDER BY rank"""))
   )
 }

@@ -126,4 +126,73 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("day_offset") >= 0L)
     }
   }
+
+  test("q132: beacon CV² arithmetic replays exactly from each row's own sums") {
+    val rows = SparkEntry.queries("q132_beacon_regularity")(spark, sf).collect()
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.length == users) // every user has ≥ 2 events at this sf
+    rows.foreach { r =>
+      val n = BigInt(r.getAs[Long]("n_gaps"))
+      val s = BigInt(r.getAs[Long]("sum_gap"))
+      val s2 = BigInt(r.getAs[Long]("sum_gap2"))
+      assert(n > 0 && s > 0 && s2 > 0)
+      val num = n * s2 - s * s
+      val den = s * s
+      assert(num >= 0) // Cauchy–Schwarz: n·Σd² ≥ (Σd)²
+      assert(BigInt(r.getAs[Long]("cv2_ppm")) == BigInt(1000000) * num / den)
+      assert(r.getAs[Boolean]("is_beacon") == (num * 4 <= den * 3))
+    }
+    // organic Poisson-ish traffic: CV² concentrates near 1 (1e6 ppm)
+    assert(rows.exists(_.getAs[Long]("cv2_ppm") > 500000L))
+  }
+
+  test("q133: perplexity buckets partition the corpus, ranges respect thresholds") {
+    val rows = SparkEntry.queries("q133_perplexity_buckets")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val byB = rows.map(r => r.getAs[String]("bucket") -> r).toMap
+    // all three scored buckets live at gate sf (calibration contract)
+    assert(Set("0_head", "1_middle", "2_tail").subsetOf(byB.keySet))
+    assert(byB("0_head").getAs[Long]("min_s") >= 35000L)
+    assert(byB("2_tail").getAs[Long]("max_s") < 34000L)
+    assert(byB("1_middle").getAs[Long]("min_s") >= 34000L &&
+      byB("1_middle").getAs[Long]("max_s") < 35000L)
+    // bigram mass reconciles with the q109 per-doc scores
+    val q109 = SparkEntry.queries("q109_bigram_lm")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bigram_mass")).sum ==
+      q109.map(_.getAs[Long]("nbg")).sum)
+  }
+
+  test("q134: Zipf card ranks are dense, shares monotone, rf exact") {
+    val rows = SparkEntry.queries("q134_zipf_card")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to rows.length.toLong))
+    val fs = rows.map(_.getAs[Long]("f"))
+    assert(fs.zip(fs.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getAs[Long]("rf") ==
+      r.getAs[Long]("rank") * r.getAs[Long]("f")))
+    val shares = rows.map(_.getAs[Long]("cum_share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last <= 1000000L)
+    // the tiny synthetic vocab fits entirely in the top-40 → the last
+    // cumulative share is the whole corpus (floor-exact 10⁶)
+    if (rows.length < 40) assert(shares.last == 1000000L)
+  }
+
+  test("q135: spike rollup structure (full ⊆ hours, spikes ⊆ full, checksum gated)") {
+    val rows = SparkEntry.queries("q135_hourly_spike")(spark, sf).collect()
+    assert(rows.length == 5) // one row per event type
+    rows.foreach { r =>
+      val hours = r.getAs[Long]("n_hours")
+      val full = r.getAs[Long]("n_full")
+      val spikes = r.getAs[Long]("n_spikes")
+      assert(full <= hours && spikes <= full)
+      if (full == 0) assert(r.getAs[Long]("peak_ppm") == 0L)
+      // a spike is ≥ 2.5× its trailing mean → its ratio ppm ≥ 2.5e6
+      if (spikes > 0) assert(r.getAs[Long]("peak_ppm") >= 2500000L)
+      if (spikes == 0) assert(r.getAs[Long]("spike_checksum") == 0L)
+    }
+  }
 }

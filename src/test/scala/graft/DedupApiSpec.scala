@@ -719,6 +719,48 @@ class DedupApiSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q136: PQ recall — exactly-representable corpus hits 3/3; real corpus measured; pure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hand corpus where every vector IS a codeword combination: the 16
+    // seeds (ids 0..15) plus exact copies of seeds 3 and 7 at the
+    // query ids 100/200 — quantization error is identically zero, so
+    // ADC estimated distances EQUAL exact distances and PQ must
+    // recover the exact top-3 for every query (recall 1 is structural
+    // here, not statistical)
+    val base = (0 until 16).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 8 + j) % 7).toFloat * 0.25f).toSeq)
+    }
+    val data = base ++ Seq((100L, base(3)._2), (200L, base(7)._2))
+    val vecs = data.toDF("vec_id", "embedding")
+    val rows = Similarity.pqRecallAudit(vecs, dim = 8, m = 4)
+      .orderBy(col("query_id")).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq == Seq(0L, 100L, 200L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") == 3L,
+        s"zero-quantization-error corpus must have full recall: $r")
+      assert(r.getAs[Double]("recall") == 1.0)
+    }
+    // real corpus: one row per id-bounded query, hits in [0,3], exact
+    // dyadic recall — low recall is the honest isotropic-data verdict
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.t(spark, sf, "embeddings")
+    val real = Similarity.pqRecallAudit(emb).collect()
+    val nQ = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 800).count()
+    assert(real.length == nQ && nQ > 0)
+    real.foreach { r =>
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0 && h <= 3)
+      assert(r.getAs[String]("method") == "pq_adc")
+      assert(r.getAs[Double]("recall") == h / 3.0)
+    }
+    // repartition purity
+    val again = Similarity.pqRecallAudit(emb.repartition(7))
+      .orderBy(col("query_id")).collect()
+    assert(real.sortBy(_.getAs[Long]("query_id")).map(_.toString).toSeq ==
+      again.map(_.toString).toSeq)
+  }
+
   test("q123: route matrix diagonal ≡ route pair counts; intersections bounded; pure") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"

@@ -92,6 +92,7 @@ class PlanSpec extends AnyFunSuite {
       "q108_ann_recall", // labeled diagnostic: brute truth ∩ each route
       "q112_ann_int8_recall", // labeled diagnostic: brute truth vs brute int8
       "q113_knn_label_audit", // labeled diagnostic: exact-kNN label noise probe
+      "q136_pq_recall", // id-bounded (≤8) broadcast query side: linear in n
       "q57_bm25_topk", "q74_tfidf_top1")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.sparkPlan.toString
