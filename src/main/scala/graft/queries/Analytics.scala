@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.Checkpoints._
 import graft.Tables._
 
 /** General-analytics coverage beyond the reference's single
@@ -331,6 +332,101 @@ object Analytics {
         CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
         CAST(COUNT(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS distinct_k
-      FROM events GROUP BY 1 ORDER BY 1"""))
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // market-basket lift over (user, day) baskets: for each unordered
+    // event-type pair, baskets containing both vs the independence
+    // expectation — lift_ppm = ⌊10⁶·n_both·N/(n_a·n_b)⌋, associated at
+    // lift ≥ 0.9 by integer cross-multiplication (10·n_both·N ≥
+    // 9·n_a·n_b — calibrated: corpus lifts span [0.856, 0.927], 4 of
+    // 10 pairs flag). The association-rule primitive of the
+    // reference's log-correlation domain ("accounts that error also
+    // purchase?"). Shape: one distinct over (user, day, type) —
+    // map-side combined — then a basket self-join whose fan-out is
+    // bounded by |types|² per basket, never the corpus; type totals
+    // are a broadcast |types|-row table and the basket count is one
+    // driver scalar (the q62 contract)
+    Q("q137_event_lift", (s, d) => {
+      val b = t(s, d, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("dy"),
+          col("event_type"))
+        .distinct()
+        .cut() // feeds basket count, type totals, and both join sides
+      val nBaskets = b.select(col("user_id"), col("dy")).distinct().count()
+      val ta = b.groupBy(col("event_type")).agg(count(lit(1)).as("na"))
+      val ab = b.select(col("user_id"), col("dy"), col("event_type").as("type_a"))
+        .join(b.select(col("user_id"), col("dy"), col("event_type").as("type_b")),
+          Seq("user_id", "dy"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      ab.join(broadcast(ta.select(col("event_type").as("type_a"),
+          col("na").as("n_a"))), "type_a")
+        .join(broadcast(ta.select(col("event_type").as("type_b"),
+          col("na").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+          col("n_b"), lit(nBaskets).as("n_baskets"),
+          expr(s"(1000000 * n_both * ${nBaskets}L) div (n_a * n_b)")
+            .as("lift_ppm"),
+          (col("n_both") * lit(nBaskets) * 10L >=
+            col("n_a") * col("n_b") * 9L).as("associated"))
+        .orderBy(col("type_a"), col("type_b"))
+    }, Some("""
+      WITH b AS (SELECT DISTINCT user_id, epoch_ms(ts)//86400000 dy, event_type
+                 FROM events),
+      n AS (SELECT CAST(count(*) AS BIGINT) n_baskets
+            FROM (SELECT DISTINCT user_id, dy FROM b)),
+      ta AS (SELECT event_type, CAST(count(*) AS BIGINT) na FROM b GROUP BY 1),
+      ab AS (SELECT a.event_type type_a, c.event_type type_b,
+               CAST(count(*) AS BIGINT) n_both
+             FROM b a JOIN b c ON a.user_id = c.user_id AND a.dy = c.dy
+               AND a.event_type < c.event_type
+             GROUP BY 1, 2)
+      SELECT type_a, type_b, n_both, x.na AS n_a, y.na AS n_b, n.n_baskets,
+        CAST((1000000 * n_both * n.n_baskets) // (x.na * y.na) AS BIGINT)
+          AS lift_ppm,
+        (n_both * n.n_baskets * 10 >= x.na * y.na * 9) AS associated
+      FROM ab JOIN ta x ON x.event_type = ab.type_a
+        JOIN ta y ON y.event_type = ab.type_b, n
+      ORDER BY type_a, type_b""")),
+
+    // 3-round integer PageRank over the symmetrized customer–supplier
+    // trade graph (edges = distinct (cust, supp) pairs connected
+    // through orders⋈lineitem, both directions so no node dangles) —
+    // graph centrality, gate-able bit-exactly because every round is
+    // pure int64/DECIMAL floor arithmetic (graft.operators.PageRank;
+    // the oracle unrolls the 3 rounds as chained CTEs). Suppliers are
+    // the hubs: ranks up to ~12.6·10⁶ µ vs customer ranks ~1.6–4.8·10⁵
+    Q("q138_pagerank", (s, d) => {
+      val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("a"),
+          concat(lit("S"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.PageRank.ranks(edges, rounds = 3)
+        .orderBy(col("node"))
+    }, Some("""
+      WITH e0 AS (SELECT DISTINCT 'C'||CAST(o.o_custkey AS VARCHAR) a,
+                    'S'||CAST(l.l_suppkey AS VARCHAR) b
+                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      ed AS (SELECT a src, b dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) deg FROM ed GROUP BY 1),
+      r0 AS (SELECT src node, CAST(1000000 AS BIGINT) r FROM deg),
+      r1 AS (SELECT e.dst node,
+               CAST(150000 + (850000 * SUM(r.r // d.deg)) // 1000000 AS BIGINT) r
+             FROM ed e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
+             GROUP BY 1),
+      r2 AS (SELECT e.dst node,
+               CAST(150000 + (850000 * SUM(r.r // d.deg)) // 1000000 AS BIGINT) r
+             FROM ed e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node = e.src
+             GROUP BY 1),
+      r3 AS (SELECT e.dst node,
+               CAST(150000 + (850000 * SUM(r.r // d.deg)) // 1000000 AS BIGINT) r
+             FROM ed e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
+             GROUP BY 1)
+      SELECT node, r FROM r3 ORDER BY node"""))
   )
 }

@@ -181,6 +181,21 @@ class CoreQueriesSpec extends AnyFunSuite {
     if (rows.length < 40) assert(shares.last == 1000000L)
   }
 
+  test("q137: lift replays from each row's own integers; bounds hold; both verdicts live") {
+    val rows = SparkEntry.queries("q137_event_lift")(spark, sf).collect()
+    assert(rows.length == 10) // C(5,2) unordered type pairs
+    rows.foreach { r =>
+      val both = r.getAs[Long]("n_both"); val na = r.getAs[Long]("n_a")
+      val nb = r.getAs[Long]("n_b"); val n = r.getAs[Long]("n_baskets")
+      assert(both <= math.min(na, nb) && na <= n && nb <= n)
+      assert(BigInt(r.getAs[Long]("lift_ppm")) ==
+        BigInt(1000000) * both * n / (BigInt(na) * nb))
+      assert(r.getAs[Boolean]("associated") ==
+        (BigInt(both) * n * 10 >= BigInt(na) * nb * 9))
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+    }
+  }
+
   test("q135: spike rollup structure (full ⊆ hours, spikes ⊆ full, checksum gated)") {
     val rows = SparkEntry.queries("q135_hourly_spike")(spark, sf).collect()
     assert(rows.length == 5) // one row per event type
