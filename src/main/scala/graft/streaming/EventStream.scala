@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming event analytics — the ingest-side face of the q128
   * rolling-active-users gate. The batch formulation (explode each
@@ -38,5 +39,98 @@ object EventStream {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("active"))
       .select(col("day").cast("long").as("day"), col("active"))
+  }
+
+  /** Per-user first-touch funnel mins — the q129 per-user stage as a
+    * single streaming aggregate (complete/update mode; conditional
+    * `min` is order- and retraction-free, so late data only ever
+    * tightens a min). The final 3-row conversion rollup is the
+    * consumer's batch step over the emitted table — a SECOND chained
+    * streaming aggregate is unsupported, and the rollup is 3 rows.
+    * State: one (tv, tc, tp) triple per user — O(users). */
+  def funnelMinsStream(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"),
+        min(when(col("event_type") === "click", col("ts"))).as("tc"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+
+  /** Typed ingest row for the stateful per-user timelines (epoch
+    * seconds, the q131/q132 arithmetic domain). */
+  final case class UserSec(user_id: Long, sec: Long)
+
+  /** Running per-user gap statistics (public: state encoder codegen
+    * constructs it). */
+  final case class GapState(last: Long, n: Long, s: Long, s2: Long)
+
+  /** q132's row, emitted per user per micro-batch (update semantics:
+    * the latest emission per user is the current verdict). */
+  final case class BeaconRow(user_id: Long, n_gaps: Long, sum_gap: Long,
+                             sum_gap2: Long, cv2_ppm: Long, is_beacon: Boolean)
+
+  /** Streaming beacon-regularity stats — the q132 gate as an ingest:
+    * per-user inter-arrival gap sums accumulate in O(1) state
+    * (last_sec, n, Σd, Σd²) via flatMapGroupsWithState; each batch
+    * re-emits the user's current CV² verdict through the same
+    * BigInt cross-multiplication the gate's oracle uses (the hmodJvm
+    * bit-mirror doctrine). Contract (DedupStream's ordered-ingest
+    * rule): per-user event times arrive non-decreasing across
+    * batches; in-batch rows are sorted before folding. */
+  def beaconStatsStream(events: Dataset[UserSec]): Dataset[BeaconRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, BeaconRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+        var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L, 0L, 0L))
+        for (e <- evs.toSeq.sortBy(_.sec)) {
+          if (st.last != Long.MinValue) {
+            val d = e.sec - st.last
+            st = GapState(e.sec, st.n + 1, st.s + d, st.s2 + d * d)
+          } else st = GapState(e.sec, 0L, 0L, 0L)
+        }
+        state.update(st)
+        if (st.n > 0) {
+          val num = BigInt(st.n) * st.s2 - BigInt(st.s) * st.s
+          val den = BigInt(st.s) * st.s
+          Iterator(BeaconRow(uid, st.n, st.s, st.s2,
+            (BigInt(1000000) * num / den).toLong, num * 4 <= den * 3))
+        } else Iterator.empty
+      }
+  }
+
+  /** q131's row, emitted per user per micro-batch (update semantics). */
+  final case class BurstRow(user_id: Long, n_events: Long, peak_burst: Long,
+                            is_burst: Boolean)
+
+  /** Trailing-window burst state: the in-window event times (bounded
+    * by the window's event capacity, O(peak) per user — public for
+    * encoder codegen). */
+  final case class BurstState(recent: Seq[Long], n: Long, peak: Long)
+
+  /** Streaming burst detection — the q131 gate as an ingest: per user
+    * a deque of event seconds within the trailing 600 s window; each
+    * event's window count is the deque size after eviction, and the
+    * running max equals the batch RANGE-frame peak under ordered
+    * ingest (the frame of a row at t contains exactly the rows with
+    * sec ∈ [t−599, t], which under per-user non-decreasing arrival is
+    * the deque when the LAST same-second row folds). State is
+    * O(window capacity) per user, evicted as time advances. */
+  def burstStream(events: Dataset[UserSec], windowSec: Long = 600L)
+      : Dataset[BurstRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstState, BurstRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+        var st = state.getOption.getOrElse(BurstState(Vector.empty, 0L, 0L))
+        for (e <- evs.toSeq.sortBy(_.sec)) {
+          val keep = st.recent.filter(_ >= e.sec - (windowSec - 1)) :+ e.sec
+          st = BurstState(keep, st.n + 1, math.max(st.peak, keep.size.toLong))
+        }
+        state.update(st)
+        if (st.n > 0)
+          Iterator(BurstRow(uid, st.n, st.peak, st.peak >= 2L))
+        else Iterator.empty
+      }
   }
 }

@@ -479,4 +479,105 @@ class PipelineStreamSpec extends AnyFunSuite {
       assert(wau(day) == r.getAs[Long]("wau"), s"wau mismatch day $day")
     }
   }
+
+  test("streaming funnel mins (complete mode) roll up to the q129 gate counts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select("ts", "user_id", "event_type").collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0), r.getLong(1), r.getString(2)))
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = EventStream
+      .funnelMinsStream(in.toDF().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("complete").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // consumer-side 3-row rollup over the per-user min table
+      val mins = spark.table("funnel_stream").collect().map { r =>
+        def t(i: Int): Option[Long] =
+          Option(r.getAs[java.sql.Timestamp](i)).map(_.getTime)
+        (t(1), t(2), t(3))
+      }
+      val s1 = mins.count(_._1.isDefined).toLong
+      val s2 = mins.count(m => m._1.isDefined && m._2.isDefined &&
+        m._1.get < m._2.get).toLong
+      val s3 = mins.count(m => m._1.isDefined && m._2.isDefined &&
+        m._3.isDefined && m._1.get < m._2.get && m._2.get < m._3.get).toLong
+      val gate = graft.SparkEntry.queries("q129_event_funnel")(spark, sf)
+        .collect().map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users"))
+        .toMap
+      assert(Map("1_view" -> s1, "2_click" -> s2, "3_purchase" -> s3) == gate)
+    } finally q.stop()
+  }
+
+  test("streaming beacon stats (ordered ingest) equal the q132 gate rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // per-user non-decreasing arrival: feed in global ts order
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_timestamp(ts) as sec")
+      .orderBy("sec").collect()
+      .map(r => EventStream.UserSec(r.getLong(0), r.getLong(1)))
+    val in = MemoryStream[EventStream.UserSec]
+    val q = EventStream.beaconStatsStream(in.toDS())
+      .writeStream.format("memory").queryName("beacon_stream")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // update mode appends per-batch emissions: the final verdict per
+      // user is the one with the largest n_gaps (monotone per batch)
+      val fin = spark.table("beacon_stream").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.maxBy(_.getAs[Long]("n_gaps")) }
+      val gate = graft.SparkEntry.queries("q132_beacon_regularity")(spark, sf)
+        .collect()
+      assert(gate.length == fin.size)
+      for (g <- gate) {
+        val f = fin(g.getAs[Long]("user_id"))
+        for (c <- Seq("n_gaps", "sum_gap", "sum_gap2", "cv2_ppm"))
+          assert(f.getAs[Long](c) == g.getAs[Long](c),
+            s"user ${g.getAs[Long]("user_id")} column $c")
+        assert(f.getAs[Boolean]("is_beacon") == g.getAs[Boolean]("is_beacon"))
+      }
+    } finally q.stop()
+  }
+
+  test("streaming burst peaks (ordered ingest) equal the q131 gate rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_timestamp(ts) as sec")
+      .orderBy("sec").collect()
+      .map(r => EventStream.UserSec(r.getLong(0), r.getLong(1)))
+    val in = MemoryStream[EventStream.UserSec]
+    val q = EventStream.burstStream(in.toDS())
+      .writeStream.format("memory").queryName("burst_stream")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val fin = spark.table("burst_stream").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.maxBy(_.getAs[Long]("n_events")) }
+      val gate = graft.SparkEntry.queries("q131_burst_detection")(spark, sf)
+        .collect()
+      assert(gate.length == fin.size)
+      for (g <- gate) {
+        val f = fin(g.getAs[Long]("user_id"))
+        assert(f.getAs[Long]("n_events") == g.getAs[Long]("n_events"))
+        assert(f.getAs[Long]("peak_burst") == g.getAs[Long]("peak_burst"),
+          s"user ${g.getAs[Long]("user_id")}")
+        assert(f.getAs[Boolean]("is_burst") == g.getAs[Boolean]("is_burst"))
+      }
+    } finally q.stop()
+  }
 }
