@@ -427,6 +427,44 @@ object Analytics {
                CAST(150000 + (850000 * SUM(r.r // d.deg)) // 1000000 AS BIGINT) r
              FROM ed e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
              GROUP BY 1)
-      SELECT node, r FROM r3 ORDER BY node"""))
+      SELECT node, r FROM r3 ORDER BY node""")),
+
+    // mergeable quantile summary in its EXACT regime (the q66
+    // doctrine applied to rank statistics): per l_returnflag the
+    // p50/p90/p99 of l_quantity through graft.functions.QuantileSketch
+    // — buffer derived from a distinct-count pre-pass (autoBuffer) so
+    // no fold ever fires at ANY scale factor, the fail-loud guard
+    // armed behind it; quantile positions are integer rationals
+    // ⌈q·n⌉, so a row_number oracle replays them bit-exactly. The
+    // sketch tier (small buffer, self-certified rank-error bound) is
+    // property-tested in QuantileSketchSpec
+    Q("q139_quantile_sketch", (s, d) => {
+      import graft.functions.QuantileSketch
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("qty"))
+      val buf = QuantileSketch.autoBuffer(li, Seq(col("l_returnflag")), col("qty"))
+      li.groupBy(col("l_returnflag"))
+        .agg(QuantileSketch.exact(col("qty"), buf,
+          Seq((1L, 2L), (9L, 10L), (99L, 100L))).as("r"))
+        .select(col("l_returnflag"), col("r.n").as("n"),
+          element_at(col("r.q"), 1).as("p50"),
+          element_at(col("r.q"), 2).as("p90"),
+          element_at(col("r.q"), 3).as("p99"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      WITH v AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) qty
+                 FROM lineitem),
+      r AS (SELECT l_returnflag, qty,
+              row_number() OVER (PARTITION BY l_returnflag ORDER BY qty) rn,
+              count(*) OVER (PARTITION BY l_returnflag) n
+            FROM v)
+      SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(MAX(CASE WHEN rn = greatest(1, (1*n + 1) // 2) THEN qty END)
+             AS BIGINT) AS p50,
+        CAST(MAX(CASE WHEN rn = greatest(1, (9*n + 9) // 10) THEN qty END)
+             AS BIGINT) AS p90,
+        CAST(MAX(CASE WHEN rn = greatest(1, (99*n + 99) // 100) THEN qty END)
+             AS BIGINT) AS p99
+      FROM r GROUP BY 1 ORDER BY 1"""))
   )
 }
