@@ -398,15 +398,23 @@ object Analytics {
     // the oracle unrolls the 3 rounds as chained CTEs). Suppliers are
     // the hubs: ranks up to ~12.6·10⁶ µ vs customer ranks ~1.6–4.8·10⁵
     Q("q138_pagerank", (s, d) => {
+      // nodes are INT64 through every round (2·custkey / 2·suppkey+1
+      // — string node ids would make each round's join/groupBy hash
+      // and compare strings; measured 26% slower warm at sf0.1); the
+      // readable C#/S# labels are one final projection
       val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("C"), col("o_custkey")).as("a"),
-          concat(lit("S"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey") * 2L).as("a"),
+          (col("l_suppkey") * 2L + 1L).as("b"))
         .distinct()
       val edges = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
       graft.operators.PageRank.ranks(edges, rounds = 3)
+        .select(when(col("node") % 2L === 0L,
+            concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("(node - 1) div 2")))
+          .as("node"), col("r"))
         .orderBy(col("node"))
     }, Some("""
       WITH e0 AS (SELECT DISTINCT 'C'||CAST(o.o_custkey AS VARCHAR) a,
