@@ -15,6 +15,45 @@ import graft.operators.TimeJoins
   */
 object Temporal {
 
+  /** Typed rows for the q141 EWMA fold (public: encoder codegen). */
+  final case class HourCount(event_type: String, hr: Long, cnt: Long)
+  final case class EwmaRow(event_type: String, hr: Long, cnt: Long,
+                           ewma_milli: Long, spike: Boolean)
+
+  /** Integer EWMA (α = 0.3) over per-type hourly counts, in
+    * milli-units: r₁ = 1000·x₁, r_t = ⌊(3·1000·x_t + 7·r_{t−1})/10⌋,
+    * spike when the new count exceeds 2.5× the PRIOR baseline
+    * (10000·x_t > 25·r_{t−1} — integer cross-multiplication). The
+    * sequential fold is a per-entity mapGroups over the hour-ordered
+    * count rows (the q131 bounded-timeline argument: |hours| per type
+    * is the time span, never the corpus; the (type, hour) count
+    * pre-aggregate is map-side combined). Observed hours only —
+    * silent hours neither decay nor spike (documented; a zero-filled
+    * calendar is one sequence() explode away if wanted). Every step
+    * is nonneg int64 floor arithmetic, so a recursive CTE replays the
+    * whole trajectory (the q77/q97/q121 doctrine). */
+  def ewmaHourly(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[HourCount]
+      .groupByKey(_.event_type)
+      .flatMapGroups { (k, it) =>
+        var r = -1L
+        it.toSeq.sortBy(_.hr).iterator.map { h =>
+          val x = h.cnt * 1000L
+          val spike = r >= 0L && h.cnt * 10000L > 25L * r
+          r = if (r < 0L) x else (3L * x + 7L * r) / 10L
+          EwmaRow(k, h.hr, h.cnt, r, spike)
+        }
+      }
+      .toDF()
+  }
+
   val entries: Vector[Q] = Vector(
 
     // clicks within the 10 minutes preceding each error, histogrammed
@@ -351,6 +390,35 @@ object Temporal {
         CAST(COALESCE(SUM(CASE WHEN spike
                THEN ${sql.hmod("event_type||':'||CAST(hr AS VARCHAR)")}
                ELSE 0 END) % ${P}, 0) AS BIGINT) AS spike_checksum
-      FROM f GROUP BY 1 ORDER BY 1"""))
+      FROM f GROUP BY 1 ORDER BY 1""")),
+
+    // integer EWMA baseline + spike flags per event type (α = 0.3 as
+    // the 3/7-in-10 floor recursion — the smoothed complement of
+    // q135's trailing-mean window; flags fire against the PRIOR
+    // baseline, so a surge is judged by history it didn't inflate).
+    // The whole per-type trajectory is a recursive-CTE replay on the
+    // oracle side — the q77/q97/q121 fixed-trajectory doctrine
+    Q("q141_ewma_baseline", (s, d) => {
+      ewmaHourly(t(s, d, "events"))
+        .orderBy(col("event_type"), col("hr"))
+    }, Some("""
+      WITH RECURSIVE e AS (SELECT event_type, epoch_ms(ts)//3600000 hr
+                           FROM events),
+      h AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) cnt
+            FROM e GROUP BY 1, 2),
+      o AS (SELECT event_type, hr, cnt,
+              row_number() OVER (PARTITION BY event_type ORDER BY hr) rn
+            FROM h),
+      rec AS (
+        SELECT event_type, hr, cnt, rn, cnt*1000 r, false AS spike
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.event_type, o.hr, o.cnt, o.rn,
+          (3*o.cnt*1000 + 7*rec.r)//10,
+          o.cnt*10000 > 25*rec.r
+        FROM rec JOIN o ON o.event_type = rec.event_type
+          AND o.rn = rec.rn + 1)
+      SELECT event_type, hr, cnt, CAST(r AS BIGINT) AS ewma_milli, spike
+      FROM rec ORDER BY 1, 2"""))
   )
 }

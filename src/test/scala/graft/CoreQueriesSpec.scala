@@ -196,6 +196,30 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q141: EWMA trajectory replays exactly in the JVM; flags judged on prior baseline") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q141_ewma_baseline")(spark, sf).collect()
+    val counts = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("event_type", "hr").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.length == counts.size)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    for ((tpe, rs) <- byType) {
+      var r = -1L
+      for (row <- rs.sortBy(_.getAs[Long]("hr"))) {
+        val cnt = counts((tpe, row.getAs[Long]("hr")))
+        assert(row.getAs[Long]("cnt") == cnt)
+        val spike = r >= 0L && cnt * 10000L > 25L * r
+        r = if (r < 0L) cnt * 1000L else (3L * cnt * 1000L + 7L * r) / 10L
+        assert(row.getAs[Long]("ewma_milli") == r, s"$tpe@${row.getAs[Long]("hr")}")
+        assert(row.getAs[Boolean]("spike") == spike)
+      }
+    }
+    // the small-count corpus must trip the 2.5× rule somewhere
+    assert(rows.exists(_.getAs[Boolean]("spike")))
+  }
+
   test("q135: spike rollup structure (full ⊆ hours, spikes ⊆ full, checksum gated)") {
     val rows = SparkEntry.queries("q135_hourly_spike")(spark, sf).collect()
     assert(rows.length == 5) // one row per event type

@@ -761,6 +761,49 @@ class DedupApiSpec extends AnyFunSuite {
       again.map(_.toString).toSeq)
   }
 
+  test("q140: fuzzy pairs ≡ brute JVM replay (blocking lossless); clone mass; pure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0 })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    // length spread crosses bucket boundaries in both directions;
+    // clones carry instance mass
+    val names = Seq("abc", "abc", "abd", "xyz", "abcdef", "abcd",
+      "a", "ab", "abcdefgh", "zzzzzzzz", "red widget", "red widgets",
+      "red widgets")
+    val df = names.toDF("p_name")
+    val rows = Dedup.fuzzyNamePairs(df, "p_name").collect()
+      .map(r => (r.getAs[String]("na"), r.getAs[String]("nb")) -> r).toMap
+    // brute replay over distinct names: blocking must lose nothing
+    val cnt = names.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val distinctN = cnt.keys.toSeq.sorted
+    val brute = (for {
+      a <- distinctN; b <- distinctN if a < b
+      d = lev(a, b) if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(rows.keySet == brute.keySet,
+      s"blocked surface ≠ brute: ${rows.keySet} vs ${brute.keySet}")
+    for (((a, b), r) <- rows) {
+      assert(r.getAs[Long]("d") == brute((a, b)).toLong)
+      assert(r.getAs[Long]("n_a") == cnt(a) && r.getAs[Long]("n_b") == cnt(b))
+      assert(r.getAs[Long]("inst") == cnt(a) * cnt(b))
+    }
+    // the ER motivation case: a word-level near-key invisible to
+    // token-granular shingles, caught at edit granularity
+    assert(rows.contains(("red widget", "red widgets")))
+    assert(rows(("red widget", "red widgets")).getAs[Long]("inst") == 2L)
+    // repartition purity
+    val again = Dedup.fuzzyNamePairs(df.repartition(5), "p_name")
+      .orderBy(col("na"), col("nb")).collect().map(_.toString).toSeq
+    assert(rows.values.map(_.toString).toSeq.sorted == again.sorted)
+  }
+
   test("q123: route matrix diagonal ≡ route pair counts; intersections bounded; pure") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
