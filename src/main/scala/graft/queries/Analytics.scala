@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Checkpoints._
 import graft.Tables._
+import graft.functions.ExactCols.P
 
 /** General-analytics coverage beyond the reference's single
   * hard-grouping: exact percentiles, running window frames,
@@ -436,6 +437,39 @@ object Analytics {
              FROM ed e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
              GROUP BY 1)
       SELECT node, r FROM r3 ORDER BY node""")),
+
+    // graph degree-distribution card — the profile a graph pipeline
+    // prints before choosing partitioning/skew strategy (and the
+    // observability row next to q138's centrality): per side of the
+    // symmetrized trade graph, one row per distinct degree with node
+    // count and membership checksum. Bounded output (distinct degree
+    // values); one distinct + two map-side-combined groupBys
+    Q("q142_degree_card", (s, d) => {
+      val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("a"),
+          (col("l_suppkey") * 2L + 1L).as("b"))
+        .distinct()
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+      edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .select(when(col("src") % 2L === 0L, lit("customer"))
+          .otherwise(lit("supplier")).as("side"),
+          col("degree"), col("src"))
+        .groupBy(col("side"), col("degree"))
+        .agg(count(lit(1)).as("n_nodes"),
+          (sum(col("src") % P) % P).as("node_checksum"))
+        .orderBy(col("side"), col("degree"))
+    }, Some(s"""
+      WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 a, l.l_suppkey * 2 + 1 b
+                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      ed AS (SELECT a src, b dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) degree FROM ed GROUP BY 1)
+      SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+        degree, CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(SUM(src % ${P}) % ${P} AS BIGINT) AS node_checksum
+      FROM deg GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // mergeable quantile summary in its EXACT regime (the q66
     // doctrine applied to rank statistics): per l_returnflag the

@@ -374,6 +374,51 @@ object Similarity {
         (col("n_hit").cast(DoubleType) / k).as("recall"))
   }
 
+  /** Johnson–Lindenstrauss projection distortion audit — the
+    * dimensionality-reduction member of the compression family (q112
+    * quantizes VALUES, q136 quantizes SUBSPACES, this SHRINKS the
+    * space): project 64 dims onto k = 8 via a deterministic ±1 sign
+    * matrix (Achlioptas 2003's database-friendly JL variant; signs
+    * from the shared md5 hash, so both engines build the SAME matrix)
+    * and measure, per audited pair, the exact squared-distance
+    * distortion ratio_ppm = ⌊10⁶·d²_proj/(k·d²_orig)⌋ — for ±1
+    * entries E[d²_proj] = k·d²_orig, so 10⁶ is the unbiased center.
+    * Audited pairs are consecutive ids (vec_id, vec_id+1): a linear,
+    * deterministic sample — never a pair join.
+    *
+    * 100 TB shape: the projection is k static codegen sums in the
+    * scan stage (the sign matrix is resolved at PLAN time — no per-row
+    * hashing); the pair join is a 1:1 equi self-join on id; products
+    * ride DECIMAL(38,0)/HUGEINT where 10⁶·d²_proj exceeds int64.
+    * Identical consecutive vectors (d²_orig = 0, e.g. replicated
+    * corpora) are excluded — distortion of a zero distance is
+    * undefined. */
+  def jlDistortionAudit(vectors: DataFrame, k: Int = 8, dim: Int = 64)
+      : DataFrame = {
+    import graft.functions.VectorExprs.longSqDist
+    val signs: Array[Array[Long]] = Array.tabulate(k, dim)((r, i) =>
+      if (hmodJvm(s"jl:$r:${i + 1}") % 2 == 0) 1L else -1L)
+    val iv = vectors.select(col("vec_id"), iscale(col("embedding")).as("v"))
+    def proj(c: Column): Column = array((0 until k).map { r =>
+      (0 until dim).map(i => element_at(c, i + 1) * lit(signs(r)(i)))
+        .reduce(_ + _)
+    }: _*)
+    val p = iv.select(col("vec_id"), col("v"), proj(col("v")).as("p"))
+      .cut() // both sides of the 1:1 consecutive-id join
+    val a = p.select(col("vec_id").as("a_id"), col("v").as("av"),
+      col("p").as("ap"))
+    val b = p.select((col("vec_id") - 1L).as("a_id"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("p").as("bp"))
+    a.join(b, "a_id")
+      .select(col("a_id"), col("b_id"),
+        longSqDist(col("av"), col("bv")).as("d2_orig"),
+        longSqDist(col("ap"), col("bp")).as("d2_proj"))
+      .filter(col("d2_orig") > 0L)
+      .withColumn("ratio_ppm",
+        expr(s"(CAST(1000000 AS DECIMAL(38,0)) * d2_proj) div (${k} * d2_orig)")
+          .cast(LongType))
+  }
+
   /** Shared ANN tail: keep top-k (cosine desc, neighbor_id asc) per
     * query via TopKPerKey, then re-derive the dense rank over the
     * tiny surviving set (k rows per query) for the gate output. */
@@ -840,6 +885,36 @@ object Similarity {
         CAST(COUNT(l.neighbor_id) AS DOUBLE)/3 AS recall
       FROM bt t LEFT JOIN pq l
         ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // JL random-projection distortion audit: 64 → 8 dims via a
+    // deterministic ±1 matrix (signs from the shared md5), exact
+    // squared-distance distortion ppm over the linear consecutive-id
+    // pair sample — what the 8× dimension cut costs, measured
+    Q("q143_jl_distortion", (s, d) => {
+      jlDistortionAudit(t(s, d, "embeddings"))
+        .orderBy(col("a_id"))
+    }, Some(s"""
+      WITH $ivCte,
+      pr AS (SELECT vec_id, v,
+               [CAST(list_sum([CASE WHEN
+                   (${sql.hmod("'jl:'||CAST(r AS VARCHAR)||':'||CAST(i AS VARCHAR)")}) % 2 = 0
+                   THEN v[i] ELSE -v[i] END
+                   for i in generate_series(1, 64)]) AS BIGINT)
+                for r in generate_series(0, 7)] p
+             FROM iv),
+      pairs AS (SELECT a.vec_id a_id, b.vec_id b_id, a.v av, b.v bv,
+                  a.p ap, b.p bp
+                FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1),
+      dd AS (SELECT a_id, b_id,
+               CAST(list_sum([(av[i]-bv[i])*(av[i]-bv[i])
+                              for i in generate_series(1, 64)]) AS BIGINT) d2_orig,
+               CAST(list_sum([(ap[r]-bp[r])*(ap[r]-bp[r])
+                              for r in generate_series(1, 8)]) AS BIGINT) d2_proj
+             FROM pairs)
+      SELECT a_id, b_id, d2_orig, d2_proj,
+        CAST((1000000 * CAST(d2_proj AS HUGEINT)) // (8 * d2_orig) AS BIGINT)
+          AS ratio_ppm
+      FROM dd WHERE d2_orig > 0 ORDER BY a_id"""))
   )
 }

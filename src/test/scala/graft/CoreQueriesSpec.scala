@@ -196,6 +196,63 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q142: degree card closes over nodes and directed edge count") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q142_degree_card")(spark, sf).collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = orders.join(li, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
+    val nEdges = e0.count()
+    val nCust = e0.select("c").distinct().count()
+    val nSupp = e0.select("su").distinct().count()
+    val bySide = rows.groupBy(_.getAs[String]("side"))
+    assert(bySide("customer").map(_.getAs[Long]("n_nodes")).sum == nCust)
+    assert(bySide("supplier").map(_.getAs[Long]("n_nodes")).sum == nSupp)
+    // Σ degree·n_nodes per side = |undirected edges| (each edge counts
+    // once per endpoint side in the symmetrized graph)
+    for (side <- Seq("customer", "supplier"))
+      assert(bySide(side).map(r =>
+        r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum == nEdges)
+  }
+
+  test("q143: JL distortion replays exactly in the JVM on a hand fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ExactCols.hmodJvm
+    val vecs = Seq(
+      (0L, Seq(0.25f, -0.5f, 1.0f, 0.75f)),
+      (1L, Seq(-0.25f, 0.5f, 0.5f, -0.75f)),
+      (2L, Seq(1.0f, 1.0f, -1.0f, 0.25f)))
+    val rows = queries.Similarity.jlDistortionAudit(
+        vecs.toDF("vec_id", "embedding"), k = 2, dim = 4)
+      .orderBy(col("a_id")).collect()
+    assert(rows.length == 2)
+    val iv = vecs.map { case (id, e) =>
+      id -> e.map(x => Math.round(x.toDouble * 1e6)).toArray }.toMap
+    val signs = Array.tabulate(2, 4)((r, i) =>
+      if (hmodJvm(s"jl:$r:${i + 1}") % 2 == 0) 1L else -1L)
+    def proj(v: Array[Long]): Array[Long] =
+      signs.map(row => row.zip(v).map { case (s, x) => s * x }.sum)
+    for (r <- rows) {
+      val (a, b) = (iv(r.getAs[Long]("a_id")), iv(r.getAs[Long]("b_id")))
+      val d2o = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val d2p = proj(a).zip(proj(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(r.getAs[Long]("d2_orig") == d2o)
+      assert(r.getAs[Long]("d2_proj") == d2p)
+      assert(r.getAs[Long]("ratio_ppm") ==
+        (BigInt(1000000) * d2p / (BigInt(2) * d2o)).toLong)
+    }
+    // real corpus: unbiased center — mean distortion within ±40% of 1e6
+    val real = queries.Similarity.jlDistortionAudit(
+      graft.Tables.t(spark, sf, "embeddings")).collect()
+    assert(real.nonEmpty)
+    val mean = real.map(_.getAs[Long]("ratio_ppm")).sum / real.length
+    assert(mean > 600000L && mean < 1400000L, s"JL center off: $mean ppm")
+  }
+
   test("q141: EWMA trajectory replays exactly in the JVM; flags judged on prior baseline") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q141_ewma_baseline")(spark, sf).collect()
