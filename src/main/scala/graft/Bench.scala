@@ -48,11 +48,16 @@ object Bench {
     // (otherwise the first query measured absorbs ~5 s of session setup)
     try SparkEntry.queries("q01_agg_basic")(spark, sfDir).foreach(_ => ())
     catch { case _: Throwable => () }
-    // SPARK_GRAFT_ONLY=q55,q24 restricts the run (targeted timing)
+    // SPARK_GRAFT_ONLY=q55,q24 restricts the run (targeted timing);
+    // SPARK_GRAFT_SKIP=q27,q28 excludes by prefix (the sf10
+    // production-surface runs drop the labeled |Q|·n diagnostics)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+      .filterNot { case (n, _) => skip.exists(_.exists(n.startsWith)) }
     // Default protocol (round-comparable): each query runs first
     // back-to-back (the session number, which doubles as the warm
     // pass: plan compile + codegen + JIT), then SPARK_GRAFT_PASSES

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
+import graft.Checkpoints._
 import graft.Tables._
 import graft.functions.ExactCols._
 import graft.operators.TimeJoins
@@ -419,6 +420,89 @@ object Temporal {
         FROM rec JOIN o ON o.event_type = rec.event_type
           AND o.rn = rec.rn + 1)
       SELECT event_type, hr, cnt, CAST(r AS BIGINT) AS ewma_milli, spike
-      FROM rec ORDER BY 1, 2"""))
+      FROM rec ORDER BY 1, 2""")),
+
+    // bot-suspicion composite — the q101 parallel-vote pattern over
+    // the SECURITY signals (the reference domain's "flag bad actors"
+    // report): per user three independent audited heuristics vote —
+    // bursty (q131's trailing-600s peak ≥ 2), metronomic (q132's
+    // CV² ≤ 3/4 cross-multiplied), and round-the-clock (active in all
+    // 24 hours-of-day — humans sleep; 32/150 users at sf0.01 under
+    // ~66 uniform events); suspicious at ≥ 2 of 3. Each signal is one
+    // per-entity-timeline pass (bounded partitions), composed by
+    // O(users) equi-joins
+    Q("q144_bot_suspicion", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(38, 0)
+      val ev = t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        .cut() // feeds all three signal passes
+      val wB = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-599L, 0L)
+      val burst = ev.withColumn("b", count(lit(1)).over(wB))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("b")).as("peak_burst"))
+      val wG = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      val beacon = ev
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(wG))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("ng"), sum(col("gap")).as("sg"),
+          sum(col("gap") * col("gap")).as("sg2"))
+        .select(col("user_id"),
+          ((col("ng").cast(dec) * col("sg2").cast(dec) -
+            col("sg").cast(dec) * col("sg").cast(dec)) * lit(4).cast(dec) <=
+            col("sg").cast(dec) * col("sg").cast(dec) * lit(3).cast(dec))
+            .as("v_beacon"))
+      val hod = ev
+        .select(col("user_id"), expr("(sec div 3600) % 24").as("h"))
+        .groupBy(col("user_id"))
+        .agg((countDistinct(col("h")) === 24L).as("v_allhours"))
+      burst
+        .join(beacon, Seq("user_id"), "left")
+        .join(hod, Seq("user_id"))
+        .select(col("user_id"), col("n_events"), col("peak_burst"),
+          (col("peak_burst") >= 2L).as("v_burst"),
+          coalesce(col("v_beacon"), lit(false)).as("v_beacon"),
+          col("v_allhours"))
+        .withColumn("votes",
+          when(col("v_burst"), 1L).otherwise(0L) +
+            when(col("v_beacon"), 1L).otherwise(0L) +
+            when(col("v_allhours"), 1L).otherwise(0L))
+        .withColumn("suspicious", col("votes") >= 2L)
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ms(ts)//1000 sec FROM events),
+      wb AS (SELECT user_id,
+               CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 599 PRECEDING AND CURRENT ROW) AS BIGINT) b
+             FROM e),
+      burst AS (SELECT user_id, CAST(count(*) AS BIGINT) n_events,
+                  CAST(MAX(b) AS BIGINT) peak_burst
+                FROM wb GROUP BY 1),
+      g AS (SELECT user_id,
+              sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) gap
+            FROM e),
+      bc AS (SELECT user_id,
+               (4 * (CAST(count(*) AS HUGEINT) * SUM(CAST(gap AS HUGEINT)*gap)
+                     - CAST(SUM(gap) AS HUGEINT) * SUM(gap))
+                <= 3 * CAST(SUM(gap) AS HUGEINT) * SUM(gap)) v_beacon
+             FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      hod AS (SELECT user_id,
+                (count(DISTINCT (sec//3600) % 24) = 24) v_allhours
+              FROM e GROUP BY 1),
+      j AS (SELECT b.user_id, b.n_events, b.peak_burst,
+              (b.peak_burst >= 2) v_burst,
+              COALESCE(bc.v_beacon, false) v_beacon, h.v_allhours
+            FROM burst b LEFT JOIN bc USING (user_id)
+              JOIN hod h ON h.user_id = b.user_id)
+      SELECT user_id, n_events, peak_burst, v_burst, v_beacon, v_allhours,
+        CAST((CASE WHEN v_burst THEN 1 ELSE 0 END) +
+             (CASE WHEN v_beacon THEN 1 ELSE 0 END) +
+             (CASE WHEN v_allhours THEN 1 ELSE 0 END) AS BIGINT) AS votes,
+        ((CASE WHEN v_burst THEN 1 ELSE 0 END) +
+         (CASE WHEN v_beacon THEN 1 ELSE 0 END) +
+         (CASE WHEN v_allhours THEN 1 ELSE 0 END)) >= 2 AS suspicious
+      FROM j ORDER BY user_id"""))
   )
 }

@@ -98,6 +98,38 @@ object EventStream {
       }
   }
 
+  /** EWMA state per entity: −1 sentinel = no baseline yet (public for
+    * encoder codegen). */
+  final case class EwmaState(r: Long)
+
+  /** Streaming EWMA — the q141 gate as an ingest of per-(type, hour)
+    * count rows (the shape a metrics pipeline emits): per event type
+    * one O(1) state scalar folds r' = ⌊(3·1000·x + 7·r)/10⌋ in the
+    * gate's exact integer arithmetic, each input row emitting its
+    * (hr, cnt, ewma_milli, spike) verdict exactly once — so the union
+    * of emissions across micro-batches equals the batch trajectory
+    * row-for-row. Ordered-ingest contract (the DedupStream rule):
+    * per-type hours arrive non-decreasing across batches; in-batch
+    * rows are sorted before folding. */
+  def ewmaStream(hourly: Dataset[graft.queries.Temporal.HourCount])
+      : Dataset[graft.queries.Temporal.EwmaRow] = {
+    val spark = hourly.sparkSession
+    import spark.implicits._
+    hourly.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, graft.queries.Temporal.EwmaRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (k, it, state) =>
+        var r = state.getOption.map(_.r).getOrElse(-1L)
+        val out = it.toSeq.sortBy(_.hr).map { h =>
+          val x = h.cnt * 1000L
+          val spike = r >= 0L && h.cnt * 10000L > 25L * r
+          r = if (r < 0L) x else (3L * x + 7L * r) / 10L
+          graft.queries.Temporal.EwmaRow(k, h.hr, h.cnt, r, spike)
+        }
+        state.update(EwmaState(r))
+        out.iterator
+      }
+  }
+
   /** q131's row, emitted per user per micro-batch (update semantics). */
   final case class BurstRow(user_id: Long, n_events: Long, peak_burst: Long,
                             is_burst: Boolean)

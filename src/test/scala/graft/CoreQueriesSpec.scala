@@ -253,6 +253,26 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(mean > 600000L && mean < 1400000L, s"JL center off: $mean ppm")
   }
 
+  test("q144: bot-suspicion votes equal the member gates bit-for-bit") {
+    val comp = SparkEntry.queries("q144_bot_suspicion")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val burst = SparkEntry.queries("q131_burst_detection")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Boolean]("is_burst")).toMap
+    val beacon = SparkEntry.queries("q132_beacon_regularity")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Boolean]("is_beacon")).toMap
+    assert(comp.keySet == burst.keySet)
+    for ((u, r) <- comp) {
+      assert(r.getAs[Boolean]("v_burst") == burst(u), s"user $u burst")
+      assert(r.getAs[Boolean]("v_beacon") == beacon.getOrElse(u, false),
+        s"user $u beacon")
+      val votes = Seq("v_burst", "v_beacon", "v_allhours")
+        .count(r.getAs[Boolean](_))
+      assert(r.getAs[Long]("votes") == votes.toLong)
+      assert(r.getAs[Boolean]("suspicious") == (votes >= 2))
+    }
+  }
+
   test("q141: EWMA trajectory replays exactly in the JVM; flags judged on prior baseline") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q141_ewma_baseline")(spark, sf).collect()

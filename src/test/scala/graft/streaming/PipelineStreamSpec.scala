@@ -549,6 +549,34 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA over hourly count rows emits the q141 trajectory row-for-row") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the ingest shape: per-(type, hour) counts, fed in hour order
+    val hourly = graft.Tables.t(spark, sf, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+      .orderBy("hr").collect()
+      .map(r => graft.queries.Temporal.HourCount(r.getString(0), r.getLong(1),
+        r.getLong(2)))
+    val in = MemoryStream[graft.queries.Temporal.HourCount]
+    val q = EventStream.ewmaStream(in.toDS())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("update").start()
+    try {
+      hourly.grouped(math.max(1, hourly.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // every input row emits its verdict exactly once → the union of
+      // emissions equals the batch gate trajectory
+      val gate = graft.SparkEntry.queries("q141_ewma_baseline")(spark, sf)
+      assert(rowsOf(spark.table("ewma_stream")) == rowsOf(gate))
+      assert(spark.table("ewma_stream").count() == hourly.length)
+    } finally q.stop()
+  }
+
   test("streaming burst peaks (ordered ingest) equal the q131 gate rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
