@@ -503,6 +503,77 @@ object Temporal {
         ((CASE WHEN v_burst THEN 1 ELSE 0 END) +
          (CASE WHEN v_beacon THEN 1 ELSE 0 END) +
          (CASE WHEN v_allhours THEN 1 ELSE 0 END)) >= 2 AS suspicious
-      FROM j ORDER BY user_id"""))
+      FROM j ORDER BY user_id""")),
+
+    // anomaly-detector agreement matrix — the q123 calibration
+    // doctrine applied to the time-series detectors: the q135
+    // trailing-mean spike set vs the q141 EWMA spike set over the
+    // same (event_type, hour) keys — diagonal = each detector's own
+    // hits, off-diagonal = shared hits ("would the smoothed detector
+    // have caught what the windowed one catches", with exact counts:
+    // at sf0.01 trailing fires 14, EWMA 101, shared 10 — EWMA also
+    // fires where the full-24h-baseline rule abstains, and 4 trailing
+    // hits ride surges the smoothed baseline had already absorbed).
+    // Union of one-row aggregates over two cut() hit tables — never a
+    // tagged self-join (the q123 plan lesson)
+    Q("q145_anomaly_agreement", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rangeBetween(-24L, -1L)
+      val hourly = t(s, d, "events")
+        .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val s1 = hourly
+        .withColumn("ts24", sum(col("cnt")).over(w))
+        .withColumn("nh", count(lit(1)).over(w))
+        .filter(col("nh") === 24L && col("cnt") * 240L >= lit(25L) * col("ts24"))
+        .select(col("event_type"), col("hr"))
+        .cut() // feeds its diagonal and the intersection
+      val s2 = ewmaHourly(t(s, d, "events"))
+        .filter(col("spike"))
+        .select(col("event_type"), col("hr"))
+        .cut()
+      def one(a: String, b: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_hits"))
+          .select(lit(a).as("route_a"), lit(b).as("route_b"), col("n_hits"))
+      one("ewma", "ewma", s2)
+        .unionByName(one("ewma", "trailing", s1.join(s2, Seq("event_type", "hr"))))
+        .unionByName(one("trailing", "trailing", s1))
+        .orderBy(col("route_a"), col("route_b"))
+    }, Some("""
+      WITH RECURSIVE e AS (SELECT event_type, epoch_ms(ts)//3600000 hr
+                           FROM events),
+      h AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) cnt
+            FROM e GROUP BY 1, 2),
+      w AS (SELECT event_type, hr, cnt,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) ts24,
+              COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) nh
+            FROM h),
+      s1 AS (SELECT event_type, hr FROM w
+             WHERE nh = 24 AND cnt*240 >= 25*ts24),
+      o AS (SELECT event_type, hr, cnt,
+              row_number() OVER (PARTITION BY event_type ORDER BY hr) rn
+            FROM h),
+      rec AS (
+        SELECT event_type, hr, cnt, rn, cnt*1000 r, false AS spike
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.event_type, o.hr, o.cnt, o.rn,
+          (3*o.cnt*1000 + 7*rec.r)//10,
+          o.cnt*10000 > 25*rec.r
+        FROM rec JOIN o ON o.event_type = rec.event_type
+          AND o.rn = rec.rn + 1),
+      s2 AS (SELECT event_type, hr FROM rec WHERE spike)
+      SELECT 'ewma' AS route_a, 'ewma' AS route_b,
+        CAST(count(*) AS BIGINT) AS n_hits FROM s2
+      UNION ALL
+      SELECT 'ewma', 'trailing', CAST(count(*) AS BIGINT)
+      FROM s1 JOIN s2 USING (event_type, hr)
+      UNION ALL
+      SELECT 'trailing', 'trailing', CAST(count(*) AS BIGINT) FROM s1
+      ORDER BY route_a, route_b"""))
   )
 }

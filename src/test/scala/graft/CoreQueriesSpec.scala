@@ -253,6 +253,21 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(mean > 600000L && mean < 1400000L, s"JL center off: $mean ppm")
   }
 
+  test("q145: anomaly agreement diagonals equal the member gates; intersection bounded") {
+    val m = SparkEntry.queries("q145_anomaly_agreement")(spark, sf).collect()
+      .map(r => (r.getAs[String]("route_a"), r.getAs[String]("route_b")) ->
+        r.getAs[Long]("n_hits")).toMap
+    assert(m.keySet == Set(("ewma", "ewma"), ("ewma", "trailing"),
+      ("trailing", "trailing")))
+    val trailing = SparkEntry.queries("q135_hourly_spike")(spark, sf).collect()
+      .map(_.getAs[Long]("n_spikes")).sum
+    val ewma = SparkEntry.queries("q141_ewma_baseline")(spark, sf).collect()
+      .count(_.getAs[Boolean]("spike")).toLong
+    assert(m(("trailing", "trailing")) == trailing)
+    assert(m(("ewma", "ewma")) == ewma)
+    assert(m(("ewma", "trailing")) <= math.min(trailing, ewma))
+  }
+
   test("q144: bot-suspicion votes equal the member gates bit-for-bit") {
     val comp = SparkEntry.queries("q144_bot_suspicion")(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") -> r).toMap
