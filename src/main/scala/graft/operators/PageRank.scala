@@ -68,4 +68,48 @@ object PageRank {
     }
     r
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED
+    * bipartite edge table (src = hub side, dst = authority side) —
+    * the mutually-recursive counterpart of [[ranks]]: h(u) = Σ a(v)
+    * over u's out-edges, a(v) = Σ h(u) over v's in-edges, each
+    * half-round max-normalized back to 10⁶ micro-units so the
+    * trajectory stays in bounded integers (normalizer = ⌊10⁶·x/max⌋,
+    * the max being ONE scalar to the driver per half-round — the q62
+    * contract, 2·rounds scalars total; products ride DECIMAL(38,0)/
+    * HUGEINT, so no overflow at any degree). Every step is floor
+    * arithmetic → a chained-CTE oracle replays the whole trajectory.
+    *
+    * 100 TB shape: one equi-join + map-side-combined groupBy per
+    * half-round (the PageRank shuffle pattern); hub/authority tables
+    * cut() per round (the iterative-loop lineage rule). Returns
+    * (node, role['hub'|'authority'], score). */
+  def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"hits rounds out of range: $rounds")
+    val ed = edges.select(col("src"), col("dst")).cut()
+    def normalized(scores: DataFrame): DataFrame = {
+      val m = scores.agg(max(col("s"))).head.getLong(0)
+      scores.select(col("node"),
+        expr(s"(CAST(1000000 AS DECIMAL(38,0)) * s) div ${m}L")
+          .cast("long").as("s"))
+        .cut()
+    }
+    var a = ed.select(col("dst").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("s"))
+      .cut()
+    var h: DataFrame = null
+    for (_ <- 1 to rounds) {
+      h = normalized(ed.join(a, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(sum(col("s").cast(dec)).cast("long").as("s"))
+        .select(col("src").as("node"), col("s")))
+      a = normalized(ed.join(h, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("s").cast(dec)).cast("long").as("s"))
+        .select(col("dst").as("node"), col("s")))
+    }
+    h.select(col("node"), lit("hub").as("role"), col("s").as("score"))
+      .unionByName(
+        a.select(col("node"), lit("authority").as("role"), col("s").as("score")))
+  }
 }

@@ -471,6 +471,62 @@ object Analytics {
         CAST(SUM(src % ${P}) % ${P} AS BIGINT) AS node_checksum
       FROM deg GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    // bipartite trade graph (customers point at the suppliers they
+    // buy from): 2 mutually-recursive max-normalized integer rounds —
+    // hub scores rank the broadest buyers, authority scores the most
+    //-bought-from suppliers. The oracle replays every half-round as
+    // a chained CTE with scalar-subquery normalizers
+    Q("q146_hits", (s, d) => {
+      val edges = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_suppkey") * 2L + 1L).as("dst"))
+        .distinct()
+      graft.operators.PageRank.hits(edges, rounds = 2)
+        .select(when(col("node") % 2L === 0L,
+            concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("(node - 1) div 2")))
+          .as("node"), col("role"), col("score"))
+        .orderBy(col("role"), col("node"))
+    }, Some("""
+      WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 src, l.l_suppkey * 2 + 1 dst
+                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      h1r AS (SELECT src node, CAST(count(*) AS BIGINT) * 1000000 s
+              FROM e0 GROUP BY 1),
+      h1 AS (SELECT node,
+               CAST((1000000 * CAST(s AS HUGEINT))
+                    // (SELECT MAX(s) FROM h1r) AS BIGINT) s
+             FROM h1r),
+      a1r AS (SELECT e.dst node, CAST(SUM(CAST(h.s AS HUGEINT)) AS BIGINT) s
+              FROM e0 e JOIN h1 h ON h.node = e.src GROUP BY 1),
+      a1 AS (SELECT node,
+               CAST((1000000 * CAST(s AS HUGEINT))
+                    // (SELECT MAX(s) FROM a1r) AS BIGINT) s
+             FROM a1r),
+      h2r AS (SELECT e.src node, CAST(SUM(CAST(a.s AS HUGEINT)) AS BIGINT) s
+              FROM e0 e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+      h2 AS (SELECT node,
+               CAST((1000000 * CAST(s AS HUGEINT))
+                    // (SELECT MAX(s) FROM h2r) AS BIGINT) s
+             FROM h2r),
+      a2r AS (SELECT e.dst node, CAST(SUM(CAST(h.s AS HUGEINT)) AS BIGINT) s
+              FROM e0 e JOIN h2 h ON h.node = e.src GROUP BY 1),
+      a2 AS (SELECT node,
+               CAST((1000000 * CAST(s AS HUGEINT))
+                    // (SELECT MAX(s) FROM a2r) AS BIGINT) s
+             FROM a2r),
+      lab AS (
+        SELECT CASE WHEN node % 2 = 0 THEN 'C'||CAST(node//2 AS VARCHAR)
+                    ELSE 'S'||CAST((node-1)//2 AS VARCHAR) END AS node,
+          'hub' AS role, s AS score FROM h2
+        UNION ALL
+        SELECT CASE WHEN node % 2 = 0 THEN 'C'||CAST(node//2 AS VARCHAR)
+                    ELSE 'S'||CAST((node-1)//2 AS VARCHAR) END,
+          'authority', s FROM a2)
+      SELECT node, role, score FROM lab ORDER BY role, node""")),
+
     // mergeable quantile summary in its EXACT regime (the q66
     // doctrine applied to rank statistics): per l_returnflag the
     // p50/p90/p99 of l_quantity through graft.functions.QuantileSketch

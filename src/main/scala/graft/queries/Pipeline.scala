@@ -577,6 +577,64 @@ object Pipeline {
       .select(col("bg"), expr("(1000000 * c2) div c1").as("r"))
   }
 
+  /** Bigram LM with unigram BACKOFF, trained on a held-out source
+    * slice (Katz 1987's idea in the exact-integer regime): unlike
+    * [[bigramLmScore]] — which trains on the scored corpus itself, so
+    * every bigram is seen — the model here comes from ONE pinned
+    * source and the rest of the corpus genuinely exercises the
+    * unseen path (~20% of bigrams at gate sf). Seen bigrams
+    * contribute the q109 floor ratio r = ⌊10⁶·c₂/c₁⌋; unseen ones
+    * back off to a tenth of the unigram mass ratio ⌊⌊10⁶·c_u/N⌋/10⌋
+    * (the fixed backoff penalty — no Good–Turing discounting, which
+    * would put floats in the gate); unseen unigrams score 0. All
+    * integer floor arithmetic.
+    *
+    * 100 TB shape: the model side is one bigram-count + one
+    * unigram-count shuffle over the TRAIN slice (scan-stage source
+    * predicate); N is one driver scalar (the q62 contract). The
+    * scored side is exact-clone collapsed (scores are text-pure given
+    * the model): rep-level bigram fold + O(docs) expansion. */
+  def backoffLmScore(docs: DataFrame, trainSource: String): DataFrame = {
+    val train = docs.filter(col("source") === trainSource)
+    val c2 = train
+      .select(explode(shingles(tokens(col("text")), 2, distinct = false)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("pr", substring_index(col("bg"), " ", 1))
+      .cut() // feeds the marginal and the ratio join
+    val c1 = c2.groupBy(col("pr")).agg(sum(col("c2")).as("c1"))
+    val ratio = c2.join(c1, "pr")
+      .select(col("bg"), expr("(1000000 * c2) div c1").as("r"))
+    val uni = train
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .cut() // feeds the total scalar and the backoff join
+    val total = uni.agg(sum(col("cu"))).head.getLong(0)
+    val back = uni.select(col("tok").as("w2"),
+      expr(s"((1000000 * cu) div ${total}L) div 10").as("ub"))
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val members = withGid.select(col("gid"), col("doc_id")).cut()
+    val reps = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("text"))
+    val per = reps
+      .select(col("gid"),
+        explode(shingles(tokens(col("text")), 2, distinct = false)).as("bg"))
+      .groupBy(col("gid"), col("bg")).agg(count(lit(1)).as("bf"))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(ratio, Seq("bg"), "left")
+      .join(back, Seq("w2"), "left")
+      .groupBy(col("gid"))
+      .agg(sum(col("bf")).as("nbg"),
+        sum(when(col("r").isNull, col("bf")).otherwise(0L)).as("n_unseen"),
+        sum(col("bf") *
+          coalesce(col("r"), col("ub"), lit(0L))).as("num"))
+    members.join(per, Seq("gid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nbg"), lit(0L)).as("nbg"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("num"), lit(0L)).as("num"))
+  }
+
   /** Temperature-scaled source mixing (τ = 1/2) — the multilingual /
     * multi-source rebalancing rule of mC4 (Xue et al. 2021 §3.1) and
     * XLM-R (Conneau et al. 2020 §3.1): sampling shares proportional
@@ -2396,6 +2454,46 @@ object Pipeline {
         CAST(MIN(s) AS BIGINT) AS min_s, CAST(MAX(s) AS BIGINT) AS max_s,
         CAST(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}) % ${P} AS BIGINT)
           AS doc_checksum
-      FROM b GROUP BY 1 ORDER BY 1"""))
+      FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // backoff bigram LM: model trained on the pinned src0 slice only,
+    // the remaining 95% of the corpus exercising the unseen path
+    // (~20% of bigrams) through the tenth-of-unigram backoff — the
+    // held-out-perplexity shape q109 (self-trained) cannot produce
+    Q("q147_backoff_lm", (s, d) => {
+      backoffLmScore(t(s, d, "documents"), "src0")
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, source,
+                    list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      bgl AS (SELECT doc_id, source, CASE WHEN len(tk) >= 2
+                THEN [tk[i]||' '||tk[i+1] for i in generate_series(1, len(tk)-1)]
+                ELSE [] END bs FROM tk),
+      ex AS (SELECT doc_id, source, unnest(bs) bg FROM bgl),
+      c2 AS (SELECT bg, CAST(count(*) AS BIGINT) c2 FROM ex
+             WHERE source = 'src0' GROUP BY 1),
+      c1 AS (SELECT split_part(bg,' ',1) pr, CAST(SUM(c2) AS BIGINT) c1
+             FROM c2 GROUP BY 1),
+      r AS (SELECT bg, CAST((1000000*c2) // c1 AS BIGINT) r
+            FROM c2 JOIN c1 ON split_part(c2.bg,' ',1) = c1.pr),
+      ut AS (SELECT unnest(tk) tok FROM tk WHERE source = 'src0'),
+      cu AS (SELECT tok, CAST(count(*) AS BIGINT) cu FROM ut GROUP BY 1),
+      n AS (SELECT CAST(SUM(cu) AS BIGINT) total FROM cu),
+      back AS (SELECT tok w2, CAST(((1000000*cu) // total) // 10 AS BIGINT) ub
+               FROM cu, n),
+      per AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) nbg,
+                CAST(SUM(CASE WHEN r.r IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  n_unseen,
+                CAST(SUM(COALESCE(r.r, b.ub, 0)) AS BIGINT) num
+              FROM ex e
+                LEFT JOIN r ON r.bg = e.bg
+                LEFT JOIN back b ON b.w2 = split_part(e.bg,' ',-1)
+              GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(nbg, 0) AS BIGINT) AS nbg,
+        CAST(COALESCE(n_unseen, 0) AS BIGINT) AS n_unseen,
+        CAST(COALESCE(num, 0) AS BIGINT) AS num
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
   )
 }

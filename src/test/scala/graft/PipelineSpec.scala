@@ -678,6 +678,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q147: backoff LM — train-slice docs fully seen, backoff live elsewhere, clones invariant") {
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = graft.queries.Pipeline.backoffLmScore(docs, "src0")
+      .orderBy(col("doc_id")).collect()
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == srcOf.size)
+    var unseenElsewhere = 0L
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val unseen = r.getAs[Long]("n_unseen")
+      assert(unseen >= 0 && unseen <= r.getAs[Long]("nbg"))
+      assert(r.getAs[Long]("num") >= 0)
+      // the training slice's own bigrams are all in the model
+      if (srcOf(id) == "src0") assert(unseen == 0L, s"train doc $id")
+      else unseenElsewhere += unseen
+    }
+    assert(unseenElsewhere > 0L, "backoff path never fired")
+    // clone invariance: duplicating a non-train doc must not move any
+    // score (the model sees only src0; scoring is text-pure)
+    val other = docs.filter(col("source") =!= "src0").limit(1)
+    val cloned = docs.unionByName(
+      other.withColumn("doc_id", col("doc_id") + 1000000L))
+    val again = graft.queries.Pipeline.backoffLmScore(cloned, "src0")
+      .filter(col("doc_id") < 1000000L).orderBy(col("doc_id")).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q109: collapsed bigram score ≡ direct uncollapsed formula; clones invariant") {
     val docs = Tables.t(spark, sf, "documents")
     val got = graft.queries.Pipeline.bigramLmScore(docs, threshold = 34500L)

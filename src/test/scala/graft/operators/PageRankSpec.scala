@@ -51,6 +51,36 @@ class PageRankSpec extends AnyFunSuite {
     assert(got == replay(2, 500000L))
   }
 
+  test("HITS: 2-round normalized trajectory replays exactly; hubs/authorities ordered") {
+    import spark.implicits._
+    // bipartite: hub side buys from authority side
+    val bip = Seq(("h1", "s1"), ("h1", "s2"), ("h1", "s3"),
+      ("h2", "s1"), ("h3", "s1"), ("h3", "s2"))
+    val got = PageRank.hits(bip.toDF("src", "dst"), rounds = 2).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[String]("role")) ->
+        r.getAs[Long]("score")).toMap
+    // independent JVM replay of the integer half-rounds
+    def normalize(m: Map[String, Long]): Map[String, Long] = {
+      val mx = m.values.max
+      m.map { case (k, v) => k -> (BigInt(1000000) * v / mx).toLong }
+    }
+    var a = bip.map(_._2).distinct.map(_ -> 1000000L).toMap
+    var h = Map.empty[String, Long]
+    for (_ <- 1 to 2) {
+      h = normalize(bip.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => a(e._2)).sum })
+      a = normalize(bip.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => h(e._1)).sum })
+    }
+    for ((n, s) <- h) assert(got((n, "hub")) == s, s"hub $n")
+    for ((n, s) <- a) assert(got((n, "authority")) == s, s"auth $n")
+    // h1 (3 buys) tops hubs; s1 (3 buyers) tops authorities at 1e6
+    assert(got(("h1", "hub")) == 1000000L)
+    assert(got(("s1", "authority")) == 1000000L)
+    assert(got(("h2", "hub")) < got(("h3", "hub")))
+    assert(got(("s3", "authority")) < got(("s2", "authority")))
+  }
+
   test("result is independent of input partitioning") {
     val a = PageRank.ranks(edgesDf.repartition(7), rounds = 3)
       .orderBy(col("node")).collect().map(_.toString).toSeq
