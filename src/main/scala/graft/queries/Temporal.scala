@@ -574,6 +574,90 @@ object Temporal {
       FROM s1 JOIN s2 USING (event_type, hr)
       UNION ALL
       SELECT 'trailing', 'trailing', CAST(count(*) AS BIGINT) FROM s1
-      ORDER BY route_a, route_b"""))
+      ORDER BY route_a, route_b""")),
+
+    // user-journey Markov transition matrix — the q109 bigram
+    // doctrine on EVENT SEQUENCES: consecutive event-type pairs per
+    // user (lag window ordered by (ts, event_id) — the unique
+    // tie-break makes equal-second ordering deterministic on both
+    // engines), counts + row-conditional probability ppm. Bounded
+    // |types|² output; the per-user window is the q131 bounded-
+    // timeline shape
+    Q("q148_transition_matrix", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val tr = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val w2 = Window.partitionBy(col("from_type"))
+      tr.withColumn("row_total", sum(col("n")).over(w2))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(1000000 * n) div row_total").as("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts)//1000 sec, event_type
+                 FROM events),
+      tr AS (SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY sec, event_id) from_type,
+               event_type to_type
+             FROM e),
+      c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) n
+            FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) row_total
+             FROM c GROUP BY 1)
+      SELECT from_type, to_type, n,
+        CAST((1000000 * n) // row_total AS BIGINT) AS p_ppm
+      FROM c JOIN rt USING (from_type) ORDER BY from_type, to_type""")),
+
+    // time-to-convert quantiles — q129's funnel composed with q139's
+    // quantile sketch on the DERIVED domain (seconds from first view
+    // to first purchase, converting users only): one per-user
+    // conditional-min aggregate, then the exact-regime sketch
+    // (autoBuffer pre-pass, fail-loud guard armed) over the deltas.
+    // One bounded output row; positions are the q139 integer
+    // rationals, replayed by a row_number oracle
+    Q("q149_time_to_convert", (s, d) => {
+      import graft.functions.QuantileSketch
+      val mt = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view",
+            unix_timestamp(col("ts")))).as("tv"),
+          min(when(col("event_type") === "purchase",
+            unix_timestamp(col("ts")))).as("tp"))
+        .filter(col("tv").isNotNull && col("tp").isNotNull &&
+          col("tv") < col("tp"))
+        .select((col("tp") - col("tv")).as("delta"))
+        .cut() // feeds the autoBuffer pre-pass and the sketch
+      val buf = QuantileSketch.autoBuffer(mt, Seq(lit(1)), col("delta"))
+      mt.agg(QuantileSketch.exact(col("delta"), buf,
+          Seq((1L, 2L), (9L, 10L))).as("r"))
+        .select(col("r.n").as("n_converts"),
+          element_at(col("r.q"), 1).as("p50_s"),
+          element_at(col("r.q"), 2).as("p90_s"))
+    }, Some("""
+      WITH mt AS (
+        SELECT user_id,
+          min(CASE WHEN event_type='view' THEN epoch_ms(ts)//1000 END) tv,
+          min(CASE WHEN event_type='purchase' THEN epoch_ms(ts)//1000 END) tp
+        FROM events GROUP BY 1),
+      dl AS (SELECT tp - tv AS delta FROM mt
+             WHERE tv IS NOT NULL AND tp IS NOT NULL AND tv < tp),
+      r AS (SELECT delta,
+              row_number() OVER (ORDER BY delta) rn,
+              count(*) OVER () n
+            FROM dl)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_converts,
+        CAST(MAX(CASE WHEN rn = greatest(1, (1*n + 1) // 2) THEN delta END)
+             AS BIGINT) AS p50_s,
+        CAST(MAX(CASE WHEN rn = greatest(1, (9*n + 9) // 10) THEN delta END)
+             AS BIGINT) AS p90_s
+      FROM r"""))
   )
 }

@@ -268,6 +268,30 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(m(("ewma", "trailing")) <= math.min(trailing, ewma))
   }
 
+  test("q148/q149: transition matrix closes over transitions; convert quantiles ordered") {
+    val tm = SparkEntry.queries("q148_transition_matrix")(spark, sf).collect()
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    // every event except each user's first is a transition
+    assert(tm.map(_.getAs[Long]("n")).sum == nEvents - users)
+    val byFrom = tm.groupBy(_.getAs[String]("from_type"))
+    for ((_, rs) <- byFrom) {
+      val tot = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach(r => assert(r.getAs[Long]("p_ppm") ==
+        1000000L * r.getAs[Long]("n") / tot))
+      // conditional rows sum to ≈ 1e6 (floor loss < |types|)
+      val psum = rs.map(_.getAs[Long]("p_ppm")).sum
+      assert(psum > 1000000L - rs.length && psum <= 1000000L)
+    }
+    val cv = SparkEntry.queries("q149_time_to_convert")(spark, sf).collect()
+    assert(cv.length == 1)
+    val r = cv.head
+    assert(r.getAs[Long]("n_converts") > 0)
+    assert(r.getAs[Long]("p50_s") <= r.getAs[Long]("p90_s"))
+    assert(r.getAs[Long]("p50_s") > 0)
+  }
+
   test("q144: bot-suspicion votes equal the member gates bit-for-bit") {
     val comp = SparkEntry.queries("q144_bot_suspicion")(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") -> r).toMap
