@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Checkpoints._
 import graft.Tables._
@@ -526,6 +526,59 @@ object Analytics {
                     ELSE 'S'||CAST((node-1)//2 AS VARCHAR) END,
           'authority', s FROM a2)
       SELECT node, role, score FROM lab ORDER BY role, node""")),
+
+    // RFM customer segmentation (Hughes 1994 — the classic retail
+    // recency/frequency/monetary 3×3×3 grid): per customer, last
+    // order day / order count / exact lifetime cents (2-decimal money
+    // through DECIMAL, the q09 rule), each scored 1–3 by FIXED
+    // calibrated thresholds (scan-stage CASEs, the q133 doctrine —
+    // corpus-tertile windows don't scale), rolled up per segment with
+    // a membership checksum. Bounded 27-row output; one keyed shuffle
+    Q("q150_rfm_segments", (s, d) => {
+      val c = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(datediff(to_date(col("o_orderdate")), lit("2024-01-01")))
+            .as("rec"),
+          count(lit(1)).as("freq"),
+          sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType)).as("cents"))
+        .select(col("o_custkey"), col("cents"),
+          when(col("rec") >= -8300, 3L).when(col("rec") >= -8450, 2L)
+            .otherwise(1L).as("r_score"),
+          when(col("freq") >= 11L, 3L).when(col("freq") >= 8L, 2L)
+            .otherwise(1L).as("f_score"),
+          when(col("cents") >= 280000000L, 3L)
+            .when(col("cents") >= 210000000L, 2L).otherwise(1L).as("m_score"))
+      c.groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("sum_cents"),
+          (sum(col("o_custkey") % P) % P).as("cust_checksum"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    }, Some(s"""
+      WITH c AS (SELECT o_custkey,
+          date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) dd,
+          CAST(o_totalprice AS DECIMAL(18,2)) * 100 cents
+        FROM orders),
+      per AS (SELECT o_custkey, CAST(MAX(dd) AS BIGINT) rec,
+                CAST(count(*) AS BIGINT) freq,
+                CAST(SUM(cents) AS BIGINT) cents
+              FROM c GROUP BY 1),
+      sc AS (SELECT o_custkey, cents,
+               CASE WHEN rec >= -8300 THEN 3 WHEN rec >= -8450 THEN 2
+                    ELSE 1 END r_score,
+               CASE WHEN freq >= 11 THEN 3 WHEN freq >= 8 THEN 2
+                    ELSE 1 END f_score,
+               CASE WHEN cents >= 280000000 THEN 3
+                    WHEN cents >= 210000000 THEN 2 ELSE 1 END m_score
+             FROM per)
+      SELECT CAST(r_score AS BIGINT) AS r_score,
+        CAST(f_score AS BIGINT) AS f_score,
+        CAST(m_score AS BIGINT) AS m_score,
+        CAST(count(*) AS BIGINT) AS n_customers,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        CAST(SUM(o_custkey % ${P}) % ${P} AS BIGINT) AS cust_checksum
+      FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     // mergeable quantile summary in its EXACT regime (the q66
     // doctrine applied to rank statistics): per l_returnflag the

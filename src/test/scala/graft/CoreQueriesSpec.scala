@@ -268,6 +268,19 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(m(("ewma", "trailing")) <= math.min(trailing, ewma))
   }
 
+  test("q150: RFM segments partition customers; all three dimensions live") {
+    val rows = SparkEntry.queries("q150_rfm_segments")(spark, sf).collect()
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    for (dim <- Seq("r_score", "f_score", "m_score")) {
+      val vals = rows.map(_.getAs[Long](dim)).toSet
+      assert(vals.subsetOf(Set(1L, 2L, 3L)))
+      assert(vals.size >= 2, s"$dim is degenerate: $vals")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("sum_cents") > 0))
+  }
+
   test("q148/q149: transition matrix closes over transitions; convert quantiles ordered") {
     val tm = SparkEntry.queries("q148_transition_matrix")(spark, sf).collect()
     val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
