@@ -580,6 +580,86 @@ object Analytics {
         CAST(SUM(o_custkey % ${P}) % ${P} AS BIGINT) AS cust_checksum
       FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // co-purchase top-k ("frequently bought together" at supplier
+    // granularity — the item-item co-occurrence primitive of a
+    // recommender, next to q137's type-level lift): supplier pairs
+    // ranked by shared distinct customers. Per-customer supplier
+    // lists are capBuckets-capped (the pair-cap doctrine: fan-out ≤
+    // C(cap,2) per basket — the cap is far above this data's ~39
+    // suppliers/customer, so the unblocked oracle agrees at gate sf;
+    // huge baskets are pruned, the standard pair-mining rule);
+    // selection is TakeOrderedAndProject top-20, never a pair-space
+    // sort. Deterministic (n desc, pair asc) ordering
+    Q("q151_copurchase_topk", (s, d) => {
+      val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      val capped = graft.queries.Dedup.capBuckets(e0, Seq("c"), "sk", 256)
+        .cut() // both sides of the basket self-join
+      val pairs = capped
+        .join(capped.select(col("c"), col("sk").as("sk2")), Seq("c"))
+        .filter(col("sk") < col("sk2"))
+        .groupBy(col("sk").as("supp_a"), col("sk2").as("supp_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val w = Window.orderBy(col("n_shared").desc, col("supp_a"), col("supp_b"))
+      pairs.orderBy(col("n_shared").desc, col("supp_a"), col("supp_b"))
+        .limit(20)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .select(col("rank"), col("supp_a"), col("supp_b"), col("n_shared"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH e0 AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey sk
+                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      p AS (SELECT a.sk supp_a, b.sk2 supp_b, CAST(count(*) AS BIGINT) n_shared
+            FROM e0 a JOIN (SELECT c, sk sk2 FROM e0) b
+              ON a.c = b.c AND a.sk < b.sk2
+            GROUP BY 1, 2)
+      SELECT rank, supp_a, supp_b, n_shared FROM (
+        SELECT supp_a, supp_b, n_shared,
+          CAST(row_number() OVER (ORDER BY n_shared DESC, supp_a, supp_b)
+               AS BIGINT) rank
+        FROM p)
+      WHERE rank <= 20 ORDER BY rank""")),
+
+    // revenue-concentration card (the Pareto 80/20 audit, the q134
+    // Zipf pattern on customer spend): top-20 customers by exact
+    // lifetime cents with rank and cumulative revenue share ppm —
+    // top-k via TakeOrderedAndProject, corpus total = one driver
+    // scalar (the q62 contract), never a corpus-wide rank window
+    Q("q152_revenue_concentration", (s, d) => {
+      val spend = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType)).as("cents"))
+        .cut() // feeds the total scalar and the top-20
+      val total = spend.agg(sum(col("cents"))).head.getLong(0)
+      val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+      spend.orderBy(col("cents").desc, col("o_custkey").asc).limit(20)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .withColumn("cum_share_ppm",
+          expr(s"(1000000 * sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC " +
+            s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) div ${total}L"))
+        .select(col("rank"), col("o_custkey"), col("cents"),
+          col("cum_share_ppm"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH spend AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) cents
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cents) AS BIGINT) total FROM spend),
+      rk AS (SELECT o_custkey, cents,
+               CAST(row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+                    AS BIGINT) rank,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum
+             FROM spend)
+      SELECT rank, o_custkey, cents,
+        CAST((1000000 * cum) // total AS BIGINT) AS cum_share_ppm
+      FROM rk, tot WHERE rank <= 20 ORDER BY rank""")),
+
     // mergeable quantile summary in its EXACT regime (the q66
     // doctrine applied to rank statistics): per l_returnflag the
     // p50/p90/p99 of l_quantity through graft.functions.QuantileSketch

@@ -268,6 +268,35 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(m(("ewma", "trailing")) <= math.min(trailing, ewma))
   }
 
+  test("q151/q152: co-purchase top-k ordered and replayable; Pareto card monotone") {
+    import org.apache.spark.sql.functions._
+    val cp = SparkEntry.queries("q151_copurchase_topk")(spark, sf).collect()
+    assert(cp.length == 20)
+    assert(cp.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val ns = cp.map(_.getAs[Long]("n_shared"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    cp.foreach(r => assert(r.getAs[Long]("supp_a") < r.getAs[Long]("supp_b")))
+    // replay the top pair's count directly
+    val top = cp.head
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val e0 = orders.join(li, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk")).distinct()
+    val shared = e0.filter(col("sk") === top.getAs[Long]("supp_a"))
+      .select("c").intersect(
+        e0.filter(col("sk") === top.getAs[Long]("supp_b")).select("c"))
+      .count()
+    assert(top.getAs[Long]("n_shared") == shared)
+    val pc = SparkEntry.queries("q152_revenue_concentration")(spark, sf)
+      .collect()
+    assert(pc.length == 20)
+    val cents = pc.map(_.getAs[Long]("cents"))
+    assert(cents.zip(cents.tail).forall { case (a, b) => a >= b })
+    val shares = pc.map(_.getAs[Long]("cum_share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last <= 1000000L && shares.head > 0L)
+  }
+
   test("q150: RFM segments partition customers; all three dimensions live") {
     val rows = SparkEntry.queries("q150_rfm_segments")(spark, sf).collect()
     val nCust = spark.read.parquet(s"$sf/orders.parquet")
