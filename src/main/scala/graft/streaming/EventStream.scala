@@ -130,6 +130,41 @@ object EventStream {
       }
   }
 
+  /** Typed ingest row for the transition stream (public: encoder). */
+  final case class TypedEvent(user_id: Long, event_id: Long, sec: Long,
+                              event_type: String)
+
+  /** Per-user last-event state for the transition stream (public). */
+  final case class LastType(sec: Long, event_id: Long, tpe: String)
+
+  /** One observed transition (from → to) — the q148 matrix's unit. */
+  final case class Transition(from_type: String, to_type: String)
+
+  /** Streaming event-type transitions — the q148 Markov matrix as an
+    * ingest: per user O(1) state (last (sec, event_id, type) under
+    * the gate's unique tie-break), each arriving event emitting its
+    * (from, to) pair exactly once; the matrix rollup is the
+    * consumer's aggregate over the emitted pairs (counts over the
+    * full stream ≡ the batch lag-window counts under ordered ingest
+    * — the DedupStream contract; in-batch rows sort by the same
+    * (sec, event_id) key). */
+  def transitionStream(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastType, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, evs, state) =>
+        var last = state.getOption.orNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+        for (e <- evs.toSeq.sortBy(x => (x.sec, x.event_id))) {
+          if (last != null) out += Transition(last.tpe, e.event_type)
+          last = LastType(e.sec, e.event_id, e.event_type)
+        }
+        if (last != null) state.update(last)
+        out.iterator
+      }
+  }
+
   /** q131's row, emitted per user per micro-batch (update semantics). */
   final case class BurstRow(user_id: Long, n_events: Long, peak_burst: Long,
                             is_burst: Boolean)

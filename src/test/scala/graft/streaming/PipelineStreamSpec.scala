@@ -577,6 +577,37 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions (ordered ingest) roll up to the q148 matrix") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_timestamp(ts) as sec",
+        "event_type")
+      .orderBy("sec", "event_id").collect()
+      .map(r => EventStream.TypedEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+    val in = MemoryStream[EventStream.TypedEvent]
+    val q = EventStream.transitionStream(in.toDS())
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // consumer-side rollup of the emitted pairs == the gate's counts
+      val got = spark.table("trans_stream")
+        .groupBy("from_type", "to_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val gate = graft.SparkEntry.queries("q148_transition_matrix")(spark, sf)
+        .collect()
+        .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+          r.getAs[Long]("n")).toMap
+      assert(got == gate)
+    } finally q.stop()
+  }
+
   test("streaming burst peaks (ordered ingest) equal the q131 gate rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
