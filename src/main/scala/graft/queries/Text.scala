@@ -501,6 +501,63 @@ object Text {
              FROM c)
       SELECT rank, tok, f, rank * f AS rf,
         CAST((1000000 * cum) // total AS BIGINT) AS cum_share_ppm
-      FROM rk, tot WHERE rank <= 40 ORDER BY rank"""))
+      FROM rk, tot WHERE rank <= 40 ORDER BY rank""")),
+
+    // collocation detection (Church & Hanks 1990 PMI, in the exact-
+    // integer regime): top-20 adjacent bigrams with count ≥ 5 ranked
+    // by the independence-lift ratio ⌊10⁶·c_ab·N/(c_a·c_b)⌋ — PMI's
+    // monotone integer surrogate (log is monotone, so the ranking is
+    // identical and no transcendental crosses the oracle). N = one
+    // driver scalar; the c_a/c_b lookups are token equi-joins against
+    // the unigram count table; selection is TakeOrderedAndProject;
+    // products ride DECIMAL(38,0)/HUGEINT (10⁶·c_ab·N exceeds int64
+    // on large corpora)
+    Q("q153_collocations", (s, d) => {
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val c2 = tk
+        .select(explode(shingles(col("tk"), 2, distinct = false)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+        .cut() // feeds the N scalar and the ranked surface
+      val n = c2.agg(sum(col("c_ab"))).head.getLong(0)
+      val cu = tk.select(explode(col("tk")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val p = c2.filter(col("c_ab") >= 5L)
+        .withColumn("wa", substring_index(col("bg"), " ", 1))
+        .withColumn("wb", substring_index(col("bg"), " ", -1))
+        .join(cu.select(col("tok").as("wa"), col("c").as("c_a")), "wa")
+        .join(cu.select(col("tok").as("wb"), col("c").as("c_b")), "wb")
+        .withColumn("lift_ppm",
+          expr(s"(CAST(1000000 AS DECIMAL(38,0)) * c_ab * ${n}L) div (c_a * c_b)")
+            .cast(LongType))
+      val w = Window.orderBy(col("lift_ppm").desc, col("bg").asc)
+      p.orderBy(col("lift_ppm").desc, col("bg").asc).limit(20)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .select(col("rank"), col("bg"), col("c_ab"), col("c_a"), col("c_b"),
+          col("lift_ppm"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      bgl AS (SELECT unnest(CASE WHEN len(tk) >= 2
+                THEN [tk[i]||' '||tk[i+1] for i in generate_series(1, len(tk)-1)]
+                ELSE [] END) bg FROM tk),
+      c2 AS (SELECT bg, CAST(count(*) AS BIGINT) c_ab FROM bgl GROUP BY 1),
+      nn AS (SELECT CAST(SUM(c_ab) AS BIGINT) n FROM c2),
+      cu AS (SELECT tok, CAST(count(*) AS BIGINT) c
+             FROM (SELECT unnest(tk) tok FROM tk) GROUP BY 1),
+      p AS (SELECT bg, c_ab, a.c c_a, b.c c_b,
+              CAST((1000000 * CAST(c_ab AS HUGEINT) * nn.n)
+                   // (a.c * b.c) AS BIGINT) lift_ppm
+            FROM c2
+              JOIN cu a ON a.tok = split_part(c2.bg,' ',1)
+              JOIN cu b ON b.tok = split_part(c2.bg,' ',2)
+              CROSS JOIN nn
+            WHERE c_ab >= 5)
+      SELECT rank, bg, c_ab, c_a, c_b, lift_ppm FROM (
+        SELECT bg, c_ab, c_a, c_b, lift_ppm,
+          CAST(row_number() OVER (ORDER BY lift_ppm DESC, bg ASC) AS BIGINT) rank
+        FROM p)
+      WHERE rank <= 20 ORDER BY rank"""))
   )
 }

@@ -297,6 +297,29 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(shares.last <= 1000000L && shares.head > 0L)
   }
 
+  test("q153: collocation lift replays from each row's own counts; ranks ordered") {
+    val rows = SparkEntry.queries("q153_collocations")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val lifts = rows.map(_.getAs[Long]("lift_ppm"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    // recompute N once: total bigram instances
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols.{shingles, tokens}
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(shingles(tokens(col("text")), 2, distinct = false)))
+      .count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_ab") >= 5L)
+      assert(BigInt(r.getAs[Long]("lift_ppm")) ==
+        BigInt(1000000) * r.getAs[Long]("c_ab") * n /
+          (BigInt(r.getAs[Long]("c_a")) * r.getAs[Long]("c_b")))
+      // a positive collocation beats independence
+      assert(r.getAs[Long]("lift_ppm") > 1000000L ||
+        r.getAs[Long]("rank") > 1L)
+    }
+  }
+
   test("q150: RFM segments partition customers; all three dimensions live") {
     val rows = SparkEntry.queries("q150_rfm_segments")(spark, sf).collect()
     val nCust = spark.read.parquet(s"$sf/orders.parquet")
