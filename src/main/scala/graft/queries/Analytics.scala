@@ -696,6 +696,53 @@ object Analytics {
              AS BIGINT) AS p90,
         CAST(MAX(CASE WHEN rn = greatest(1, (99*n + 99) // 100) THEN qty END)
              AS BIGINT) AS p99
-      FROM r GROUP BY 1 ORDER BY 1"""))
+      FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // skyline / Pareto-dominance frontier (Börzsönyi et al. 2001 "The
+    // Skyline Operator" — the dominance-query family, absent from both
+    // engines as a built-in): parts minimizing (retail price, size);
+    // a part is on the skyline iff no other part is ≤ on both dims
+    // and < on one. 100 TB shape: a 2D skyline point must carry the
+    // MIN price of its size class, so the corpus reduces to a
+    // map-side-combined groupBy(size) (bounded: |distinct sizes|
+    // rows), the dominance test is a running-min window over that
+    // bounded table — never a corpus-wide sort — and skyline members
+    // come back via a broadcast (size, cents) semi-join. Money rides
+    // exact cents (the q09/q150 DECIMAL rule); ties on both dims are
+    // mutually non-dominating and all kept
+    Q("q154_skyline", (s, d) => {
+      val c = t(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast(LongType).as("p_size"),
+          (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("cents"))
+      val mc = c.groupBy(col("p_size")).agg(min(col("cents")).as("cents"))
+      // bounded-table window (|distinct sizes| rows): min cents over
+      // all STRICTLY smaller sizes; null frame = nothing smaller
+      val w = Window.orderBy(col("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sk = mc.withColumn("rm", min(col("cents")).over(w))
+        .filter(col("rm").isNull || col("rm") > col("cents"))
+        .select(col("p_size"), col("cents"))
+      c.join(broadcast(sk), Seq("p_size", "cents"))
+        .groupBy(col("p_size"), col("cents"))
+        .agg(count(lit(1)).as("n_parts"),
+          (sum(col("p_partkey") % P) % P).as("part_checksum"))
+        .orderBy(col("p_size"))
+    }, Some(s"""
+      WITH c AS (SELECT p_partkey, CAST(p_size AS BIGINT) p_size,
+                   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     cents
+                 FROM part),
+      mc AS (SELECT p_size, MIN(cents) cents FROM c GROUP BY 1),
+      sk AS (SELECT p_size, cents,
+               MIN(cents) OVER (ORDER BY p_size
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) rm
+             FROM mc)
+      SELECT s.p_size AS p_size, s.cents AS cents,
+        CAST(count(*) AS BIGINT) AS n_parts,
+        CAST(SUM(c.p_partkey % ${P}) % ${P} AS BIGINT) AS part_checksum
+      FROM sk s JOIN c ON c.p_size = s.p_size AND c.cents = s.cents
+      WHERE s.rm IS NULL OR s.rm > s.cents
+      GROUP BY 1, 2 ORDER BY 1"""))
   )
 }

@@ -2,10 +2,10 @@ package graft.queries
 
 import graft.Checkpoints._
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables._
 import graft.functions.ExactCols._
@@ -57,6 +57,62 @@ object Pipeline {
       nalpha * 5 >= ntok * 4 && nstop >= 2 &&
       (ntotal - ndist) * 10 < ntotal * 3
   }
+
+  /** Per-doc (skey, pos) pairs for the model-evaluation gates (q155
+    * AUC card, q157 calibration bins): skey is the q88 classifier
+    * score quantized to a shifted integer key ⌊10⁶·(score_num +
+    * 1000·ntok)/ntok⌋ = 10⁹ + ⌊10⁶·score⌋ — the +1000·ntok shift keeps
+    * the numerator nonnegative, because integer division diverges
+    * between engines on negatives (Spark `div` truncates toward zero,
+    * DuckDB `//` floors); `pos` is the [[gopherKeep]] rule as ground
+    * truth, so the card measures how well the learned classifier
+    * recovers the hand-written quality rule. score_num ≥ 0 ⇔ skey ≥
+    * 10⁹ (floor of a negative rational is ≤ −1 after the shift), so
+    * the keep threshold survives quantization exactly. Tokenless docs
+    * are excluded (no defined score). */
+  def classifierEvalScores(s: SparkSession, d: String): DataFrame = {
+    val w = s.range(512).select(col("id").as("bucket"),
+      (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L).as("w"))
+    val docs = t(s, d, "documents")
+    classifierScore(docs, w)
+      .join(docs.select(col("doc_id"), gopherKeep(col("text")).as("pos")), "doc_id")
+      .filter(col("ntok") > 0)
+      .select(expr("(1000000L * (score_num + 1000L * ntok)) div ntok").as("skey"),
+        col("pos"))
+  }
+
+  /** DuckDB CTE chain mirroring [[classifierEvalScores]] — ends in
+    * `sc(skey, pos)`; shared by the q155 and q157 oracles. */
+  private def evalScoresSql: String = s"""
+      tkv AS (SELECT doc_id, text, list_filter(string_split(text,' '), x->x<>'') tk
+              FROM documents),
+      gq AS (SELECT doc_id, CAST(len(tk) AS BIGINT) ntok,
+               CAST(len(list_filter(tk, t -> regexp_matches(t,'[A-Za-z]')))
+                 AS BIGINT) nalpha,
+               CAST(length(replace(text,' ','')) AS BIGINT) wlen,
+               CAST(len(list_filter(tk, t -> list_contains($stopSetSql, t)))
+                 AS BIGINT) nstop,
+               CAST(len(sg) AS BIGINT) ntotal,
+               CAST(len(list_distinct(sg)) AS BIGINT) ndist
+             FROM (SELECT doc_id, text, tk, CASE WHEN len(tk) >= 3
+                     THEN [tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                           for i in generate_series(1, len(tk)-2)]
+                     ELSE [] END sg FROM tkv)),
+      tr AS (SELECT doc_id,
+               (ntok >= 10 AND wlen >= ntok*3 AND wlen <= ntok*10
+                AND nalpha*5 >= ntok*4 AND nstop >= 2
+                AND (ntotal-ndist)*10 < ntotal*3) pos
+             FROM gq),
+      exq AS (SELECT doc_id, unnest(tk) tok FROM tkv),
+      fq AS (SELECT doc_id, ${sql.hmod("'qw:'||tok")} % 512 b FROM exq),
+      wq AS (SELECT b, ${sql.hmod("'w:'||CAST(b AS VARCHAR)")} % 2001 - 1000 w
+             FROM generate_series(0,511) gs(b)),
+      perq AS (SELECT doc_id, CAST(count(*) AS BIGINT) ntok,
+                 CAST(SUM(wq.w) AS BIGINT) score_num
+               FROM fq JOIN wq USING (b) GROUP BY 1),
+      sc AS (SELECT (1000000*(score_num + 1000*perq.ntok)) // perq.ntok skey,
+                    tr.pos pos
+             FROM perq JOIN tr USING (doc_id) WHERE perq.ntok > 0)"""
 
   /** PII audit aggregation shared by the batch gate (q71) and the
     * streaming variant (PipelineStream): scan-stage regex match +
@@ -2494,6 +2550,116 @@ object Pipeline {
         CAST(COALESCE(nbg, 0) AS BIGINT) AS nbg,
         CAST(COALESCE(n_unseen, 0) AS BIGINT) AS n_unseen,
         CAST(COALESCE(num, 0) AS BIGINT) AS num
-      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // model-evaluation card (the metrology stage after q88's
+    // inference: AUC + confusion matrix, every figure an exact
+    // integer): ground truth = the gopherKeep rule, prediction = the
+    // q88 classifier. AUC is the Mann-Whitney rank-sum over the
+    // quantized score key — 2U = Σ_s np_s·(2·cumneg_below(s) + nn_s)
+    // handles ties with midranks exactly, no sort of the corpus:
+    // docs reduce to a map-side-combined groupBy(skey) (bounded by
+    // score granularity), the cumulative-negative window runs on that
+    // bounded table, and one final aggregate folds AUC and the
+    // threshold-0 confusion counts together (predicted-positive ⇔
+    // skey ≥ 10⁹, exactly score_num ≥ 0). n²-sized 2U rides
+    // DECIMAL(38,0)/HUGEINT; every ppm is a nonnegative floor ratio
+    Q("q155_classifier_eval", (s, d) => {
+      val th = 1000000000L
+      val g = classifierEvalScores(s, d)
+        .groupBy(col("skey"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+      val wnd = Window.orderBy(col("skey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = g.withColumn("cnb",
+        coalesce(sum(col("nn")).over(wnd), lit(0L)))
+      cum.agg(
+        sum(col("np") + col("nn")).as("n_docs"),
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np").cast(DecimalType(38, 0)) * (col("cnb") * 2L + col("nn")))
+          .cast(LongType).as("two_u"),
+        sum(when(col("skey") >= th, col("np")).otherwise(0L)).as("tp"),
+        sum(when(col("skey") >= th, col("nn")).otherwise(0L)).as("fp"),
+        sum(when(col("skey") < th, col("nn")).otherwise(0L)).as("tn"),
+        sum(when(col("skey") < th, col("np")).otherwise(0L)).as("fn"))
+        .withColumn("auc_ppm", expr(
+          "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+            "(CAST(1000000 AS DECIMAL(38,0)) * two_u) div (2L * n_pos * n_neg) " +
+            "ELSE -1L END AS BIGINT)"))
+        .withColumn("acc_ppm", expr("(1000000L * (tp + tn)) div n_docs"))
+        .withColumn("prec_ppm", expr(
+          "CASE WHEN tp + fp > 0 THEN (1000000L * tp) div (tp + fp) ELSE -1L END"))
+        .withColumn("rec_ppm", expr(
+          "CASE WHEN n_pos > 0 THEN (1000000L * tp) div n_pos ELSE -1L END"))
+        .withColumn("f1_ppm", expr(
+          "CASE WHEN 2L*tp + fp + fn > 0 THEN " +
+            "(1000000L * 2L * tp) div (2L*tp + fp + fn) ELSE -1L END"))
+        .select(col("n_docs"), col("n_pos"), col("n_neg"), col("two_u"),
+          col("auc_ppm"), col("tp"), col("fp"), col("tn"), col("fn"),
+          col("acc_ppm"), col("prec_ppm"), col("rec_ppm"), col("f1_ppm"))
+    }, Some(s"""
+      WITH $evalScoresSql,
+      gg AS (SELECT skey,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) np,
+               CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) nn
+             FROM sc GROUP BY 1),
+      cum AS (SELECT *, COALESCE(SUM(nn) OVER (ORDER BY skey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cnb
+              FROM gg),
+      agg AS (SELECT CAST(SUM(np+nn) AS BIGINT) n_docs,
+                CAST(SUM(np) AS BIGINT) n_pos,
+                CAST(SUM(nn) AS BIGINT) n_neg,
+                CAST(SUM(CAST(np AS HUGEINT) * (2*cnb + nn)) AS BIGINT) two_u,
+                CAST(SUM(CASE WHEN skey >= 1000000000 THEN np ELSE 0 END)
+                  AS BIGINT) tp,
+                CAST(SUM(CASE WHEN skey >= 1000000000 THEN nn ELSE 0 END)
+                  AS BIGINT) fp,
+                CAST(SUM(CASE WHEN skey < 1000000000 THEN nn ELSE 0 END)
+                  AS BIGINT) tn,
+                CAST(SUM(CASE WHEN skey < 1000000000 THEN np ELSE 0 END)
+                  AS BIGINT) fn
+              FROM cum)
+      SELECT n_docs, n_pos, n_neg, two_u,
+        CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+             THEN (1000000 * CAST(two_u AS HUGEINT)) // (2*n_pos*n_neg)
+             ELSE -1 END AS BIGINT) AS auc_ppm,
+        tp, fp, tn, fn,
+        CAST((1000000*(tp+tn)) // n_docs AS BIGINT) AS acc_ppm,
+        CAST(CASE WHEN tp + fp > 0 THEN (1000000*tp) // (tp+fp)
+             ELSE -1 END AS BIGINT) AS prec_ppm,
+        CAST(CASE WHEN n_pos > 0 THEN (1000000*tp) // n_pos
+             ELSE -1 END AS BIGINT) AS rec_ppm,
+        CAST(CASE WHEN 2*tp + fp + fn > 0 THEN (1000000*2*tp) // (2*tp+fp+fn)
+             ELSE -1 END AS BIGINT) AS f1_ppm
+      FROM agg""")),
+
+    // calibration / reliability bins (the companion card to q155 —
+    // Guo et al. 2017's reliability diagram in its exact regime):
+    // docs bucketed by the quantized classifier score into FIXED
+    // 20M-wide skey bins (a scan-stage integer division of the
+    // always-nonnegative shifted key — never a corpus-rank/quantile
+    // window, the q133 doctrine), each bin reporting volume, truth
+    // positives, exact score mass, and the empirical positive rate —
+    // a calibrated model's pos_rate tracks its bin's mean score.
+    // Bounded output (score range / bin width); one keyed shuffle
+    Q("q157_calibration_bins", (s, d) => {
+      classifierEvalScores(s, d)
+        .select(expr("skey div 20000000L").as("bin"), col("skey"), col("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("skey")).as("sum_skey"))
+        .withColumn("pos_rate_ppm", expr("(1000000L * n_pos) div n"))
+        .orderBy(col("bin"))
+    }, Some(s"""
+      WITH $evalScoresSql
+      SELECT skey // 20000000 AS bin, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(SUM(skey) AS BIGINT) AS sum_skey,
+        CAST((1000000 * SUM(CASE WHEN pos THEN 1 ELSE 0 END)) // count(*)
+             AS BIGINT) AS pos_rate_ppm
+      FROM sc GROUP BY 1 ORDER BY 1"""))
   )
 }

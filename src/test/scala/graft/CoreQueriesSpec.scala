@@ -415,4 +415,61 @@ class CoreQueriesSpec extends AnyFunSuite {
       if (spikes == 0) assert(r.getAs[Long]("spike_checksum") == 0L)
     }
   }
+
+  test("q154: skyline is exactly the brute-force Pareto frontier") {
+    import org.apache.spark.sql.functions._
+    val sky = SparkEntry.queries("q154_skyline")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_size"), r.getAs[Long]("cents"),
+        r.getAs[Long]("n_parts")))
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_size").cast("long"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def dominated(p: (Long, Long)) = parts.exists(q =>
+      q._1 <= p._1 && q._2 <= p._2 && (q._1 < p._1 || q._2 < p._2))
+    val brute = parts.distinct.filterNot(dominated)
+      .map(p => (p._1, p._2, parts.count(_ == p).toLong)).sortBy(_._1)
+    assert(sky.toSeq == brute.toSeq)
+    // skyline sizes strictly increasing, cents strictly decreasing
+    assert(sky.map(_._1).toSeq == sky.map(_._1).sorted.distinct.toSeq)
+    val cs = sky.map(_._2)
+    assert(cs.zip(cs.tail).forall { case (a, b) => a > b })
+  }
+
+  test("q155/q157: AUC card replays from brute pairwise ranks; bins partition it") {
+    val card = SparkEntry.queries("q155_classifier_eval")(spark, sf).collect().head
+    val scores = graft.queries.Pipeline.classifierEvalScores(spark, sf).collect()
+      .map(r => (r.getAs[Long]("skey"), r.getAs[Boolean]("pos")))
+    val pos = scores.filter(_._2).map(_._1)
+    val neg = scores.filterNot(_._2).map(_._1)
+    // 2U = Σ over (pos, neg) pairs of 2·[p > n] + 1·[p = n]
+    val twoU = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(card.getAs[Long]("two_u") == twoU)
+    assert(card.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(card.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(card.getAs[Long]("tp") + card.getAs[Long]("fn") == card.getAs[Long]("n_pos"))
+    assert(card.getAs[Long]("fp") + card.getAs[Long]("tn") == card.getAs[Long]("n_neg"))
+    val auc = card.getAs[Long]("auc_ppm")
+    assert(auc >= 0L && auc <= 1000000L)
+    assert(BigInt(auc) == BigInt(1000000) * twoU /
+      (BigInt(2) * pos.length * neg.length))
+    // hash-derived stand-in weights are independent of the gopher
+    // truth, so the honest measured verdict is a near-coin AUC — the
+    // card's job is exact metrology, not flattery (the q136 doctrine)
+    assert(auc > 400000L && auc < 600000L)
+    val bins = SparkEntry.queries("q157_calibration_bins")(spark, sf).collect()
+    assert(bins.map(_.getAs[Long]("n")).sum == card.getAs[Long]("n_docs"))
+    assert(bins.map(_.getAs[Long]("n_pos")).sum == card.getAs[Long]("n_pos"))
+    val bs = bins.map(_.getAs[Long]("bin"))
+    assert(bs.toSeq == bs.sorted.toSeq && bs.distinct.length == bs.length)
+    bins.foreach { b =>
+      val n = b.getAs[Long]("n"); val np = b.getAs[Long]("n_pos")
+      assert(np >= 0L && np <= n)
+      assert(b.getAs[Long]("pos_rate_ppm") == 1000000L * np / n)
+      // every member's skey lies in the bin ⇒ the bin's mean does too
+      val mean = b.getAs[Long]("sum_skey") / n
+      assert(mean / 20000000L == b.getAs[Long]("bin"))
+    }
+  }
 }
