@@ -658,6 +658,34 @@ object Temporal {
              AS BIGINT) AS p50_s,
         CAST(MAX(CASE WHEN rn = greatest(1, (9*n + 9) // 10) THEN delta END)
              AS BIGINT) AS p90_s
-      FROM r"""))
+      FROM r""")),
+
+    // KMV distinct-count sketch in its EXACT regime (the q66/q139
+    // gating contract applied to cardinality — completing the
+    // bounded-summary family: counts, ranks, now distinct counts):
+    // per event type the distinct-user count through
+    // graft.functions.KmvSketch — k derived from a distinct-count
+    // pre-pass (autoK) so no compaction ever fires at ANY scale
+    // factor, the fail-loud guard armed behind it; both engines count
+    // the SAME h60 hashes, so the oracle is COUNT(DISTINCT h60) and
+    // even a 60-bit collision could not split them. The sketch tier
+    // (small k, ~1/sqrt(k) error, merge-order independence) is
+    // property-tested in KmvSketchSpec
+    Q("q156_kmv_distinct", (s, d) => {
+      import graft.functions.KmvSketch
+      val ev = t(s, d, "events")
+        .select(col("event_type"),
+          h60(col("user_id").cast("string")).as("h"))
+      val k = KmvSketch.autoK(ev, Seq(col("event_type")), col("h"))
+      ev.groupBy(col("event_type"))
+        .agg(KmvSketch.exact(col("h"), k).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }, Some(s"""
+      SELECT event_type,
+        CAST(COUNT(DISTINCT ${sql.h60("CAST(user_id AS VARCHAR)")}) AS BIGINT)
+          AS n_users,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }
