@@ -21,6 +21,54 @@ object Temporal {
   final case class EwmaRow(event_type: String, hr: Long, cnt: Long,
                            ewma_milli: Long, spike: Boolean)
 
+  /** Typed row for the q159 CUSUM card (public: encoder codegen). */
+  final case class CusumRow(event_type: String, n_hours: Long, total: Long,
+                            peak_s: Long, peak_hr: Long, n_flagged: Long,
+                            first_flag_hr: Long)
+
+  /** One-sided CUSUM changepoint detection (Page 1954) over per-type
+    * hourly counts — the SUSTAINED-shift member of the anomaly family
+    * (q135 trailing-mean spikes, q141 EWMA, q131 bursts, q132
+    * regularity): s_i = max(0, s_{i−1} + (n·x_i − S) − ⌊S/4⌋), i.e.
+    * deviations from the per-type mean in n-scaled integer units
+    * (n·mean = S exactly — no division ever happens), with a
+    * quarter-mean allowance; a changepoint flags when s ≥ 3·S (three
+    * n-scaled means of accumulated excess). The sequential fold is a
+    * per-entity mapGroups over the hour-ordered count rows (the
+    * q131/q141 bounded-timeline argument), every step nonneg int64
+    * floor arithmetic, so a recursive CTE replays the trajectory (the
+    * q77/q97/q141 doctrine). peak_hr is the FIRST argmax (strict >
+    * during the fold ≡ min hr at the max), −1 when the trajectory
+    * never rises; first_flag_hr −1 when nothing flags. */
+  def cusumHourly(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[HourCount]
+      .groupByKey(_.event_type)
+      .mapGroups { (k, it) =>
+        val seq = it.toSeq.sortBy(_.hr)
+        val n = seq.length.toLong
+        val total = seq.iterator.map(_.cnt).sum
+        var s = 0L; var peak = 0L; var peakHr = -1L
+        var flags = 0L; var firstFlag = -1L
+        seq.foreach { h =>
+          s = math.max(0L, s + (n * h.cnt - total) - total / 4L)
+          if (s > peak) { peak = s; peakHr = h.hr }
+          if (s >= 3L * total) {
+            flags += 1L
+            if (firstFlag < 0L) firstFlag = h.hr
+          }
+        }
+        CusumRow(k, n, total, peak, peakHr, flags, firstFlag)
+      }
+      .toDF()
+  }
+
   /** Integer EWMA (α = 0.3) over per-type hourly counts, in
     * milli-units: r₁ = 1000·x₁, r_t = ⌊(3·1000·x_t + 7·r_{t−1})/10⌋,
     * spike when the new count exceeds 2.5× the PRIOR baseline
@@ -686,6 +734,97 @@ object Temporal {
         CAST(COUNT(DISTINCT ${sql.h60("CAST(user_id AS VARCHAR)")}) AS BIGINT)
           AS n_users,
         CAST(count(*) AS BIGINT) AS n_events
-      FROM events GROUP BY 1 ORDER BY 1"""))
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // per-key OLS trend lines (q18's regression, keyed and in the
+    // exact-integer regime): per event type the least-squares slope of
+    // daily counts over time, carried as the exact integer pair
+    // (slope_num, slope_den) = (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) — no
+    // division ever crosses the oracle — with the verdict by
+    // cross-multiplication: flat when 20·|num| ≤ den (|slope| ≤ 0.05
+    // events/day), else the sign decides. Products ride
+    // DECIMAL(38,0)/HUGEINT (epoch-day · count sums overflow int64 at
+    // large scale); one keyed shuffle over (type, day), then a
+    // |types|-row rollup
+    Q("q158_trend_lines", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val dc = t(s, d, "events")
+        .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      dc.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("day")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("day").cast(dec) * col("y").cast(dec)).as("sxy"),
+          sum(col("day").cast(dec) * col("day").cast(dec)).as("sxx"))
+        .select(col("event_type"), col("n_days"), col("sy").as("n_events"),
+          (col("n_days").cast(dec) * col("sxy") -
+            col("sx").cast(dec) * col("sy").cast(dec))
+            .cast(LongType).as("slope_num"),
+          (col("n_days").cast(dec) * col("sxx") -
+            col("sx").cast(dec) * col("sx").cast(dec))
+            .cast(LongType).as("slope_den"))
+        .withColumn("trend",
+          when(abs(col("slope_num")) * 20L <= col("slope_den"), lit("flat"))
+            .when(col("slope_num") > 0L, lit("rising"))
+            .otherwise(lit("falling")))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH dc AS (SELECT event_type, epoch_ms(ts)//86400000 AS day,
+                    CAST(count(*) AS BIGINT) y
+                  FROM events GROUP BY 1, 2),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+              CAST(SUM(day) AS BIGINT) sx, CAST(SUM(y) AS BIGINT) sy,
+              SUM(CAST(day AS HUGEINT) * y) sxy,
+              SUM(CAST(day AS HUGEINT) * day) sxx
+            FROM dc GROUP BY 1),
+      b AS (SELECT event_type, n_days, sy n_events,
+              CAST(n_days*sxy - CAST(sx AS HUGEINT)*sy AS BIGINT) slope_num,
+              CAST(n_days*sxx - CAST(sx AS HUGEINT)*sx AS BIGINT) slope_den
+            FROM a)
+      SELECT event_type, n_days, n_events, slope_num, slope_den,
+        CASE WHEN abs(slope_num)*20 <= slope_den THEN 'flat'
+             WHEN slope_num > 0 THEN 'rising' ELSE 'falling' END AS trend
+      FROM b ORDER BY event_type""")),
+
+    // CUSUM changepoint card (Page 1954 — see [[cusumHourly]]): the
+    // sustained-shift detector next to q135/q141's spike detectors;
+    // recursive-CTE trajectory replay on the oracle side
+    Q("q159_cusum_changepoint", (s, d) => {
+      cusumHourly(t(s, d, "events"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH RECURSIVE e AS (SELECT event_type, epoch_ms(ts)//3600000 hr
+                           FROM events),
+      h AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) cnt
+            FROM e GROUP BY 1, 2),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+              CAST(SUM(cnt) AS BIGINT) s
+            FROM h GROUP BY 1),
+      o AS (SELECT h.event_type, hr, cnt, a.n, a.s,
+              row_number() OVER (PARTITION BY h.event_type ORDER BY hr) rn
+            FROM h JOIN a USING (event_type)),
+      rec AS (
+        SELECT event_type, hr, cnt, n, s, rn,
+          greatest(0, (n*cnt - s) - s//4) cs
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.event_type, o.hr, o.cnt, o.n, o.s, o.rn,
+          greatest(0, rec.cs + (o.n*o.cnt - o.s) - o.s//4)
+        FROM rec JOIN o ON o.event_type = rec.event_type
+          AND o.rn = rec.rn + 1),
+      p AS (SELECT event_type, MAX(cs) pk FROM rec GROUP BY 1),
+      fin AS (SELECT rec.event_type, rec.n, rec.s, p.pk,
+                CAST(SUM(CASE WHEN cs >= 3*rec.s THEN 1 ELSE 0 END)
+                  AS BIGINT) n_flagged,
+                COALESCE(MIN(CASE WHEN cs >= 3*rec.s THEN hr END), -1) ff,
+                CASE WHEN p.pk = 0 THEN -1
+                     ELSE MIN(CASE WHEN cs = p.pk THEN hr END) END ph
+              FROM rec JOIN p USING (event_type)
+              GROUP BY 1, 2, 3, 4)
+      SELECT event_type, n AS n_hours, s AS total,
+        CAST(pk AS BIGINT) AS peak_s, CAST(ph AS BIGINT) AS peak_hr,
+        n_flagged, CAST(ff AS BIGINT) AS first_flag_hr
+      FROM fin ORDER BY event_type"""))
   )
 }

@@ -472,4 +472,55 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(mean / 20000000L == b.getAs[Long]("bin"))
     }
   }
+
+  test("q158: OLS trend replays from daily counts; verdict from each row's pair") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q158_trend_lines")(spark, sf).collect()
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy("event_type", "day").count().collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { r =>
+      val ds = daily(r.getAs[String]("event_type"))
+        .map(x => (BigInt(x.getAs[Long]("day")), BigInt(x.getAs[Long]("count"))))
+      val n = BigInt(ds.length)
+      val num = n * ds.map(p => p._1 * p._2).sum - ds.map(_._1).sum * ds.map(_._2).sum
+      val den = n * ds.map(p => p._1 * p._1).sum - ds.map(_._1).sum.pow(2)
+      assert(BigInt(r.getAs[Long]("slope_num")) == num)
+      assert(BigInt(r.getAs[Long]("slope_den")) == den)
+      assert(r.getAs[Long]("n_events") == ds.map(_._2).sum)
+      val expect = if (num.abs * 20 <= den) "flat"
+        else if (num > 0) "rising" else "falling"
+      assert(r.getAs[String]("trend") == expect)
+    }
+  }
+
+  test("q159: CUSUM card replays from an independent JVM fold") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q159_cusum_changepoint")(spark, sf).collect()
+    val hourly = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("event_type", "hr").count().collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { r =>
+      val seq = hourly(r.getAs[String]("event_type"))
+        .map(x => (x.getAs[Long]("hr"), x.getAs[Long]("count"))).sortBy(_._1)
+      val n = seq.length.toLong
+      val total = seq.map(_._2).sum
+      var s = 0L; var peak = 0L; var peakHr = -1L
+      var flags = 0L; var ff = -1L
+      seq.foreach { case (hr, c) =>
+        s = math.max(0L, s + (n * c - total) - total / 4L)
+        if (s > peak) { peak = s; peakHr = hr }
+        if (s >= 3L * total) { flags += 1L; if (ff < 0L) ff = hr }
+      }
+      assert(r.getAs[Long]("n_hours") == n && r.getAs[Long]("total") == total)
+      assert(r.getAs[Long]("peak_s") == peak && r.getAs[Long]("peak_hr") == peakHr)
+      assert(r.getAs[Long]("n_flagged") == flags)
+      assert(r.getAs[Long]("first_flag_hr") == ff)
+      // structural: a flag implies the peak reached the threshold
+      if (flags > 0) assert(peak >= 3L * total && ff >= 0L)
+      if (peak == 0L) assert(peakHr == -1L)
+    }
+  }
 }
