@@ -130,6 +130,56 @@ object EventStream {
       }
   }
 
+  /** CUSUM state per entity (public for encoder codegen). */
+  final case class CusumState(s: Long, peak: Long, peakHr: Long,
+                              flags: Long, firstFlag: Long)
+
+  /** One emitted CUSUM step: the running statistic + flag per ingested
+    * hour-count row. */
+  final case class CusumStep(event_type: String, hr: Long, cnt: Long,
+                             s: Long, flagged: Boolean)
+
+  /** Streaming CUSUM — q159's fold as an ingest, under the PINNED-
+    * MODEL contract (the q109/q114/q120 streaming rule): the per-type
+    * (n, S) normalizers come from a batch pre-pass over the training
+    * window and enter as a broadcast-sized Map closure — CUSUM's mean
+    * is a whole-window statistic, so the model is pinned, not learned
+    * in-stream. Per type one O(1) state tuple folds s' = max(0, s +
+    * (n·x − S) − ⌊S/4⌋) in the gate's exact arithmetic, each input
+    * row emitting its (hr, cnt, s, flagged) step exactly once —
+    * emissions across micro-batches equal the batch trajectory
+    * row-for-row, and the final card replays from the last state.
+    * Ordered-ingest contract (the DedupStream rule); types absent
+    * from the model pass through un-scored (emit nothing). */
+  def cusumStream(hourly: Dataset[graft.queries.Temporal.HourCount],
+                  model: Map[String, (Long, Long)])
+      : Dataset[CusumStep] = {
+    val spark = hourly.sparkSession
+    import spark.implicits._
+    hourly.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumStep](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (k, it, state) =>
+        model.get(k) match {
+          case None => Iterator.empty
+          case Some((n, total)) =>
+            var st = state.getOption.getOrElse(
+              CusumState(0L, 0L, -1L, 0L, -1L))
+            val out = it.toSeq.sortBy(_.hr).map { h =>
+              val s = math.max(0L, st.s + (n * h.cnt - total) - total / 4L)
+              val flagged = s >= 3L * total
+              st = CusumState(s,
+                if (s > st.peak) s else st.peak,
+                if (s > st.peak) h.hr else st.peakHr,
+                st.flags + (if (flagged) 1L else 0L),
+                if (flagged && st.firstFlag < 0L) h.hr else st.firstFlag)
+              CusumStep(k, h.hr, h.cnt, s, flagged)
+            }
+            state.update(st)
+            out.iterator
+        }
+      }
+  }
+
   /** Typed ingest row for the transition stream (public: encoder). */
   final case class TypedEvent(user_id: Long, event_id: Long, sec: Long,
                               event_type: String)

@@ -577,6 +577,52 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM (pinned model, ordered ingest) replays the q159 card") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hourly = graft.Tables.t(spark, sf, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+      .orderBy("hr").collect()
+      .map(r => graft.queries.Temporal.HourCount(r.getString(0), r.getLong(1),
+        r.getLong(2)))
+    // the pinned model: per-type (n, S) from the batch pre-pass
+    val model = hourly.groupBy(_.event_type).map { case (k, rs) =>
+      k -> (rs.length.toLong, rs.map(_.cnt).sum)
+    }
+    val in = MemoryStream[graft.queries.Temporal.HourCount]
+    val q = EventStream.cusumStream(in.toDS(), model)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("update").start()
+    try {
+      hourly.grouped(math.max(1, hourly.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val steps = spark.table("cusum_stream").collect()
+      assert(steps.length == hourly.length)
+      // fold the emitted trajectory back into the q159 card per type
+      val gate = graft.SparkEntry.queries("q159_cusum_changepoint")(spark, sf)
+        .collect()
+      for (g <- gate) {
+        val tpe = g.getAs[String]("event_type")
+        val tr = steps.filter(_.getAs[String]("event_type") == tpe)
+          .sortBy(_.getAs[Long]("hr"))
+        assert(tr.length == g.getAs[Long]("n_hours"))
+        val peak = tr.map(_.getAs[Long]("s")).max
+        assert(math.max(peak, 0L) == g.getAs[Long]("peak_s"))
+        val peakHr = if (peak == 0L) -1L
+          else tr.find(_.getAs[Long]("s") == peak).get.getAs[Long]("hr")
+        assert(peakHr == g.getAs[Long]("peak_hr"))
+        val flagged = tr.filter(_.getAs[Boolean]("flagged"))
+        assert(flagged.length.toLong == g.getAs[Long]("n_flagged"))
+        val ff = flagged.headOption.map(_.getAs[Long]("hr")).getOrElse(-1L)
+        assert(ff == g.getAs[Long]("first_flag_hr"))
+      }
+    } finally q.stop()
+  }
+
   test("streaming transitions (ordered ingest) roll up to the q148 matrix") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
