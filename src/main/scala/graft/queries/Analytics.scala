@@ -743,6 +743,66 @@ object Analytics {
         CAST(SUM(c.p_partkey % ${P}) % ${P} AS BIGINT) AS part_checksum
       FROM sk s JOIN c ON c.p_size = s.p_size AND c.cents = s.cents
       WHERE s.rm IS NULL OR s.rm > s.cents
-      GROUP BY 1, 2 ORDER BY 1"""))
+      GROUP BY 1, 2 ORDER BY 1""")),
+
+    // bipartite graph-motif card (butterflies = 4-cycles, the
+    // bipartite analog of triangles — Wang et al. 2019 "Vertex
+    // Priority Based Butterfly Counting"; the motif-census member of
+    // the graph family next to q142 degrees / q138 centrality): over
+    // the customer–supplier trade graph, edge count, wedge counts
+    // from both sides (Σ C(deg,2) — one map-side-combined groupBy per
+    // side, never a pair join), supplier co-occurrence pairs, and the
+    // butterfly count Σ_pairs C(shared,2). The pair stage reuses
+    // q151's capBuckets-capped basket self-join (fan-out ≤ C(cap,2)
+    // per basket; cap far above this data's max degree, so the
+    // unblocked oracle agrees). Card output = UNION of labeled
+    // one-row aggregates, each carrying its own total (the q121
+    // shape — never a 1-row cross join). C(n,2) = (n·(n−1)) div 2 is
+    // exact: n·(n−1) is even, everything nonnegative
+    Q("q160_butterfly_card", (s, d) => {
+      val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      val capped = graft.queries.Dedup.capBuckets(e0, Seq("c"), "sk", 256)
+        .cut() // feeds degrees, the edge count, and the pair join
+      val edges = capped.agg(count(lit(1)).as("cnt"))
+        .select(lit("1_edges").as("metric"), col("cnt"))
+      val wc = capped.groupBy(col("c")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("(n * (n - 1)) div 2")).as("cnt"))
+        .select(lit("2_wedges_customer").as("metric"), col("cnt"))
+      val ws = capped.groupBy(col("sk")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("(n * (n - 1)) div 2")).as("cnt"))
+        .select(lit("3_wedges_supplier").as("metric"), col("cnt"))
+      val pairs = capped
+        .join(capped.select(col("c"), col("sk").as("sk2")), Seq("c"))
+        .filter(col("sk") < col("sk2"))
+        .groupBy(col("sk"), col("sk2")).agg(count(lit(1)).as("n"))
+        .cut() // feeds the pair count and the butterfly sum
+      val np = pairs.agg(count(lit(1)).as("cnt"))
+        .select(lit("4_supplier_pairs").as("metric"), col("cnt"))
+      val bf = pairs.agg(sum(expr("(n * (n - 1)) div 2")).as("cnt"))
+        .select(lit("5_butterflies").as("metric"), col("cnt"))
+      edges.union(wc).union(ws).union(np).union(bf).orderBy(col("metric"))
+    }, Some("""
+      WITH e0 AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey sk
+                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      p AS (SELECT a.sk, b.sk2, CAST(count(*) AS BIGINT) n
+            FROM e0 a JOIN (SELECT c, sk sk2 FROM e0) b
+              ON a.c = b.c AND a.sk < b.sk2
+            GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT '1_edges' AS metric, CAST(count(*) AS BIGINT) AS cnt FROM e0
+        UNION ALL SELECT '2_wedges_customer',
+          CAST(SUM((n*(n-1))//2) AS BIGINT)
+          FROM (SELECT CAST(count(*) AS BIGINT) n FROM e0 GROUP BY c)
+        UNION ALL SELECT '3_wedges_supplier',
+          CAST(SUM((n*(n-1))//2) AS BIGINT)
+          FROM (SELECT CAST(count(*) AS BIGINT) n FROM e0 GROUP BY sk)
+        UNION ALL SELECT '4_supplier_pairs', CAST(count(*) AS BIGINT) FROM p
+        UNION ALL SELECT '5_butterflies', CAST(SUM((n*(n-1))//2) AS BIGINT)
+          FROM p)
+      ORDER BY metric"""))
   )
 }

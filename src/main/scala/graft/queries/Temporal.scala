@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -825,6 +826,47 @@ object Temporal {
       SELECT event_type, n AS n_hours, s AS total,
         CAST(pk AS BIGINT) AS peak_s, CAST(ph AS BIGINT) AS peak_hr,
         n_flagged, CAST(ff AS BIGINT) AS first_flag_hr
-      FROM fin ORDER BY event_type"""))
+      FROM fin ORDER BY event_type""")),
+
+    // top event-path trigrams (sequential pattern mining one order up
+    // from q148's transition matrix — the "common user journeys"
+    // report): per user, consecutive event-type triples under the
+    // q148 (sec, event_id) unique tie-break, counted corpus-wide,
+    // top-10 by (count desc, path asc). Per-entity lag windows run
+    // over bounded user timelines (the q131 argument); selection is
+    // TakeOrderedAndProject over the ≤|types|³ path space
+    Q("q161_event_trigrams", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val tg = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+        .withColumn("t2", lag(col("event_type"), 1).over(w))
+        .withColumn("t3", lag(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat(col("t3"), lit(">"), col("t2"), lit(">"),
+          col("event_type")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      val wr = Window.orderBy(col("n").desc, col("path"))
+      tg.orderBy(col("n").desc, col("path")).limit(10)
+        .withColumn("rank", row_number().over(wr).cast(LongType))
+        .select(col("rank"), col("path"), col("n"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts)//1000 sec, event_type
+                 FROM events),
+      l AS (SELECT event_type t1,
+              lag(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY sec, event_id) t2,
+              lag(event_type, 2) OVER (PARTITION BY user_id
+                ORDER BY sec, event_id) t3
+            FROM e),
+      c AS (SELECT t3||'>'||t2||'>'||t1 AS path, CAST(count(*) AS BIGINT) n
+            FROM l WHERE t3 IS NOT NULL GROUP BY 1)
+      SELECT rank, path, n FROM (
+        SELECT path, n,
+          CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) rank
+        FROM c)
+      WHERE rank <= 10 ORDER BY rank"""))
   )
 }

@@ -523,4 +523,60 @@ class CoreQueriesSpec extends AnyFunSuite {
       if (peak == 0L) assert(peakHr == -1L)
     }
   }
+
+  test("q160: butterfly card replays from the raw bipartite edge set") {
+    import org.apache.spark.sql.functions._
+    val card = SparkEntry.queries("q160_butterfly_card")(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("cnt")).toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val edges = orders.join(li, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("c"), r.getAs[Long]("sk")))
+    def c2(n: Long) = n * (n - 1) / 2
+    assert(card("1_edges") == edges.length.toLong)
+    val wc = edges.groupBy(_._1).values.map(g => c2(g.length.toLong)).sum
+    val ws = edges.groupBy(_._2).values.map(g => c2(g.length.toLong)).sum
+    assert(card("2_wedges_customer") == wc)
+    assert(card("3_wedges_supplier") == ws)
+    val byC = edges.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val shared = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byC.values.foreach { sks =>
+      for (i <- sks.indices; j <- i + 1 until sks.length)
+        shared((sks(i), sks(j))) = shared.getOrElse((sks(i), sks(j)), 0L) + 1L
+    }
+    assert(card("4_supplier_pairs") == shared.size.toLong)
+    assert(card("5_butterflies") == shared.values.map(c2).sum)
+    // the wedge identity: every customer wedge lands on exactly one
+    // supplier pair, so Σ shared == customer-side wedges
+    assert(shared.values.sum == wc)
+  }
+
+  test("q161: trigram paths cover Σ max(0, n_u − 2) instances; top count replays") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q161_event_trigrams")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getAs[String]("path").split(">").length == 3))
+    // brute replay of all trigram counts from ordered per-user timelines
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_id", "unix_timestamp(ts) as sec",
+        "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("sec"), r.getAs[String]("event_type")))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).values.foreach { g =>
+      val ts = g.sortBy(e => (e._3, e._2)).map(_._4)
+      ts.sliding(3).filter(_.length == 3).foreach { w =>
+        val k = w.mkString(">")
+        counts(k) = counts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val expectTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(rows.map(r => (r.getAs[String]("path"), r.getAs[Long]("n"))).toSeq
+      == expectTop)
+  }
 }
