@@ -915,6 +915,84 @@ object Similarity {
       SELECT a_id, b_id, d2_orig, d2_proj,
         CAST((1000000 * CAST(d2_proj AS HUGEINT)) // (8 * d2_orig) AS BIGINT)
           AS ratio_ppm
-      FROM dd WHERE d2_orig > 0 ORDER BY a_id"""))
+      FROM dd WHERE d2_orig > 0 ORDER BY a_id""")),
+
+    // reciprocal-rank fusion (Cormack et al. SIGIR 2009 — the
+    // rank-aggregation primitive of hybrid retrieval: fuse two
+    // rankings without comparing their incommensurable scores): the
+    // commonness ranking (q91's integer score) and the classifier
+    // ranking (q88's shifted quantized score) each contribute their
+    // TOP-100 list (real RRF semantics — retrieval fuses retrieved
+    // LISTS, which is also what makes it scale: each list is a
+    // TakeOrderedAndProject, ranks are windows over the bounded
+    // 100-row lists, and the fusion is a 100∪100 full outer join —
+    // no corpus-wide rank window ever runs); rrf = Σ ⌊10⁶/(60+r)⌋
+    // with the standard k=60, missing-from-list contributing 0.
+    // Top-20 fused docs by (rrf desc, doc_id asc); absent ranks
+    // surface as −1
+    Q("q162_rank_fusion", (s, d) => {
+      val docs = t(s, d, "documents")
+      val a = Pipeline.commonnessScore(docs).filter(col("ntok") > 0)
+        .select(col("doc_id"), expr("(1000000L * num) div ntok").as("sa"))
+      val wgt = s.range(512).select(col("id").as("bucket"),
+        (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L)
+          .as("w"))
+      val b = Pipeline.classifierScore(docs, wgt).filter(col("ntok") > 0)
+        .select(col("doc_id"),
+          expr("(1000000L * (score_num + 1000L * ntok)) div ntok").as("sb"))
+      val wa = Window.orderBy(col("sa").desc, col("doc_id"))
+      val ta = a.orderBy(col("sa").desc, col("doc_id")).limit(100)
+        .withColumn("ra", row_number().over(wa).cast(LongType))
+        .select(col("doc_id"), col("ra"))
+      val wb = Window.orderBy(col("sb").desc, col("doc_id"))
+      val tb = b.orderBy(col("sb").desc, col("doc_id")).limit(100)
+        .withColumn("rb", row_number().over(wb).cast(LongType))
+        .select(col("doc_id"), col("rb"))
+      val fused = ta.join(tb, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          expr("coalesce(1000000L div (60L + ra), 0L) + " +
+            "coalesce(1000000L div (60L + rb), 0L)"))
+        .withColumn("ra", coalesce(col("ra"), lit(-1L)))
+        .withColumn("rb", coalesce(col("rb"), lit(-1L)))
+      val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
+      fused.orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(wf).cast(LongType))
+        .select(col("rank"), col("doc_id"), col("rrf"), col("ra"), col("rb"))
+        .orderBy(col("rank"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      ex AS (SELECT doc_id, unnest(tk) tok FROM tk),
+      freq AS (SELECT tok, CAST(count(*) AS BIGINT) cnt FROM ex GROUP BY 1),
+      pa AS (SELECT doc_id, CAST(count(*) AS BIGINT) ntok,
+               CAST(SUM(cnt) AS BIGINT) num
+             FROM ex JOIN freq USING (tok) GROUP BY 1),
+      sa AS (SELECT doc_id, (1000000*num) // ntok sa FROM pa WHERE ntok > 0),
+      fb AS (SELECT doc_id, ${sql.hmod("'qw:'||tok")} % 512 b FROM ex),
+      wq AS (SELECT b, ${sql.hmod("'w:'||CAST(b AS VARCHAR)")} % 2001 - 1000 w
+             FROM generate_series(0,511) gs(b)),
+      pb AS (SELECT doc_id, CAST(count(*) AS BIGINT) ntok,
+               CAST(SUM(wq.w) AS BIGINT) score_num
+             FROM fb JOIN wq USING (b) GROUP BY 1),
+      sb AS (SELECT doc_id, (1000000*(score_num + 1000*ntok)) // ntok sb
+             FROM pb WHERE ntok > 0),
+      ta AS (SELECT doc_id, rk ra FROM (
+               SELECT doc_id, row_number() OVER (ORDER BY sa DESC, doc_id) rk
+               FROM sa) WHERE rk <= 100),
+      tb AS (SELECT doc_id, rk rb FROM (
+               SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id) rk
+               FROM sb) WHERE rk <= 100),
+      fu AS (SELECT COALESCE(ta.doc_id, tb.doc_id) doc_id,
+               COALESCE(1000000 // (60 + ra), 0)
+                 + COALESCE(1000000 // (60 + rb), 0) rrf,
+               COALESCE(ra, -1) ra, COALESCE(rb, -1) rb
+             FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id)
+      SELECT rank, doc_id, CAST(rrf AS BIGINT) AS rrf,
+        CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb
+      FROM (SELECT doc_id, rrf, ra, rb,
+              CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                rank
+            FROM fu)
+      WHERE rank <= 20 ORDER BY rank"""))
   )
 }

@@ -867,6 +867,72 @@ object Temporal {
         SELECT path, n,
           CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) rank
         FROM c)
-      WHERE rank <= 10 ORDER BY rank"""))
+      WHERE rank <= 10 ORDER BY rank""")),
+
+    // distribution-drift card (data-drift monitoring for the model/
+    // pipeline ops family): total-variation distance between the
+    // event-type mix of the FIRST week and the LAST week, per-type
+    // contributions + the total — TVD = ½·Σ|p_i − q_i| is the
+    // RATIONAL drift measure (PSI/KL are logs, the q57 transcendental
+    // rule), carried as |c1·N2 − c2·N1| through DECIMAL/HUGEINT over
+    // the common denominator 2·N1·N2, every ppm a nonnegative floor
+    // ratio. Window bounds and totals are driver scalars (the q62
+    // contract); the total row rides the q121 UNION shape. One
+    // map-side-combined groupBy over a scan-stage window tag
+    Q("q163_distribution_drift", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val ev = t(s, d, "events")
+        .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .cut() // feeds the bounds scalars, the totals, and the card
+      val mm = ev.agg(min(col("day")), max(col("day"))).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val tagged = ev.filter(col("day") <= lo + 6L || col("day") >= hi - 6L)
+        .withColumn("w1", col("day") <= lo + 6L)
+      val nn = tagged.agg(
+        sum(when(col("w1"), 1L).otherwise(0L)),
+        sum(when(!col("w1"), 1L).otherwise(0L))).head
+      val (n1, n2) = (nn.getLong(0), nn.getLong(1))
+      val ppm = s"CAST((CAST(1000000 AS DECIMAL(38,0)) * absdiff) div " +
+        s"(CAST(2 AS DECIMAL(38,0)) * ${n1}L * ${n2}L) AS BIGINT)"
+      val per = tagged.groupBy(col("event_type"))
+        .agg(sum(when(col("w1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("w1"), 1L).otherwise(0L)).as("c2"))
+        .withColumn("absdiff",
+          abs(col("c1").cast(dec) * lit(n2).cast(dec) -
+            col("c2").cast(dec) * lit(n1).cast(dec)))
+        .cut() // feeds the per-type rows and the total row
+      val typed = per.select(
+        concat(lit("type:"), col("event_type")).as("segment"),
+        col("c1"), col("c2"), expr(ppm).as("drift_ppm"))
+      val total = per.agg(sum(col("absdiff")).as("absdiff"))
+        .select(lit("_total").as("segment"), lit(n1).as("c1"),
+          lit(n2).as("c2"), expr(ppm).as("drift_ppm"))
+      typed.union(total).orderBy(col("segment"))
+    }, Some("""
+      WITH e AS (SELECT event_type, epoch_ms(ts)//86400000 AS day FROM events),
+      mm AS (SELECT MIN(day) lo, MAX(day) hi FROM e),
+      tg AS (SELECT event_type, day <= lo + 6 w1 FROM e, mm
+             WHERE day <= lo + 6 OR day >= hi - 6),
+      nn AS (SELECT CAST(SUM(CASE WHEN w1 THEN 1 ELSE 0 END) AS BIGINT) n1,
+               CAST(SUM(CASE WHEN w1 THEN 0 ELSE 1 END) AS BIGINT) n2
+             FROM tg),
+      per AS (SELECT event_type,
+                CAST(SUM(CASE WHEN w1 THEN 1 ELSE 0 END) AS BIGINT) c1,
+                CAST(SUM(CASE WHEN w1 THEN 0 ELSE 1 END) AS BIGINT) c2
+              FROM tg GROUP BY 1),
+      ad AS (SELECT event_type, c1, c2,
+               abs(CAST(c1 AS HUGEINT)*n2 - CAST(c2 AS HUGEINT)*n1) absdiff
+             FROM per, nn)
+      SELECT * FROM (
+        SELECT 'type:'||event_type AS segment, c1, c2,
+          CAST((1000000 * absdiff) // (2 * CAST(n1 AS HUGEINT) * n2)
+               AS BIGINT) AS drift_ppm
+        FROM ad, nn
+        UNION ALL
+        SELECT '_total', n1, n2,
+          CAST((1000000 * SUM(absdiff)) // (2 * CAST(n1 AS HUGEINT) * n2)
+               AS BIGINT)
+        FROM ad, nn GROUP BY n1, n2)
+      ORDER BY segment"""))
   )
 }

@@ -579,4 +579,67 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[String]("path"), r.getAs[Long]("n"))).toSeq
       == expectTop)
   }
+
+  test("q162: RRF top-20 replays from independently ranked lists") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols.hmod
+    val rows = SparkEntry.queries("q162_rank_fusion")(spark, sf).collect()
+    assert(rows.length == 20)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sa = graft.queries.Pipeline.commonnessScore(docs)
+      .filter(col("ntok") > 0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        1000000L * r.getAs[Long]("num") / r.getAs[Long]("ntok"))
+    val wgt = spark.range(512).select(col("id").as("bucket"),
+      (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L).as("w"))
+    val sb = graft.queries.Pipeline.classifierScore(docs, wgt)
+      .filter(col("ntok") > 0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        1000000L * (r.getAs[Long]("score_num") + 1000L * r.getAs[Long]("ntok")) /
+          r.getAs[Long]("ntok"))
+    def ranks(s: Array[(Long, Long)]) = s
+      .sortBy { case (id, v) => (-v, id) }.take(100).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val (ra, rb) = (ranks(sa), ranks(sb))
+    val fused = (ra.keySet ++ rb.keySet).toSeq.map { id =>
+      val r = ra.get(id).map(x => 1000000L / (60L + x)).getOrElse(0L) +
+        rb.get(id).map(x => 1000000L / (60L + x)).getOrElse(0L)
+      (id, r)
+    }.sortBy { case (id, r) => (-r, id) }.take(20)
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf"))).toSeq
+      == fused)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ra") == ra.getOrElse(r.getAs[Long]("doc_id"), -1L))
+      assert(r.getAs[Long]("rb") == rb.getOrElse(r.getAs[Long]("doc_id"), -1L))
+    }
+  }
+
+  test("q163: TVD drift card replays in BigInt; total bounds the contributions") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q163_distribution_drift")(spark, sf).collect()
+    val total = rows.find(_.getAs[String]("segment") == "_total").get
+    val typed = rows.filter(_.getAs[String]("segment") != "_total")
+    val days = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "unix_timestamp(ts) div 86400 as day").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")))
+    val lo = days.map(_._2).min; val hi = days.map(_._2).max
+    val w1 = days.filter(_._2 <= lo + 6); val w2 = days.filter(d => d._2 >= hi - 6 && d._2 > lo + 6)
+    val n1 = w1.length.toLong; val n2 = w2.length.toLong
+    assert(total.getAs[Long]("c1") == n1 && total.getAs[Long]("c2") == n2)
+    var sumAbs = BigInt(0)
+    typed.foreach { r =>
+      val tpe = r.getAs[String]("segment").stripPrefix("type:")
+      val c1 = w1.count(_._1 == tpe).toLong
+      val c2 = w2.count(_._1 == tpe).toLong
+      assert(r.getAs[Long]("c1") == c1 && r.getAs[Long]("c2") == c2)
+      val ad = (BigInt(c1) * n2 - BigInt(c2) * n1).abs
+      sumAbs += ad
+      assert(BigInt(r.getAs[Long]("drift_ppm")) ==
+        BigInt(1000000) * ad / (BigInt(2) * n1 * n2))
+    }
+    assert(BigInt(total.getAs[Long]("drift_ppm")) ==
+      BigInt(1000000) * sumAbs / (BigInt(2) * n1 * n2))
+    // TVD ≤ 1e6 ppm by construction
+    assert(total.getAs[Long]("drift_ppm") <= 1000000L)
+  }
 }
