@@ -803,6 +803,85 @@ object Analytics {
         UNION ALL SELECT '4_supplier_pairs', CAST(count(*) AS BIGINT) FROM p
         UNION ALL SELECT '5_butterflies', CAST(SUM((n*(n-1))//2) AS BIGINT)
           FROM p)
+      ORDER BY metric""")),
+
+    // triangle census over the lift-thresholded supplier projection
+    // (the unipartite motif next to q160's bipartite butterflies —
+    // graph projection + triangle counting, Satish et al.'s classic
+    // census): suppliers are adjacent when their customer
+    // co-occurrence LIFT clears a fixed 1.01 ratio — lift is the
+    // scale-invariant edge rule (an absolute shared-count threshold
+    // can't survive a sf change; the q137 cross-multiplication:
+    // 100·ns·N ≥ 101·deg_a·deg_b through DECIMAL, N = one driver
+    // scalar). Triangles = the a<b<c edge-edge-edge equi-join over
+    // the BOUNDED projection (supplier count doesn't scale with
+    // corpus size; the corpus-sized work is the audited q151 basket
+    // stage). Card = UNION of labeled one-row aggregates (q121)
+    Q("q165_triangle_census", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      val capped = graft.queries.Dedup.capBuckets(e0, Seq("c"), "sk", 256)
+        .cut() // feeds N, degrees and the pair join
+      val nC = capped.select(col("c")).distinct().count()
+      val deg = capped.groupBy(col("sk")).agg(count(lit(1)).as("dg"))
+      val pairs = capped
+        .join(capped.select(col("c"), col("sk").as("sk2")), Seq("c"))
+        .filter(col("sk") < col("sk2"))
+        .groupBy(col("sk"), col("sk2")).agg(count(lit(1)).as("ns"))
+      val edges = pairs
+        .join(deg.select(col("sk"), col("dg").as("d1")), "sk")
+        .join(deg.select(col("sk").as("sk2"), col("dg").as("d2")), "sk2")
+        .filter(col("ns").cast(dec) * lit(100L).cast(dec) * lit(nC).cast(dec) >=
+          col("d1").cast(dec) * col("d2").cast(dec) * lit(101L).cast(dec))
+        .select(col("sk").as("a"), col("sk2").as("b"))
+        .cut() // four plan references: nodes, edge count, wedges, triangles
+      val inc = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+      val nodes = inc.distinct().agg(count(lit(1)).as("cnt"))
+        .select(lit("1_nodes").as("metric"), col("cnt"))
+      val nEdges = edges.agg(count(lit(1)).as("cnt"))
+        .select(lit("2_edges").as("metric"), col("cnt"))
+      val wedges = inc.groupBy(col("v")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("(n * (n - 1)) div 2")).as("cnt"))
+        .select(lit("3_wedges").as("metric"), col("cnt"))
+      val tri = edges
+        .join(edges.select(col("a").as("b"), col("b").as("cc")), "b")
+        .join(edges.select(col("a").as("a2"), col("b").as("cc2")),
+          col("a") === col("a2") && col("cc") === col("cc2"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("4_triangles").as("metric"), col("cnt"))
+      nodes.union(nEdges).union(wedges).union(tri).orderBy(col("metric"))
+    }, Some("""
+      WITH e0 AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey sk
+                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      nn AS (SELECT CAST(count(DISTINCT c) AS BIGINT) n FROM e0),
+      deg AS (SELECT sk, CAST(count(*) AS BIGINT) dg FROM e0 GROUP BY 1),
+      p AS (SELECT a.sk, b.sk2, CAST(count(*) AS BIGINT) ns
+            FROM e0 a JOIN (SELECT c, sk sk2 FROM e0) b
+              ON a.c = b.c AND a.sk < b.sk2
+            GROUP BY 1, 2),
+      ed AS (SELECT p.sk a, p.sk2 b FROM p
+               JOIN deg d1 ON d1.sk = p.sk
+               JOIN deg d2 ON d2.sk = p.sk2
+               CROSS JOIN nn
+             WHERE CAST(ns AS HUGEINT) * 100 * nn.n
+                   >= CAST(d1.dg AS HUGEINT) * d2.dg * 101),
+      v AS (SELECT a v FROM ed UNION SELECT b FROM ed),
+      pd AS (SELECT v, CAST(count(*) AS BIGINT) n
+             FROM (SELECT a v FROM ed UNION ALL SELECT b FROM ed)
+             GROUP BY 1),
+      tr AS (SELECT CAST(count(*) AS BIGINT) c FROM ed e1
+               JOIN ed e2 ON e2.a = e1.b
+               JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT * FROM (
+        SELECT '1_nodes' AS metric, CAST(count(*) AS BIGINT) AS cnt FROM v
+        UNION ALL SELECT '2_edges', CAST(count(*) AS BIGINT) FROM ed
+        UNION ALL SELECT '3_wedges', CAST(SUM((n*(n-1))//2) AS BIGINT) FROM pd
+        UNION ALL SELECT '4_triangles', c FROM tr)
       ORDER BY metric"""))
   )
 }

@@ -843,6 +843,26 @@ object Dedup {
         (sum(hmod(col("doc_id").cast("string"))) % P).as("docs_checksum"))
   }
 
+  /** K-fold cluster-safe cross-validation folds — [[clusterSplitAudit]]
+    * generalized from the 80/10/10 split to k equal-probability folds
+    * (the evaluation-protocol stage: k-fold CV on near-dup-polluted
+    * corpora leaks unless fold assignment is by CLUSTER, Søgaard et
+    * al. 2021): fold = hash(cluster_id) mod k, so a near-dup cluster
+    * lands wholly in one fold by construction. Same scan-stage hash
+    * decision + O(folds) rollup shape as q93. */
+  def kfoldSplitAudit(docs: DataFrame, k: Int = 5,
+                      cfg: LshConfig = LshConfig()): DataFrame = {
+    require(k > 1, s"fold count out of range: $k")
+    clusters(docs, cfg)
+      .select(col("doc_id"), col("cluster_id"),
+        (hmod(concat(lit("fold:"), col("cluster_id").cast("string"))) % k)
+          .as("fold"))
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        (sum(hmod(col("doc_id").cast("string"))) % P).as("docs_checksum"))
+  }
+
   /** End-to-end dedup: exact-clone collapse → near-dup pairs →
     * connected components → keep the min-id representative per
     * cluster. Returns the deduplicated corpus (all original columns).
@@ -1630,6 +1650,27 @@ object Dedup {
                     ELSE 'test' END subset
              FROM cl)
       SELECT subset,
+        CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        count(*) AS n_docs,
+        CAST(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}) % ${P} AS BIGINT)
+          AS docs_checksum
+      FROM sp GROUP BY 1 ORDER BY 1""")),
+
+    // k-fold cluster-safe CV folds (q93's leakage-safety at k-way
+    // granularity — fold = hash(cluster id) mod 5, near-dup clusters
+    // cannot straddle folds by construction)
+    Q("q164_kfold_split", (s, d) => {
+      kfoldSplitAudit(t(s, d, "documents"))
+        .orderBy(col("fold"))
+    }, Some(s"""
+      $ccCtes,
+      cl AS (SELECT d.doc_id,
+               COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) cluster_id
+             FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+      sp AS (SELECT doc_id, cluster_id,
+               ${sql.hmod("'fold:'||CAST(cluster_id AS VARCHAR)")} % 5 fold
+             FROM cl)
+      SELECT fold,
         CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
         count(*) AS n_docs,
         CAST(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}) % ${P} AS BIGINT)

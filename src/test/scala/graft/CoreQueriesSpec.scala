@@ -642,4 +642,65 @@ class CoreQueriesSpec extends AnyFunSuite {
     // TVD ≤ 1e6 ppm by construction
     assert(total.getAs[Long]("drift_ppm") <= 1000000L)
   }
+
+  test("q164: folds partition the corpus and clusters never straddle") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols.hmodJvm
+    val rows = SparkEntry.queries("q164_kfold_split")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("fold")).toSet.subsetOf((0L to 4L).toSet))
+    val cl = graft.queries.Dedup.clusters(
+      spark.read.parquet(s"$sf/documents.parquet")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    assert(rows.map(_.getAs[Long]("n_clusters")).sum ==
+      cl.map(_._2).distinct.length.toLong)
+    // cluster-safety: a cluster's fold is a function of its id alone
+    val foldOf = cl.map(_._2).distinct
+      .map(c => c -> hmodJvm(s"fold:$c") % 5).toMap
+    val docsPerFold = cl.groupBy(c => foldOf(c._2))
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        docsPerFold.getOrElse(r.getAs[Long]("fold"), 0L))
+    }
+  }
+
+  test("q165: triangle census replays from the brute lift projection") {
+    import org.apache.spark.sql.functions._
+    val card = SparkEntry.queries("q165_triangle_census")(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("cnt")).toMap
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("c"), r.getAs[Long]("sk")))
+    val nC = raw.map(_._1).distinct.length.toLong
+    val deg = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val shared = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    raw.groupBy(_._1).values.foreach { g =>
+      val sks = g.map(_._2).sorted
+      for (i <- sks.indices; j <- i + 1 until sks.length)
+        shared((sks(i), sks(j))) = shared.getOrElse((sks(i), sks(j)), 0L) + 1L
+    }
+    val edges = shared.filter { case ((a, b), ns) =>
+      BigInt(ns) * 100 * nC >= BigInt(deg(a)) * deg(b) * 101
+    }.keySet.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    assert(card("1_nodes") == nodes.size.toLong)
+    assert(card("2_edges") == edges.size.toLong)
+    val pdeg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    val wedges = pdeg.values.map(n => n * (n - 1) / 2).sum
+    assert(card("3_wedges") == wedges)
+    val vs = nodes.toSeq.sorted
+    val eset = edges
+    var tri = 0L
+    for (e <- edges; c <- vs if c > e._2)
+      if (eset.contains((e._1, c)) && eset.contains((e._2, c))) tri += 1L
+    assert(card("4_triangles") == tri)
+    // each triangle contributes 3 wedges
+    assert(3L * tri <= wedges)
+  }
 }
