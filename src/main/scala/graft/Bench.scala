@@ -198,8 +198,12 @@ object Bench {
       s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":$compactQ,"failed":$compactFailed,"flaky_passes":$compactFlaky,"mode":"$mode","passes":$passes,"full":"$out","sf":"$sfDir"}"""
     }
     val compact = {
-      val two = render(2)
-      if (two.length <= 1800) two else render(1)
+      // adaptive chain 2 → 1 → 0 decimals: at ~165 queries the
+      // 1-decimal line crosses 1800 chars, so the integer-seconds tier
+      // keeps the line parseable (per-query ms precision always lives
+      // in bench_full.json; the headline total keeps 3 decimals)
+      Iterator(2, 1, 0).map(render).find(_.length <= 1800)
+        .getOrElse(render(0))
     }
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()

@@ -805,39 +805,39 @@ object Analytics {
           FROM p)
       ORDER BY metric""")),
 
-    // triangle census over the lift-thresholded supplier projection
+    // triangle census over the MUTUAL top-10 supplier projection
     // (the unipartite motif next to q160's bipartite butterflies —
-    // graph projection + triangle counting, Satish et al.'s classic
-    // census): suppliers are adjacent when their customer
-    // co-occurrence LIFT clears a fixed 1.01 ratio — lift is the
-    // scale-invariant edge rule (an absolute shared-count threshold
-    // can't survive a sf change; the q137 cross-multiplication:
-    // 100·ns·N ≥ 101·deg_a·deg_b through DECIMAL, N = one driver
-    // scalar). Triangles = the a<b<c edge-edge-edge equi-join over
-    // the BOUNDED projection (supplier count doesn't scale with
-    // corpus size; the corpus-sized work is the audited q151 basket
-    // stage). Card = UNION of labeled one-row aggregates (q121)
+    // graph projection + triangle counting): suppliers are adjacent
+    // when each ranks the other in its top-10 co-occurrence partners
+    // by (shared customers desc, partner asc) — the mutual-kNN graph,
+    // the edge rule that actually scales: a fixed lift/count
+    // threshold produced a ~65%-DENSE graph here (the wedge join went
+    // ~2·10⁸ rows at sf0.1, 16 s — measured, rejected), while mutual
+    // top-m bounds every degree ≤ m by construction, so wedges ≤
+    // |S|·C(m,2) and the census is LINEAR in suppliers at any scale.
+    // The corpus-sized work is the audited q151 basket stage; the
+    // top-m rank is a per-node window over the pair table (bounded
+    // candidate lists). Card = UNION of labeled one-row aggs (q121)
     Q("q165_triangle_census", (s, d) => {
-      val dec = DecimalType(38, 0)
       val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
         .distinct()
       val capped = graft.queries.Dedup.capBuckets(e0, Seq("c"), "sk", 256)
-        .cut() // feeds N, degrees and the pair join
-      val nC = capped.select(col("c")).distinct().count()
-      val deg = capped.groupBy(col("sk")).agg(count(lit(1)).as("dg"))
+        .cut() // feeds the pair join
       val pairs = capped
         .join(capped.select(col("c"), col("sk").as("sk2")), Seq("c"))
         .filter(col("sk") < col("sk2"))
         .groupBy(col("sk"), col("sk2")).agg(count(lit(1)).as("ns"))
-      val edges = pairs
-        .join(deg.select(col("sk"), col("dg").as("d1")), "sk")
-        .join(deg.select(col("sk").as("sk2"), col("dg").as("d2")), "sk2")
-        .filter(col("ns").cast(dec) * lit(100L).cast(dec) * lit(nC).cast(dec) >=
-          col("d1").cast(dec) * col("d2").cast(dec) * lit(101L).cast(dec))
-        .select(col("sk").as("a"), col("sk2").as("b"))
+      val sym = pairs.select(col("sk").as("a"), col("sk2").as("b"), col("ns"))
+        .union(pairs.select(col("sk2").as("a"), col("sk").as("b"), col("ns")))
+      val wTop = Window.partitionBy(col("a")).orderBy(col("ns").desc, col("b"))
+      val topm = sym.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 10).select(col("a"), col("b"))
+      val edges = topm
+        .join(topm.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+        .filter(col("a") < col("b"))
         .cut() // four plan references: nodes, edge count, wedges, triangles
       val inc = edges.select(col("a").as("v"))
         .union(edges.select(col("b").as("v")))
@@ -858,18 +858,19 @@ object Analytics {
     }, Some("""
       WITH e0 AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey sk
                   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-      nn AS (SELECT CAST(count(DISTINCT c) AS BIGINT) n FROM e0),
-      deg AS (SELECT sk, CAST(count(*) AS BIGINT) dg FROM e0 GROUP BY 1),
       p AS (SELECT a.sk, b.sk2, CAST(count(*) AS BIGINT) ns
             FROM e0 a JOIN (SELECT c, sk sk2 FROM e0) b
               ON a.c = b.c AND a.sk < b.sk2
             GROUP BY 1, 2),
-      ed AS (SELECT p.sk a, p.sk2 b FROM p
-               JOIN deg d1 ON d1.sk = p.sk
-               JOIN deg d2 ON d2.sk = p.sk2
-               CROSS JOIN nn
-             WHERE CAST(ns AS HUGEINT) * 100 * nn.n
-                   >= CAST(d1.dg AS HUGEINT) * d2.dg * 101),
+      sym AS (SELECT sk a, sk2 b, ns FROM p
+              UNION ALL SELECT sk2, sk, ns FROM p),
+      topm AS (SELECT a, b FROM (
+                 SELECT a, b,
+                   row_number() OVER (PARTITION BY a ORDER BY ns DESC, b) rk
+                 FROM sym) WHERE rk <= 10),
+      ed AS (SELECT t1.a, t1.b FROM topm t1
+               JOIN topm t2 ON t2.a = t1.b AND t2.b = t1.a
+             WHERE t1.a < t1.b),
       v AS (SELECT a v FROM ed UNION SELECT b FROM ed),
       pd AS (SELECT v, CAST(count(*) AS BIGINT) n
              FROM (SELECT a v FROM ed UNION ALL SELECT b FROM ed)

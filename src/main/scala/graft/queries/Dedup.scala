@@ -1677,6 +1677,52 @@ object Dedup {
           AS docs_checksum
       FROM sp GROUP BY 1 ORDER BY 1""")),
 
+    // cross-fold contamination audit (the q76 decontamination lens
+    // turned on q164's own folds — the eval-protocol closure: even a
+    // cluster-safe split leaks SHARED PHRASING across folds, which is
+    // what n-gram contamination measures): per fold, distinct bigrams
+    // and how many also appear in ≥1 other fold. No pair join —
+    // (fold, bigram) distinct → per-bigram fold count → rollup,
+    // Θ(bigram volume), the q84 inverted-index shape
+    Q("q166_fold_contamination", (s, d) => {
+      val docs = t(s, d, "documents")
+      val folds = clusters(docs)
+        .select(col("doc_id"),
+          (hmod(concat(lit("fold:"), col("cluster_id").cast("string"))) % 5)
+            .as("fold"))
+      val bg = docs.select(col("doc_id"),
+          explode(shingles(tokens(col("text")), 2, distinct = true)).as("bg"))
+        .join(folds, "doc_id")
+        .select(col("fold"), col("bg")).distinct()
+        .cut() // feeds the fold-count table and the rollup
+      val nf = bg.groupBy(col("bg")).agg(count(lit(1)).as("nf"))
+      bg.join(nf, "bg")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("nf") >= 2, 1L).otherwise(0L)).as("n_leaked"))
+        .withColumn("leak_ppm", expr("(1000000L * n_leaked) div n_bigrams"))
+        .orderBy(col("fold"))
+    }, Some(s"""
+      $ccCtes,
+      cl2 AS (SELECT d.doc_id,
+                COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) cluster_id
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+      fo AS (SELECT doc_id,
+               ${sql.hmod("'fold:'||CAST(cluster_id AS VARCHAR)")} % 5 fold
+             FROM cl2),
+      tkq AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+              FROM documents),
+      bgq AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+                THEN [tk[i]||' '||tk[i+1] for i in generate_series(1, len(tk)-1)]
+                ELSE [] END) bg FROM tkq),
+      fb AS (SELECT DISTINCT fo.fold, bgq.bg FROM bgq JOIN fo USING (doc_id)),
+      nfq AS (SELECT bg, CAST(count(*) AS BIGINT) nf FROM fb GROUP BY 1)
+      SELECT fold, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(CASE WHEN nf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+        CAST((1000000 * SUM(CASE WHEN nf >= 2 THEN 1 ELSE 0 END)) // count(*)
+             AS BIGINT) AS leak_ppm
+      FROM fb JOIN nfq USING (bg) GROUP BY 1 ORDER BY 1""")),
+
     // END-TO-END corpus prep as ONE gate (the q78 pattern over the
     // whole pipeline): near-dedup survivors → Gopher stage-5 quality
     // keep → stratified language sample → deterministic shard

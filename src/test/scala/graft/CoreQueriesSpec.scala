@@ -666,7 +666,7 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("q165: triangle census replays from the brute lift projection") {
+  test("q165: triangle census replays from the brute mutual top-10 projection") {
     import org.apache.spark.sql.functions._
     val card = SparkEntry.queries("q165_triangle_census")(spark, sf).collect()
       .map(r => r.getAs[String]("metric") -> r.getAs[Long]("cnt")).toMap
@@ -676,17 +676,20 @@ class CoreQueriesSpec extends AnyFunSuite {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct().collect()
       .map(r => (r.getAs[Long]("c"), r.getAs[Long]("sk")))
-    val nC = raw.map(_._1).distinct.length.toLong
-    val deg = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     val shared = scala.collection.mutable.Map.empty[(Long, Long), Long]
     raw.groupBy(_._1).values.foreach { g =>
       val sks = g.map(_._2).sorted
       for (i <- sks.indices; j <- i + 1 until sks.length)
         shared((sks(i), sks(j))) = shared.getOrElse((sks(i), sks(j)), 0L) + 1L
     }
-    val edges = shared.filter { case ((a, b), ns) =>
-      BigInt(ns) * 100 * nC >= BigInt(deg(a)) * deg(b) * 101
-    }.keySet.toSet
+    val sym = shared.toSeq.flatMap { case ((a, b), ns) =>
+      Seq((a, b, ns), (b, a, ns)) }
+    val topm = sym.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, b, ns) => (-ns, b) }.take(10).map(_._2).toSet).toMap
+    val edges = (for {
+      (a, bs) <- topm.toSeq; b <- bs
+      if a < b && topm.getOrElse(b, Set.empty[Long]).contains(a)
+    } yield (a, b)).toSet
     val nodes = edges.flatMap(e => Seq(e._1, e._2))
     assert(card("1_nodes") == nodes.size.toLong)
     assert(card("2_edges") == edges.size.toLong)
@@ -695,12 +698,38 @@ class CoreQueriesSpec extends AnyFunSuite {
     val wedges = pdeg.values.map(n => n * (n - 1) / 2).sum
     assert(card("3_wedges") == wedges)
     val vs = nodes.toSeq.sorted
-    val eset = edges
     var tri = 0L
     for (e <- edges; c <- vs if c > e._2)
-      if (eset.contains((e._1, c)) && eset.contains((e._2, c))) tri += 1L
+      if (edges.contains((e._1, c)) && edges.contains((e._2, c))) tri += 1L
     assert(card("4_triangles") == tri)
-    // each triangle contributes 3 wedges
+    // mutual top-10 bounds every degree ≤ 10 — the scale argument
+    assert(pdeg.values.forall(_ <= 10L))
     assert(3L * tri <= wedges)
+  }
+
+  test("q166: fold contamination replays from fold-tagged bigram sets") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols.{hmodJvm, shingles, tokens}
+    val rows = SparkEntry.queries("q166_fold_contamination")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val foldOf = graft.queries.Dedup.clusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        hmodJvm(s"fold:${r.getAs[Long]("cluster_id")}") % 5).toMap
+    val fb = docs.select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 2, distinct = true)).as("bg"))
+      .collect()
+      .map(r => (foldOf(r.getAs[Long]("doc_id")), r.getAs[String]("bg")))
+      .distinct
+    val nf = fb.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val f = r.getAs[Long]("fold")
+      val mine = fb.filter(_._1 == f).map(_._2)
+      assert(r.getAs[Long]("n_bigrams") == mine.length.toLong)
+      val leaked = mine.count(bg => nf(bg) >= 2L).toLong
+      assert(r.getAs[Long]("n_leaked") == leaked)
+      assert(r.getAs[Long]("leak_ppm") ==
+        1000000L * leaked / mine.length)
+      assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_bigrams"))
+    }
   }
 }
