@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Checkpoints._
 import graft.Tables._
@@ -558,6 +558,46 @@ object Text {
         SELECT bg, c_ab, c_a, c_b, lift_ppm,
           CAST(row_number() OVER (ORDER BY lift_ppm DESC, bg ASC) AS BIGINT) rank
         FROM p)
-      WHERE rank <= 20 ORDER BY rank"""))
+      WHERE rank <= 20 ORDER BY rank""")),
+
+    // Simpson lexical-concentration index per source (Simpson 1949 —
+    // the diversity member of the corpus-statistics family next to
+    // q126's spectrum and q127's TTR card): the probability two
+    // random token instances are the SAME type, λ = Σ n_i·(n_i−1) /
+    // (N·(N−1)) — the diversity measure that stays RATIONAL (Shannon
+    // entropy is logs, the q57 transcendental rule), reported in ppm
+    // by floor division with the Σ n_i² mass riding DECIMAL/HUGEINT.
+    // One map-side-combined (source, token) groupBy + |sources| rollup
+    Q("q167_simpson_diversity", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val tc = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      tc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c").cast(dec) * (col("c").cast(dec) - lit(1).cast(dec)))
+            .as("pairs"))
+        .withColumn("simpson_ppm", expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * pairs) div " +
+            "(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1L)) AS BIGINT)"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("pairs").cast(LongType).as("pairs"), col("simpson_ppm"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH ex AS (SELECT source,
+                    unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+                  FROM documents),
+      tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) c
+             FROM ex GROUP BY 1, 2),
+      a AS (SELECT source, CAST(SUM(c) AS BIGINT) n_tokens,
+              CAST(count(*) AS BIGINT) n_types,
+              SUM(CAST(c AS HUGEINT) * (c - 1)) pairs
+            FROM tc GROUP BY 1)
+      SELECT source, n_tokens, n_types, CAST(pairs AS BIGINT) AS pairs,
+        CAST((1000000 * pairs) // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+             AS BIGINT) AS simpson_ppm
+      FROM a ORDER BY source"""))
   )
 }

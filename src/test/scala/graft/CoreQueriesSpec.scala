@@ -732,4 +732,22 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_bigrams"))
     }
   }
+
+  test("q167: Simpson index replays in BigInt and closes over q127's card") {
+    val rows = SparkEntry.queries("q167_simpson_diversity")(spark, sf).collect()
+    val voc = SparkEntry.queries("q127_vocab_by_source")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"))).toMap
+    rows.foreach { r =>
+      val (nt, nv) = voc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("n_types") == nv)
+      val pairs = BigInt(r.getAs[Long]("pairs"))
+      assert(BigInt(r.getAs[Long]("simpson_ppm")) ==
+        BigInt(1000000) * pairs / (BigInt(nt) * (nt - 1)))
+      // λ ∈ [1/V, 1] scaled: uniform-over-V floor and certainty ceiling
+      assert(r.getAs[Long]("simpson_ppm") <= 1000000L)
+      assert(pairs >= 0)
+    }
+  }
 }
