@@ -598,6 +598,64 @@ object Text {
       SELECT source, n_tokens, n_types, CAST(pairs AS BIGINT) AS pairs,
         CAST((1000000 * pairs) // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
              AS BIGINT) AS simpson_ppm
-      FROM a ORDER BY source"""))
+      FROM a ORDER BY source""")),
+
+    // inter-source drift matrix (q163's TVD turned pairwise — the
+    // corpus-mixing diagnostic: which provenances speak the same
+    // language?): for every source pair, the total-variation distance
+    // between unigram distributions, via the inner-join + exclusive-
+    // mass identity Σ|c_a·N_b − c_b·N_a| = Σ_shared |…| +
+    // (N_a − S_a)·N_b + (N_b − S_b)·N_a — so ONE vocab-bounded token
+    // equi-join covers the whole matrix, no per-pair rescans, the
+    // q115 matrix family shape. Products ride DECIMAL/HUGEINT; pairs
+    // sharing zero tokens (TVD exactly 1) are omitted by construction
+    // on both engines. |sources|²-bounded output
+    Q("q168_source_drift_matrix", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val tc = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        .cut() // both sides of the token self-join and the totals
+      val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      tc.select(col("source").as("sa"), col("tok"), col("c").as("ca"))
+        .join(tc.select(col("source").as("sb"), col("tok"), col("c").as("cb")),
+          "tok")
+        .filter(col("sa") < col("sb"))
+        .join(broadcast(tot.select(col("source").as("sa"), col("n").as("na"))),
+          "sa")
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+          "sb")
+        .groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+        .agg(sum(abs(col("ca").cast(dec) * col("nb").cast(dec) -
+          col("cb").cast(dec) * col("na").cast(dec))).as("inner_abs"),
+          sum(col("ca")).as("sha"), sum(col("cb")).as("shb"))
+        .withColumn("tvd_num", col("inner_abs") +
+          (col("na").cast(dec) - col("sha").cast(dec)) * col("nb").cast(dec) +
+          (col("nb").cast(dec) - col("shb").cast(dec)) * col("na").cast(dec))
+        .withColumn("tvd_ppm", expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * tvd_num) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * na * nb) AS BIGINT)"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"), col("tvd_ppm"))
+        .orderBy(col("sa"), col("sb"))
+    }, Some("""
+      WITH ex AS (SELECT source,
+                    unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+                  FROM documents),
+      tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) c
+             FROM ex GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(SUM(c) AS BIGINT) n FROM tc GROUP BY 1),
+      sh AS (SELECT a.source sa, b.source sb, ta.n na, tb.n nb,
+               SUM(abs(CAST(a.c AS HUGEINT)*tb.n - CAST(b.c AS HUGEINT)*ta.n))
+                 inner_abs,
+               CAST(SUM(a.c) AS BIGINT) sha, CAST(SUM(b.c) AS BIGINT) shb
+             FROM tc a JOIN tc b ON a.tok = b.tok AND a.source < b.source
+               JOIN tot ta ON ta.source = a.source
+               JOIN tot tb ON tb.source = b.source
+             GROUP BY 1, 2, 3, 4)
+      SELECT sa, sb, na, nb,
+        CAST((1000000 * (inner_abs + CAST(na - sha AS HUGEINT)*nb
+                         + CAST(nb - shb AS HUGEINT)*na))
+             // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS tvd_ppm
+      FROM sh ORDER BY sa, sb"""))
   )
 }

@@ -750,4 +750,34 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(pairs >= 0)
     }
   }
+
+  test("q168: pairwise TVD replays brute from per-source distributions") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q168_source_drift_matrix")(spark, sf).collect()
+    val tc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), explode(
+        graft.functions.ExactCols.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").count().collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("tok"),
+        r.getAs[Long]("count")))
+    val dist = tc.groupBy(_._1).view
+      .mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    val sources = dist.keys.toSeq.sorted
+    val expected = for {
+      i <- sources.indices; j <- i + 1 until sources.length
+      a = sources(i); b = sources(j)
+      da = dist(a); db = dist(b)
+      if (da.keySet & db.keySet).nonEmpty
+    } yield {
+      val na = da.values.sum; val nb = db.values.sum
+      val num = (da.keySet ++ db.keySet).toSeq.map { t =>
+        (BigInt(da.getOrElse(t, 0L)) * nb - BigInt(db.getOrElse(t, 0L)) * na).abs
+      }.sum
+      (a, b, na, nb, (BigInt(1000000) * num / (BigInt(2) * na * nb)).toLong)
+    }
+    assert(rows.map(r => (r.getAs[String]("sa"), r.getAs[String]("sb"),
+      r.getAs[Long]("na"), r.getAs[Long]("nb"),
+      r.getAs[Long]("tvd_ppm"))).toSeq == expected)
+    rows.foreach(r => assert(r.getAs[Long]("tvd_ppm") <= 1000000L))
+  }
 }
