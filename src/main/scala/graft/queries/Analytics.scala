@@ -37,6 +37,54 @@ object Analytics {
       ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
                o_orderpriority NULLS FIRST"""
 
+  /** Mutual top-10 supplier projection (see q165's scaladoc for the
+    * scale argument: mutual top-m bounds every degree ≤ m, so motif
+    * work is linear in suppliers) — shared by the q165 census and the
+    * q169 assortativity card. Returns `edges(a, b)` with a < b,
+    * lazily checkpointed (multiple plan references downstream). */
+  def mutualProjection(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val capped = graft.queries.Dedup.capBuckets(e0, Seq("c"), "sk", 256)
+      .cut() // feeds the pair join
+    val pairs = capped
+      .join(capped.select(col("c"), col("sk").as("sk2")), Seq("c"))
+      .filter(col("sk") < col("sk2"))
+      .groupBy(col("sk"), col("sk2")).agg(count(lit(1)).as("ns"))
+    val sym = pairs.select(col("sk").as("a"), col("sk2").as("b"), col("ns"))
+      .union(pairs.select(col("sk2").as("a"), col("sk").as("b"), col("ns")))
+    val wTop = Window.partitionBy(col("a")).orderBy(col("ns").desc, col("b"))
+    val topm = sym.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10).select(col("a"), col("b"))
+    topm
+      .join(topm.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+      .filter(col("a") < col("b"))
+      .cut() // multiple downstream plan references
+  }
+
+  /** DuckDB CTE chain mirroring [[mutualProjection]] — ends in
+    * `ed(a, b)`; shared by the q165 and q169 oracles. */
+  val projectionCtes: String = """
+      e0 AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey sk
+             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      p AS (SELECT a.sk, b.sk2, CAST(count(*) AS BIGINT) ns
+            FROM e0 a JOIN (SELECT c, sk sk2 FROM e0) b
+              ON a.c = b.c AND a.sk < b.sk2
+            GROUP BY 1, 2),
+      sym AS (SELECT sk a, sk2 b, ns FROM p
+              UNION ALL SELECT sk2, sk, ns FROM p),
+      topm AS (SELECT a, b FROM (
+                 SELECT a, b,
+                   row_number() OVER (PARTITION BY a ORDER BY ns DESC, b) rk
+                 FROM sym) WHERE rk <= 10),
+      ed AS (SELECT t1.a, t1.b FROM topm t1
+               JOIN topm t2 ON t2.a = t1.b AND t2.b = t1.a
+             WHERE t1.a < t1.b)"""
+
   val entries: Vector[Q] = Vector(
 
     // exact quartiles of an integer column per group
@@ -819,26 +867,7 @@ object Analytics {
     // top-m rank is a per-node window over the pair table (bounded
     // candidate lists). Card = UNION of labeled one-row aggs (q121)
     Q("q165_triangle_census", (s, d) => {
-      val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-        .distinct()
-      val capped = graft.queries.Dedup.capBuckets(e0, Seq("c"), "sk", 256)
-        .cut() // feeds the pair join
-      val pairs = capped
-        .join(capped.select(col("c"), col("sk").as("sk2")), Seq("c"))
-        .filter(col("sk") < col("sk2"))
-        .groupBy(col("sk"), col("sk2")).agg(count(lit(1)).as("ns"))
-      val sym = pairs.select(col("sk").as("a"), col("sk2").as("b"), col("ns"))
-        .union(pairs.select(col("sk2").as("a"), col("sk").as("b"), col("ns")))
-      val wTop = Window.partitionBy(col("a")).orderBy(col("ns").desc, col("b"))
-      val topm = sym.withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 10).select(col("a"), col("b"))
-      val edges = topm
-        .join(topm.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
-        .filter(col("a") < col("b"))
-        .cut() // four plan references: nodes, edge count, wedges, triangles
+      val edges = mutualProjection(s, d)
       val inc = edges.select(col("a").as("v"))
         .union(edges.select(col("b").as("v")))
       val nodes = inc.distinct().agg(count(lit(1)).as("cnt"))
@@ -855,22 +884,8 @@ object Analytics {
         .agg(count(lit(1)).as("cnt"))
         .select(lit("4_triangles").as("metric"), col("cnt"))
       nodes.union(nEdges).union(wedges).union(tri).orderBy(col("metric"))
-    }, Some("""
-      WITH e0 AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey sk
-                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-      p AS (SELECT a.sk, b.sk2, CAST(count(*) AS BIGINT) ns
-            FROM e0 a JOIN (SELECT c, sk sk2 FROM e0) b
-              ON a.c = b.c AND a.sk < b.sk2
-            GROUP BY 1, 2),
-      sym AS (SELECT sk a, sk2 b, ns FROM p
-              UNION ALL SELECT sk2, sk, ns FROM p),
-      topm AS (SELECT a, b FROM (
-                 SELECT a, b,
-                   row_number() OVER (PARTITION BY a ORDER BY ns DESC, b) rk
-                 FROM sym) WHERE rk <= 10),
-      ed AS (SELECT t1.a, t1.b FROM topm t1
-               JOIN topm t2 ON t2.a = t1.b AND t2.b = t1.a
-             WHERE t1.a < t1.b),
+    }, Some(s"""
+      WITH $projectionCtes,
       v AS (SELECT a v FROM ed UNION SELECT b FROM ed),
       pd AS (SELECT v, CAST(count(*) AS BIGINT) n
              FROM (SELECT a v FROM ed UNION ALL SELECT b FROM ed)
@@ -883,6 +898,79 @@ object Analytics {
         UNION ALL SELECT '2_edges', CAST(count(*) AS BIGINT) FROM ed
         UNION ALL SELECT '3_wedges', CAST(SUM((n*(n-1))//2) AS BIGINT) FROM pd
         UNION ALL SELECT '4_triangles', c FROM tr)
-      ORDER BY metric"""))
+      ORDER BY metric""")),
+
+    // degree-assortativity card (Newman 2002 — do well-connected
+    // suppliers pair with well-connected ones?) over the SAME mutual
+    // projection: Pearson correlation of endpoint degrees across
+    // directed edges, kept exact by carrying the SQUARE — cov_num =
+    // M·Σxy − Σx·Σy (sign decides assortative/disassortative),
+    // r²_ppm = ⌊10⁶·cov²/(varx·vary)⌋ — no square root ever crosses
+    // the oracle. Degenerate regular graphs (every degree equal, e.g.
+    // the complete projection at tiny sf) have varx = 0 → r² = −1
+    // sentinel on both engines. One bounded-table aggregate
+    Q("q169_assortativity", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val edges = mutualProjection(s, d)
+      val dir = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+        .cut() // feeds the degree table and the correlation sums
+      val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      val xy = dir
+        .join(deg.select(col("u"), col("dg").as("dx")), "u")
+        .join(deg.select(col("u").as("v"), col("dg").as("dy")), "v")
+      xy.agg(count(lit(1)).as("m_dir"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx").cast(dec) * col("dy").cast(dec)).as("sxy"),
+          sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sxx"),
+          sum(col("dy").cast(dec) * col("dy").cast(dec)).as("syy"))
+        .withColumn("cov_num", expr(
+          "CAST(CAST(m_dir AS DECIMAL(38,0)) * sxy - " +
+            "CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))"))
+        .withColumn("varx", expr(
+          "CAST(CAST(m_dir AS DECIMAL(38,0)) * sxx - " +
+            "CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))"))
+        .withColumn("vary", expr(
+          "CAST(CAST(m_dir AS DECIMAL(38,0)) * syy - " +
+            "CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))"))
+        .select(col("m_dir"), col("sx"),
+          col("cov_num").cast(LongType).as("cov_num"),
+          col("varx").cast(LongType).as("varx"),
+          col("vary").cast(LongType).as("vary"),
+          expr("CAST(CASE WHEN varx * vary = 0 THEN -1 ELSE " +
+            "(CAST(1000000 AS DECIMAL(38,0)) * cov_num * cov_num) div " +
+            "(varx * vary) END AS BIGINT)").as("r2_ppm"),
+          expr("CASE WHEN varx * vary = 0 THEN 'degenerate' " +
+            "WHEN cov_num > 0 THEN 'assortative' " +
+            "WHEN cov_num < 0 THEN 'disassortative' " +
+            "ELSE 'neutral' END").as("verdict"))
+    }, Some(s"""
+      WITH $projectionCtes,
+      dir AS (SELECT a u, b v FROM ed UNION ALL SELECT b, a FROM ed),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) dg FROM dir GROUP BY 1),
+      xy AS (SELECT d1.dg dx, d2.dg dy FROM dir
+               JOIN deg d1 ON d1.u = dir.u
+               JOIN deg d2 ON d2.u = dir.v),
+      agg AS (SELECT CAST(count(*) AS BIGINT) m_dir,
+                CAST(SUM(dx) AS BIGINT) sx, CAST(SUM(dy) AS BIGINT) sy,
+                SUM(CAST(dx AS HUGEINT) * dy) sxy,
+                SUM(CAST(dx AS HUGEINT) * dx) sxx,
+                SUM(CAST(dy AS HUGEINT) * dy) syy
+              FROM xy),
+      c AS (SELECT m_dir, sx,
+              m_dir*sxy - CAST(sx AS HUGEINT)*sy cov_num,
+              m_dir*sxx - CAST(sx AS HUGEINT)*sx varx,
+              m_dir*syy - CAST(sy AS HUGEINT)*sy vary
+            FROM agg)
+      SELECT m_dir, sx, CAST(cov_num AS BIGINT) AS cov_num,
+        CAST(varx AS BIGINT) AS varx, CAST(vary AS BIGINT) AS vary,
+        CAST(CASE WHEN varx * vary = 0 THEN -1
+             ELSE (1000000 * cov_num * cov_num) // (varx * vary)
+             END AS BIGINT) AS r2_ppm,
+        CASE WHEN varx * vary = 0 THEN 'degenerate'
+             WHEN cov_num > 0 THEN 'assortative'
+             WHEN cov_num < 0 THEN 'disassortative'
+             ELSE 'neutral' END AS verdict
+      FROM c"""))
   )
 }

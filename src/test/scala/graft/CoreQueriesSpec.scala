@@ -780,4 +780,36 @@ class CoreQueriesSpec extends AnyFunSuite {
       r.getAs[Long]("tvd_ppm"))).toSeq == expected)
     rows.foreach(r => assert(r.getAs[Long]("tvd_ppm") <= 1000000L))
   }
+
+  test("q169: assortativity card replays from the shared projection") {
+    val card = SparkEntry.queries("q169_assortativity")(spark, sf).collect().head
+    val edges = graft.queries.Analytics.mutualProjection(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val dir = edges.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    val deg = dir.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val m = BigInt(dir.length)
+    val xs = dir.map(e => BigInt(deg(e._1)))
+    val ys = dir.map(e => BigInt(deg(e._2)))
+    val cov = m * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum
+    val varx = m * xs.map(x => x * x).sum - xs.sum * xs.sum
+    val vary = m * ys.map(y => y * y).sum - ys.sum * ys.sum
+    assert(BigInt(card.getAs[Long]("m_dir")) == m)
+    assert(BigInt(card.getAs[Long]("cov_num")) == cov)
+    assert(BigInt(card.getAs[Long]("varx")) == varx)
+    assert(BigInt(card.getAs[Long]("vary")) == vary)
+    if (varx * vary == 0) {
+      assert(card.getAs[Long]("r2_ppm") == -1L)
+      assert(card.getAs[String]("verdict") == "degenerate")
+    } else {
+      assert(BigInt(card.getAs[Long]("r2_ppm")) ==
+        BigInt(1000000) * cov * cov / (varx * vary))
+      assert(card.getAs[Long]("r2_ppm") <= 1000000L)
+      val expect = if (cov > 0) "assortative"
+        else if (cov < 0) "disassortative" else "neutral"
+      assert(card.getAs[String]("verdict") == expect)
+    }
+    // at sf0.001 the mutual projection of 10 suppliers is complete →
+    // every degree equal → the degenerate branch is the one under test
+    assert(card.getAs[String]("verdict") == "degenerate")
+  }
 }
