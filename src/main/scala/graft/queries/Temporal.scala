@@ -933,6 +933,75 @@ object Temporal {
           CAST((1000000 * SUM(absdiff)) // (2 * CAST(n1 AS HUGEINT) * n2)
                AS BIGINT)
         FROM ad, nn GROUP BY n1, n2)
-      ORDER BY segment"""))
+      ORDER BY segment""")),
+
+    // leaderboard-churn card (the "top talkers" stability audit next
+    // to q163's distribution drift: how much of the first week's
+    // top-20 survives into the last week's?): top-20 users by event
+    // count per window (TakeOrderedAndProject with the (count desc,
+    // user asc) total tie-break), overlap and Jaccard of the two
+    // 20-row lists via a tag-union + two bounded aggregates — never a
+    // corpus-wide rank window, window bounds are driver scalars (the
+    // q163 shape). Membership checksums pin the exact rosters
+    Q("q170_leaderboard_churn", (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .cut() // feeds the bounds scalars and both window tops
+      val mm = ev.agg(min(col("day")), max(col("day"))).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      def top(first: Boolean) = {
+        val f = if (first) ev.filter(col("day") <= lo + 6L)
+          else ev.filter(col("day") >= hi - 6L && col("day") > lo + 6L)
+        f.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("user_id")).limit(20)
+          .select(col("user_id"), lit(if (first) "a" else "b").as("tag"))
+      }
+      top(first = true).union(top(first = false))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nf"), min(col("tag")).as("nt"),
+          max(col("tag")).as("mt"))
+        .agg(
+          sum(when(col("nt") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("mt") === "b", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("nf") === 2L, 1L).otherwise(0L)).as("n_common"),
+          (sum(when(col("nt") === "a", col("user_id") % P).otherwise(0L)) % P)
+            .as("checksum_a"),
+          (sum(when(col("mt") === "b", col("user_id") % P).otherwise(0L)) % P)
+            .as("checksum_b"))
+        .withColumn("jaccard_ppm",
+          expr("(1000000L * n_common) div (n_a + n_b - n_common)"))
+        .select(col("n_a"), col("n_b"), col("n_common"), col("jaccard_ppm"),
+          col("checksum_a"), col("checksum_b"))
+    }, Some(s"""
+      WITH e AS (SELECT user_id, epoch_ms(ts)//86400000 AS day FROM events),
+      mm AS (SELECT MIN(day) lo, MAX(day) hi FROM e),
+      ca AS (SELECT user_id, CAST(count(*) AS BIGINT) n FROM e, mm
+             WHERE day <= lo + 6 GROUP BY 1),
+      ta AS (SELECT user_id FROM (
+               SELECT user_id, row_number() OVER (ORDER BY n DESC, user_id) rk
+               FROM ca) WHERE rk <= 20),
+      cb AS (SELECT user_id, CAST(count(*) AS BIGINT) n FROM e, mm
+             WHERE day >= hi - 6 AND day > lo + 6 GROUP BY 1),
+      tb AS (SELECT user_id FROM (
+               SELECT user_id, row_number() OVER (ORDER BY n DESC, user_id) rk
+               FROM cb) WHERE rk <= 20),
+      u AS (SELECT user_id, 'a' tag FROM ta
+            UNION ALL SELECT user_id, 'b' FROM tb),
+      g AS (SELECT user_id, CAST(count(*) AS BIGINT) nf,
+              MIN(tag) nt, MAX(tag) mt
+            FROM u GROUP BY 1)
+      SELECT CAST(SUM(CASE WHEN nt='a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN mt='b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN nf=2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        CAST((1000000 * SUM(CASE WHEN nf=2 THEN 1 ELSE 0 END))
+             // (SUM(CASE WHEN nt='a' THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN mt='b' THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN nf=2 THEN 1 ELSE 0 END)) AS BIGINT)
+          AS jaccard_ppm,
+        CAST(SUM(CASE WHEN nt='a' THEN user_id % ${P} ELSE 0 END) % ${P}
+             AS BIGINT) AS checksum_a,
+        CAST(SUM(CASE WHEN mt='b' THEN user_id % ${P} ELSE 0 END) % ${P}
+             AS BIGINT) AS checksum_b
+      FROM g"""))
   )
 }

@@ -812,4 +812,28 @@ class CoreQueriesSpec extends AnyFunSuite {
     // every degree equal → the degenerate branch is the one under test
     assert(card.getAs[String]("verdict") == "degenerate")
   }
+
+  test("q170: leaderboard churn replays from independently built tops") {
+    import org.apache.spark.sql.functions._
+    val card = SparkEntry.queries("q170_leaderboard_churn")(spark, sf)
+      .collect().head
+    val days = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "unix_timestamp(ts) div 86400 as day").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+    val lo = days.map(_._2).min; val hi = days.map(_._2).max
+    def top(w: ((Long, Long)) => Boolean): Set[Long] =
+      days.filter(w).groupBy(_._1).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (u, n) => (-n, u) }.take(20).map(_._1).toSet
+    val a = top(_._2 <= lo + 6)
+    val b = top(d => d._2 >= hi - 6 && d._2 > lo + 6)
+    val common = (a & b).size.toLong
+    assert(card.getAs[Long]("n_a") == a.size.toLong)
+    assert(card.getAs[Long]("n_b") == b.size.toLong)
+    assert(card.getAs[Long]("n_common") == common)
+    assert(card.getAs[Long]("jaccard_ppm") ==
+      1000000L * common / (a.size + b.size - common))
+    val P = graft.functions.ExactCols.P
+    assert(card.getAs[Long]("checksum_a") == a.toSeq.map(_ % P).sum % P)
+    assert(card.getAs[Long]("checksum_b") == b.toSeq.map(_ % P).sum % P)
+  }
 }
