@@ -1002,6 +1002,70 @@ object Temporal {
              AS BIGINT) AS checksum_a,
         CAST(SUM(CASE WHEN mt='b' THEN user_id % ${P} ELSE 0 END) % ${P}
              AS BIGINT) AS checksum_b
-      FROM g"""))
+      FROM g""")),
+
+    // activity-profile outliers (the behavioral-deviation detector of
+    // the reference's log-analytics domain, next to q131 bursts /
+    // q132 beacons / q144's composite: users whose HOUR-OF-DAY
+    // histogram deviates most from the global profile — night-shift
+    // accounts, cron jobs, compromised credentials): deviation = TVD
+    // between the user's 24-bin profile and the global one, exact via
+    // the q168 inner + exclusive-mass identity (inactive hours
+    // contribute g_h·n_u), products in DECIMAL/HUGEINT, N one driver
+    // scalar, the 24-row global profile a broadcast. Top-20 by
+    // (tvd desc, user asc) via TakeOrderedAndProject
+    Q("q171_profile_outliers", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          expr("(unix_timestamp(ts) div 3600) % 24").as("hod"))
+        .cut() // feeds the scalar, the global profile, per-user counts
+      val n = ev.count()
+      val g = ev.groupBy(col("hod")).agg(count(lit(1)).as("gh"))
+      val uc = ev.groupBy(col("user_id"), col("hod"))
+        .agg(count(lit(1)).as("c"))
+        .cut() // feeds per-user totals and the deviation rollup
+      val nu = uc.groupBy(col("user_id")).agg(sum(col("c")).as("nu"))
+      val per = uc.join(broadcast(g), "hod").join(nu, "user_id")
+        .groupBy(col("user_id"), col("nu"))
+        .agg(sum(abs(col("c").cast(dec) * lit(n).cast(dec) -
+          col("gh").cast(dec) * col("nu").cast(dec))).as("inner_abs"),
+          sum(col("gh")).as("g_active"))
+        .withColumn("dev_num", col("inner_abs") +
+          (lit(n).cast(dec) - col("g_active").cast(dec)) * col("nu").cast(dec))
+        .withColumn("tvd_ppm", expr(
+          s"CAST((CAST(1000000 AS DECIMAL(38,0)) * dev_num) div " +
+            s"(CAST(2 AS DECIMAL(38,0)) * nu * ${n}L) AS BIGINT)"))
+      val w = Window.orderBy(col("tvd_ppm").desc, col("user_id"))
+      per.orderBy(col("tvd_ppm").desc, col("user_id")).limit(20)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .select(col("rank"), col("user_id"), col("nu").as("n_events"),
+          col("tvd_ppm"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH e AS (SELECT user_id, (epoch_ms(ts)//3600000) % 24 AS hod
+                 FROM events),
+      nn AS (SELECT CAST(count(*) AS BIGINT) n FROM e),
+      g AS (SELECT hod, CAST(count(*) AS BIGINT) gh FROM e GROUP BY 1),
+      uc AS (SELECT user_id, hod, CAST(count(*) AS BIGINT) c
+             FROM e GROUP BY 1, 2),
+      nu AS (SELECT user_id, CAST(SUM(c) AS BIGINT) nu FROM uc GROUP BY 1),
+      per AS (SELECT uc.user_id, nu.nu, nn.n,
+                SUM(abs(CAST(uc.c AS HUGEINT)*nn.n
+                        - CAST(g.gh AS HUGEINT)*nu.nu)) inner_abs,
+                CAST(SUM(g.gh) AS BIGINT) g_active
+              FROM uc JOIN g USING (hod) JOIN nu USING (user_id)
+                CROSS JOIN nn
+              GROUP BY 1, 2, 3),
+      r AS (SELECT user_id, nu n_events,
+              CAST((1000000 * (inner_abs + CAST(n - g_active AS HUGEINT) * nu))
+                   // (2 * CAST(nu AS HUGEINT) * n) AS BIGINT) tvd_ppm
+            FROM per)
+      SELECT rank, user_id, n_events, tvd_ppm FROM (
+        SELECT user_id, n_events, tvd_ppm,
+          CAST(row_number() OVER (ORDER BY tvd_ppm DESC, user_id) AS BIGINT)
+            rank
+        FROM r)
+      WHERE rank <= 20 ORDER BY rank"""))
   )
 }

@@ -836,4 +836,27 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(card.getAs[Long]("checksum_a") == a.toSeq.map(_ % P).sum % P)
     assert(card.getAs[Long]("checksum_b") == b.toSeq.map(_ % P).sum % P)
   }
+
+  test("q171: profile outliers replay from brute per-user TVD") {
+    val rows = SparkEntry.queries("q171_profile_outliers")(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "(unix_timestamp(ts) div 3600) % 24 as hod")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("hod")))
+    val n = BigInt(ev.length)
+    val g = ev.groupBy(_._2).view.mapValues(x => BigInt(x.length)).toMap
+    val tvd = ev.groupBy(_._1).view.mapValues { rs =>
+      val nu = BigInt(rs.length)
+      val prof = rs.groupBy(_._2).view.mapValues(x => BigInt(x.length))
+      val num = (0L until 24L).map(h =>
+        (prof.getOrElse(h, BigInt(0)) * n - g.getOrElse(h, BigInt(0)) * nu).abs).sum
+      (nu, (BigInt(1000000) * num / (BigInt(2) * nu * n)).toLong)
+    }.toMap
+    val expect = tvd.toSeq.map { case (u, (nu, t)) => (u, nu.toLong, t) }
+      .sortBy { case (u, _, t) => (-t, u) }.take(20)
+    assert(rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+      r.getAs[Long]("tvd_ppm"))).toSeq == expect)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to rows.length.toLong))
+    rows.foreach(r => assert(r.getAs[Long]("tvd_ppm") <= 1000000L))
+  }
 }
