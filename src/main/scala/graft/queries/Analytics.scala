@@ -85,6 +85,20 @@ object Analytics {
                JOIN topm t2 ON t2.a = t1.b AND t2.b = t1.a
              WHERE t1.a < t1.b)"""
 
+  /** Benford first-digit expectations ⌊10⁶·log₁₀(1+1/d)⌋ as FIXED
+    * shared literals — the logs are baked into nine constants at
+    * authoring time, so no transcendental is ever evaluated by either
+    * engine (the q57 rule); the identical CASE text feeds both the
+    * Spark plan and the DuckDB oracle (the q59 shared-statement
+    * pattern). */
+  val benfordCaseSql: String = {
+    val ppm = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    "CAST(CASE digit " +
+      ppm.zipWithIndex.map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString(" ") + " ELSE 0 END AS BIGINT)"
+  }
+
   val entries: Vector[Q] = Vector(
 
     // exact quartiles of an integer column per group
@@ -971,6 +985,137 @@ object Analytics {
              WHEN cov_num > 0 THEN 'assortative'
              WHEN cov_num < 0 THEN 'disassortative'
              ELSE 'neutral' END AS verdict
-      FROM c"""))
+      FROM c""")),
+
+    // Benford first-digit audit (Benford 1938 / Nigrini's fraud
+    // screen — THE forensic-accounting primitive): first digits of
+    // exact order cents vs the Benford expectation, per digit, with
+    // the deviation in ppm. The log-derived expectations are fixed
+    // shared literals ([[benfordCaseSql]]); observed shares are floor
+    // ratios with N one driver scalar; deviation = |obs·N − exp·N|
+    // scale-free via cross-multiplication... kept simply as
+    // |obs_ppm − benford_ppm| on the already-exact integer shares.
+    // Scan-stage digit extraction + one 9-row groupBy
+    Q("q172_benford_audit", (s, d) => {
+      val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      val dg = t(s, d, "orders")
+        .select(substring(cents.cast("string"), 1, 1).cast(LongType)
+          .as("digit"))
+        .cut() // feeds the N scalar and the digit rollup
+      val n = dg.count()
+      dg.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("obs_ppm", expr(s"(1000000L * n) div ${n}L"))
+        .withColumn("benford_ppm", expr(benfordCaseSql))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+        .orderBy(col("digit"))
+    }, Some(s"""
+      WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) cents FROM orders),
+      dgt AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                digit FROM c),
+      nn AS (SELECT CAST(count(*) AS BIGINT) n FROM dgt),
+      per AS (SELECT digit, CAST(count(*) AS BIGINT) n FROM dgt GROUP BY 1)
+      SELECT digit, per.n AS n,
+        CAST((1000000 * per.n) // nn.n AS BIGINT) AS obs_ppm,
+        $benfordCaseSql AS benford_ppm,
+        abs(CAST((1000000 * per.n) // nn.n AS BIGINT) - $benfordCaseSql)
+          AS dev_ppm
+      FROM per, nn ORDER BY digit""")),
+
+    // fulfillment-latency SLA card (the ops-metrics staple: per order
+    // priority, ship-delay percentiles + the share shipped within 30
+    // days): exact integer day diffs through the q139 QuantileSketch
+    // exact regime (autoBuffer pre-pass, fail-loud guard armed), SLA
+    // share as a nonnegative floor ratio. One equi-join + one keyed
+    // aggregate; the row_number oracle replays the ⌈q·n⌉ positions
+    Q("q173_ship_delay_sla", (s, d) => {
+      import graft.functions.QuantileSketch
+      val dl = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast(LongType).as("delay"))
+      val buf = QuantileSketch.autoBuffer(dl, Seq(col("priority")), col("delay"))
+      dl.groupBy(col("priority"))
+        .agg(QuantileSketch.exact(col("delay"), buf,
+          Seq((1L, 2L), (9L, 10L), (99L, 100L))).as("r"),
+          sum(when(col("delay") <= 30L, 1L).otherwise(0L)).as("n30"))
+        .select(col("priority"), col("r.n").as("n"),
+          element_at(col("r.q"), 1).as("p50"),
+          element_at(col("r.q"), 2).as("p90"),
+          element_at(col("r.q"), 3).as("p99"),
+          expr("(1000000L * n30) div r.n").as("sla_ppm"))
+        .orderBy(col("priority"))
+    }, Some("""
+      WITH v AS (SELECT o_orderpriority AS priority,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT) delay
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      r AS (SELECT priority, delay,
+              row_number() OVER (PARTITION BY priority ORDER BY delay) rn,
+              count(*) OVER (PARTITION BY priority) n
+            FROM v)
+      SELECT priority, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(MAX(CASE WHEN rn = greatest(1, (1*n + 1) // 2) THEN delay END)
+             AS BIGINT) AS p50,
+        CAST(MAX(CASE WHEN rn = greatest(1, (9*n + 9) // 10) THEN delay END)
+             AS BIGINT) AS p90,
+        CAST(MAX(CASE WHEN rn = greatest(1, (99*n + 99) // 100) THEN delay END)
+             AS BIGINT) AS p99,
+        CAST((1000000 * SUM(CASE WHEN delay <= 30 THEN 1 ELSE 0 END))
+             // MAX(n) AS BIGINT) AS sla_ppm
+      FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // market-concentration card (Herfindahl–Hirschman index — the
+    // antitrust measure, mathematically q167's Simpson on revenue
+    // weight: HHI = Σ shareᵢ² per nation over supplier revenue):
+    // exact cents (the q09 DECIMAL rule), squares through
+    // DECIMAL/HUGEINT, hhi_ppm a nonnegative floor ratio. Revenue
+    // rollup is one map-side-combined groupBy; supplier→nation are
+    // broadcast dim joins (the q08 star shape)
+    Q("q174_market_concentration", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val rev = t(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("cents"))
+        .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("r"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      val nat = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+      rev.join(broadcast(sup), "l_suppkey")
+        .join(broadcast(nat), "s_nationkey")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("r")).as("total_cents"),
+          sum(col("r").cast(dec) * col("r").cast(dec)).as("sq"))
+        .withColumn("hhi_ppm", expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * sq) div " +
+            "(CAST(total_cents AS DECIMAL(38,0)) * total_cents) AS BIGINT)"))
+        .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+          col("hhi_ppm"))
+        .orderBy(col("n_name"))
+    }, Some("""
+      WITH rev AS (SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) r
+             FROM lineitem GROUP BY 1),
+      a AS (SELECT n.n_name,
+              CAST(count(*) AS BIGINT) n_suppliers,
+              CAST(SUM(r) AS BIGINT) total_cents,
+              SUM(CAST(r AS HUGEINT) * r) sq
+            FROM rev
+              JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1)
+      SELECT n_name, n_suppliers, total_cents,
+        CAST((1000000 * sq) // (CAST(total_cents AS HUGEINT) * total_cents)
+             AS BIGINT) AS hhi_ppm
+      FROM a ORDER BY n_name"""))
   )
 }

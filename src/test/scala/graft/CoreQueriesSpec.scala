@@ -859,4 +859,73 @@ class CoreQueriesSpec extends AnyFunSuite {
       (1L to rows.length.toLong))
     rows.foreach(r => assert(r.getAs[Long]("tvd_ppm") <= 1000000L))
   }
+
+  test("q172: Benford audit — digits partition orders, shares replay") {
+    val rows = SparkEntry.queries("q172_benford_audit")(spark, sf).collect()
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nOrders)
+    assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    // the fixed expectation table sums to ~1e6 (floor loss ≤ 9)
+    val bsum = rows.map(r => r.getAs[Long]("digit") -> r.getAs[Long]("benford_ppm"))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("obs_ppm") == 1000000L * r.getAs[Long]("n") / nOrders)
+      assert(r.getAs[Long]("dev_ppm") ==
+        math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("benford_ppm")))
+    }
+    assert(bsum.getOrElse(1L, 301029L) == 301029L)
+  }
+
+  test("q173: ship-delay SLA replays from JVM order statistics") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q173_ship_delay_sla")(spark, sf).collect()
+    val delays = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("o_orderpriority as p",
+        "CAST(datediff(to_date(l_shipdate), to_date(o_orderdate)) AS LONG) as delay")
+      .collect().map(r => (r.getAs[String]("p"), r.getAs[Long]("delay")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val ds = delays(r.getAs[String]("priority")).map(_._2).sorted
+      val n = ds.length.toLong
+      def q(num: Long, den: Long) =
+        ds((math.max(1L, (num * n + den - 1) / den) - 1).toInt)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("p50") == q(1, 2))
+      assert(r.getAs[Long]("p90") == q(9, 10))
+      assert(r.getAs[Long]("p99") == q(99, 100))
+      assert(r.getAs[Long]("sla_ppm") ==
+        1000000L * ds.count(_ <= 30L) / n)
+    }
+  }
+
+  test("q174: HHI replays in BigInt; bounds hold per nation") {
+    val rows = SparkEntry.queries("q174_market_concentration")(spark, sf)
+      .collect()
+    import org.apache.spark.sql.functions._
+    val rev = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("c"))
+      .groupBy("l_suppkey").agg(sum("c").as("r"))
+      .join(spark.read.parquet(s"$sf/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("n_name", "r").collect()
+      .map(r => (r.getAs[String]("n_name"), r.getAs[Long]("r")))
+      .groupBy(_._1)
+    rows.foreach { row =>
+      val rs = rev(row.getAs[String]("n_name")).map(x => BigInt(x._2))
+      val tot = rs.sum
+      assert(row.getAs[Long]("n_suppliers") == rs.length.toLong)
+      assert(BigInt(row.getAs[Long]("total_cents")) == tot)
+      val hhi = BigInt(1000000) * rs.map(x => x * x).sum / (tot * tot)
+      assert(BigInt(row.getAs[Long]("hhi_ppm")) == hhi)
+      // 1/n ≤ HHI ≤ 1 (floor can dip just below the exact 1/n bound)
+      assert(row.getAs[Long]("hhi_ppm") <= 1000000L)
+      assert(row.getAs[Long]("hhi_ppm") >= 1000000L / rs.length - 1)
+    }
+  }
 }
