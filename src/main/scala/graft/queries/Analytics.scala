@@ -1116,6 +1116,93 @@ object Analytics {
       SELECT n_name, n_suppliers, total_cents,
         CAST((1000000 * sq) // (CAST(total_cents AS HUGEINT) * total_cents)
              AS BIGINT) AS hhi_ppm
-      FROM a ORDER BY n_name"""))
+      FROM a ORDER BY n_name""")),
+
+    // cohort lifetime-value curves (q130's retention triangle with
+    // MONEY — the growth-analytics staple: per first-order-month
+    // cohort, revenue by month offset and its running cumulative):
+    // month = year·12 + month (integer, no date arithmetic crosses
+    // the oracle beyond field extraction), exact cents, the running
+    // sum a window over the BOUNDED (cohorts × offsets) cell table —
+    // never over order rows. Two keyed shuffles (first-month per
+    // customer, cell rollup), the q130 shape
+    Q("q175_cohort_ltv", (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"),
+          (year(to_date(col("o_orderdate"))) * 12 +
+            month(to_date(col("o_orderdate")))).cast(LongType).as("m"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("cents"))
+        .cut() // feeds the cohort table and the cells
+      val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort"))
+      val cells = o.join(first, "o_custkey")
+        .select(col("cohort"), (col("m") - col("cohort")).as("m_offset"),
+          col("cents"))
+        .groupBy(col("cohort"), col("m_offset"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("m_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum_cents", sum(col("cents")).over(w))
+        .orderBy(col("cohort"), col("m_offset"))
+    }, Some("""
+      WITH o AS (SELECT o_custkey,
+               CAST(year(CAST(o_orderdate AS DATE)) * 12
+                    + month(CAST(o_orderdate AS DATE)) AS BIGINT) m,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) cents
+             FROM orders),
+      f AS (SELECT o_custkey, MIN(m) cohort FROM o GROUP BY 1),
+      cells AS (SELECT cohort, m - cohort AS m_offset,
+                  CAST(count(*) AS BIGINT) n_orders,
+                  CAST(SUM(cents) AS BIGINT) cents
+                FROM o JOIN f USING (o_custkey) GROUP BY 1, 2)
+      SELECT cohort, m_offset, n_orders, cents,
+        CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY m_offset
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_cents
+      FROM cells ORDER BY cohort, m_offset""")),
+
+    // duplicate-invoice detection (the AP-fraud audit the reference's
+    // domain calls for, by the pair-cap doctrine: orders of the SAME
+    // customer with IDENTICAL exact cents within 7 days): the
+    // self-join runs inside (custkey, cents) groups — equality on the
+    // amount is the blocking key, so the pair space is Σ C(group,2)
+    // with groups capBuckets-capped at 64 — and the date filter
+    // prunes to the suspicious window. Card: pair count, distinct
+    // flagged customers, pair checksum (one row, exact integers)
+    Q("q176_duplicate_invoices", (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("cents"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast(LongType).as("day"))
+      val capped = graft.queries.Dedup.capBuckets(o,
+        Seq("o_custkey", "cents"), "o_orderkey", 64)
+        .cut() // both sides of the blocked self-join
+      val pairs = capped
+        .join(capped.select(col("o_custkey"), col("cents"),
+          col("o_orderkey").as("k2"), col("day").as("day2")),
+          Seq("o_custkey", "cents"))
+        .filter(col("o_orderkey") < col("k2") &&
+          abs(col("day") - col("day2")) <= 7L)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        (sum((col("o_orderkey") * 31L + col("k2")) % P) % P)
+          .as("pair_checksum"))
+    }, Some(s"""
+      WITH o AS (SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) cents,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) d
+             FROM orders),
+      p AS (SELECT a.o_custkey, a.o_orderkey k1, b.o_orderkey k2
+            FROM o a JOIN o b
+              ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+                AND a.o_orderkey < b.o_orderkey
+                AND abs(a.d - b.d) <= 7)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        CAST(SUM((k1 * 31 + k2) % ${P}) % ${P} AS BIGINT) AS pair_checksum
+      FROM p"""))
   )
 }

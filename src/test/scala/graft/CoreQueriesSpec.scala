@@ -928,4 +928,45 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(row.getAs[Long]("hhi_ppm") >= 1000000L / rs.length - 1)
     }
   }
+
+  test("q175: LTV cells partition orders; cumulative replays per cohort") {
+    val rows = SparkEntry.queries("q175_cohort_ltv")(spark, sf).collect()
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    rows.groupBy(_.getAs[Long]("cohort")).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("m_offset"))
+      // offset 0 = the cohort's own first month, present by definition
+      assert(sorted.head.getAs[Long]("m_offset") == 0L)
+      var cum = 0L
+      sorted.foreach { c =>
+        cum += c.getAs[Long]("cents")
+        assert(c.getAs[Long]("cum_cents") == cum)
+        assert(c.getAs[Long]("m_offset") >= 0L)
+      }
+    }
+  }
+
+  test("q176: duplicate-invoice card replays from the brute pair scan") {
+    import org.apache.spark.sql.functions._
+    val card = SparkEntry.queries("q176_duplicate_invoices")(spark, sf)
+      .collect().head
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"),
+        expr("CAST(datediff(to_date(o_orderdate), '1970-01-01') AS LONG)")
+          .as("d"))
+      .collect().map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[Long]("o_orderkey"), r.getAs[Long]("c"), r.getAs[Long]("d")))
+    val pairs = for {
+      g <- o.groupBy(x => (x._1, x._3)).values.toSeq
+      i <- g.indices; j <- g.indices
+      if g(i)._2 < g(j)._2 && math.abs(g(i)._4 - g(j)._4) <= 7
+    } yield (g(i)._1, g(i)._2, g(j)._2)
+    assert(card.getAs[Long]("n_pairs") == pairs.length.toLong)
+    assert(card.getAs[Long]("n_customers") ==
+      pairs.map(_._1).distinct.length.toLong)
+    val P = graft.functions.ExactCols.P
+    assert(card.getAs[Long]("pair_checksum") ==
+      pairs.map(p => (p._2 * 31L + p._3) % P).sum % P)
+  }
 }
