@@ -1066,6 +1066,64 @@ object Temporal {
           CAST(row_number() OVER (ORDER BY tvd_ppm DESC, user_id) AS BIGINT)
             rank
         FROM r)
-      WHERE rank <= 20 ORDER BY rank"""))
+      WHERE rank <= 20 ORDER BY rank""")),
+
+    // two-proportion z-test in the exact regime (the A/B-test
+    // significance primitive, as the equivalent 1-df chi-square):
+    // users hash-split into two arms, conversion = made ≥ 1 purchase;
+    // z² = (c₁n₂−c₂n₁)²·N / (n₁n₂C(N−C)) is FULLY RATIONAL — the
+    // whole test statistic survives integer cross-multiplication, and
+    // the 5% critical value enters as the fixed literal 3.8415
+    // (z²·10⁴ ≥ 38415), so no distribution function is ever
+    // evaluated (the Benford-constant pattern). Per-user arm/convert
+    // are scan-stage hash/aggregate decisions; the card is one
+    // bounded aggregate. Degenerate pools (C = 0 or C = N) → −1
+    Q("q177_ab_significance", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val u = t(s, d, "events")
+        .select(col("user_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("arm",
+          hmod(concat(lit("arm:"), col("user_id").cast("string"))) % 2)
+      u.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c2"))
+        .withColumn("z2_milli", expr(
+          "CAST(CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN -1 ELSE " +
+            "(CAST(1000 AS DECIMAL(38,0)) * (c1*n2 - c2*n1) * (c1*n2 - c2*n1) " +
+            "* (n1 + n2)) div (CAST(n1 AS DECIMAL(38,0)) * n2 * (c1 + c2) " +
+            "* (n1 + n2 - c1 - c2)) END AS BIGINT)"))
+        .withColumn("significant_5pct", expr(
+          "CASE WHEN z2_milli < 0 THEN false ELSE " +
+            "10L * z2_milli >= 38415L END"))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          col("z2_milli"), col("significant_5pct"))
+    }, Some(s"""
+      WITH u AS (SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) conv,
+               ${sql.hmod("'arm:'||CAST(user_id AS VARCHAR)")} % 2 arm
+             FROM events GROUP BY user_id),
+      a AS (SELECT
+              CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) n1,
+              CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) c1,
+              CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) n2,
+              CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) c2
+            FROM u),
+      z AS (SELECT n1, c1, n2, c2,
+              CAST(CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN -1 ELSE
+                (1000 * CAST(c1*n2 - c2*n1 AS HUGEINT)
+                      * CAST(c1*n2 - c2*n1 AS HUGEINT) * (n1 + n2))
+                // (CAST(n1 AS HUGEINT) * n2 * (c1 + c2)
+                   * (n1 + n2 - c1 - c2)) END AS BIGINT) z2_milli
+            FROM a)
+      SELECT n1, c1, n2, c2, z2_milli,
+        CASE WHEN z2_milli < 0 THEN false
+             ELSE 10 * z2_milli >= 38415 END AS significant_5pct
+      FROM z"""))
   )
 }

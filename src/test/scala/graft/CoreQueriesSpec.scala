@@ -969,4 +969,31 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(card.getAs[Long]("pair_checksum") ==
       pairs.map(p => (p._2 * 31L + p._3) % P).sum % P)
   }
+
+  test("q177: z-test statistic replays in BigInt; arms partition users") {
+    import graft.functions.ExactCols.hmodJvm
+    val card = SparkEntry.queries("q177_ab_significance")(spark, sf)
+      .collect().head
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .groupBy(_._1).view
+      .mapValues(_.exists(_._2 == "purchase")).toMap
+    val byArm = users.groupBy { case (u, _) => hmodJvm(s"arm:$u") % 2 }
+    val (n1, c1) = (byArm.getOrElse(0L, Map.empty).size.toLong,
+      byArm.getOrElse(0L, Map.empty).count(_._2).toLong)
+    val (n2, c2) = (byArm.getOrElse(1L, Map.empty).size.toLong,
+      byArm.getOrElse(1L, Map.empty).count(_._2).toLong)
+    assert(card.getAs[Long]("n1") == n1 && card.getAs[Long]("c1") == c1)
+    assert(card.getAs[Long]("n2") == n2 && card.getAs[Long]("c2") == c2)
+    val C = c1 + c2; val N = n1 + n2
+    if (C == 0 || C == N) assert(card.getAs[Long]("z2_milli") == -1L)
+    else {
+      val num = BigInt(1000) * (BigInt(c1) * n2 - BigInt(c2) * n1).pow(2) * N
+      val den = BigInt(n1) * n2 * C * (N - C)
+      assert(BigInt(card.getAs[Long]("z2_milli")) == num / den)
+      assert(card.getAs[Boolean]("significant_5pct") ==
+        (10L * card.getAs[Long]("z2_milli") >= 38415L))
+    }
+  }
 }
