@@ -180,6 +180,49 @@ object EventStream {
       }
   }
 
+  /** Ingest row for the profile stream (public: encoder codegen). */
+  final case class UserHod(user_id: Long, hod: Long)
+
+  /** 24-bin hour-of-day profile state (public: encoder codegen). */
+  final case class ProfileState(bins: Seq[Long])
+
+  /** One emitted profile snapshot: the user's event count and TVD vs
+    * the pinned global profile after this micro-batch. */
+  final case class ProfileRow(user_id: Long, n_events: Long, tvd_ppm: Long)
+
+  /** Streaming activity-profile deviation — q171's detector as an
+    * ingest under the PINNED-MODEL contract (the cusumStream rule:
+    * the global profile is a whole-corpus statistic, so it comes from
+    * a batch pre-pass as a 24-entry closure + the N scalar): per user
+    * a bounded 24-bin state folds arriving hour-of-day rows and emits
+    * the running (n_events, tvd_ppm) snapshot each batch — update
+    * mode, monotone n_events, so the consumer keeps the latest row
+    * per user; after full ingest the snapshot equals q171's per-user
+    * TVD exactly (the gate's top-20 is a consumer-side selection).
+    * TVD arithmetic mirrors the gate bit-for-bit via BigInt. */
+  def profileStream(rows: Dataset[UserHod], global: Map[Long, Long],
+                    n: Long): Dataset[ProfileRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ProfileState, ProfileRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val bins = state.getOption.map(_.bins.toArray)
+          .getOrElse(Array.fill(24)(0L))
+        it.foreach(r => bins(r.hod.toInt) += 1L)
+        state.update(ProfileState(bins.toSeq))
+        val nu = BigInt(bins.sum)
+        if (nu == 0) Iterator.empty
+        else {
+          val num = (0 until 24).map(h =>
+            (BigInt(bins(h)) * n - BigInt(global.getOrElse(h.toLong, 0L)) * nu)
+              .abs).sum
+          val tvd = (BigInt(1000000) * num / (BigInt(2) * nu * n)).toLong
+          Iterator(ProfileRow(uid, nu.toLong, tvd))
+        }
+      }
+  }
+
   /** Typed ingest row for the transition stream (public: encoder). */
   final case class TypedEvent(user_id: Long, event_id: Long, sec: Long,
                               event_type: String)

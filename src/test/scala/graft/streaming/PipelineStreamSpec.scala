@@ -623,6 +623,45 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming profile deviation (pinned global) converges to q171") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "(unix_timestamp(ts) div 3600) % 24 as hod")
+      .collect()
+      .map(r => EventStream.UserHod(r.getAs[Long]("user_id"),
+        r.getAs[Long]("hod")))
+    val global = rows.groupBy(_.hod).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    val in = MemoryStream[EventStream.UserHod]
+    val q = EventStream.profileStream(in.toDS(), global, n)
+      .writeStream.format("memory").queryName("profile_stream")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // latest (max n_events) snapshot per user ≡ the batch detector
+      val fin = spark.table("profile_stream").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.maxBy(_.getAs[Long]("n_events")) }
+      val gate = graft.SparkEntry.queries("q171_profile_outliers")(spark, sf)
+        .collect()
+      gate.foreach { g =>
+        val f = fin(g.getAs[Long]("user_id"))
+        assert(f.getAs[Long]("n_events") == g.getAs[Long]("n_events"))
+        assert(f.getAs[Long]("tvd_ppm") == g.getAs[Long]("tvd_ppm"))
+      }
+      // the gate's top-20 is exactly the consumer-side selection
+      val top = fin.toSeq.map { case (u, r) =>
+        (u, r.getAs[Long]("tvd_ppm")) }
+        .sortBy { case (u, t) => (-t, u) }.take(gate.length)
+      assert(top.map(_._1) == gate.map(_.getAs[Long]("user_id")).toSeq)
+    } finally q.stop()
+  }
+
   test("streaming transitions (ordered ingest) roll up to the q148 matrix") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
