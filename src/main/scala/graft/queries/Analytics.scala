@@ -1203,6 +1203,75 @@ object Analytics {
       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         CAST(SUM((k1 * 31 + k2) % ${P}) % ${P} AS BIGINT) AS pair_checksum
-      FROM p"""))
+      FROM p""")),
+
+    // Mann–Whitney rank-sum location test in the exact regime (the
+    // q177 proportions test's sibling for ORDERED metrics — does
+    // urgent priority actually ship faster?): 2U over ship delays of
+    // the 1-URGENT vs 5-LOW arms via q155's tie-exact midrank
+    // identity (2U = Σ_v np_v·(2·cumlow_below + nl_v) on the grouped
+    // delay-value table — no corpus sort), then z² =
+    // 3·(2U − n₁n₂)²/(n₁n₂(n+1)) — fully rational (the no-tie
+    // variance form, computed identically by both engines), the 5%
+    // critical value the fixed literal 38415 (the q177 pattern).
+    // DECIMAL/HUGEINT carries the n²-sized moments
+    Q("q178_rank_sum_test", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val dl = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_orderpriority") === "1-URGENT").as("urgent"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast(LongType).as("delay"))
+      val g = dl.groupBy(col("delay"))
+        .agg(sum(when(col("urgent"), 1L).otherwise(0L)).as("nu"),
+          sum(when(col("urgent"), 0L).otherwise(1L)).as("nl"))
+      val wnd = Window.orderBy(col("delay"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = g.withColumn("clb", coalesce(sum(col("nl")).over(wnd), lit(0L)))
+      cum.agg(
+        sum(col("nu")).as("n1"), sum(col("nl")).as("n2"),
+        sum(col("nu").cast(dec) * (col("clb") * 2L + col("nl")))
+          .cast(LongType).as("two_u"))
+        .withColumn("z2_milli", expr(
+          "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN -1 ELSE " +
+            "(CAST(3000 AS DECIMAL(38,0)) * (two_u - n1*n2) * (two_u - n1*n2)) " +
+            "div (CAST(n1 AS DECIMAL(38,0)) * n2 * (n1 + n2 + 1)) " +
+            "END AS BIGINT)"))
+        .withColumn("significant_5pct", expr(
+          "CASE WHEN z2_milli < 0 THEN false ELSE " +
+            "10L * z2_milli >= 38415L END"))
+        .select(col("n1"), col("n2"), col("two_u"), col("z2_milli"),
+          col("significant_5pct"))
+    }, Some("""
+      WITH v AS (SELECT o_orderpriority = '1-URGENT' AS urgent,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT) delay
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      g AS (SELECT delay,
+              CAST(SUM(CASE WHEN urgent THEN 1 ELSE 0 END) AS BIGINT) nu,
+              CAST(SUM(CASE WHEN urgent THEN 0 ELSE 1 END) AS BIGINT) nl
+            FROM v GROUP BY 1),
+      cum AS (SELECT *, COALESCE(SUM(nl) OVER (ORDER BY delay
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) clb
+              FROM g),
+      a AS (SELECT CAST(SUM(nu) AS BIGINT) n1, CAST(SUM(nl) AS BIGINT) n2,
+              CAST(SUM(CAST(nu AS HUGEINT) * (2*clb + nl)) AS BIGINT) two_u
+            FROM cum),
+      z AS (SELECT n1, n2, two_u,
+              CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN -1 ELSE
+                (3000 * CAST(two_u - n1*n2 AS HUGEINT)
+                      * CAST(two_u - n1*n2 AS HUGEINT))
+                // (CAST(n1 AS HUGEINT) * n2 * (n1 + n2 + 1))
+                END AS BIGINT) z2_milli
+            FROM a)
+      SELECT n1, n2, two_u, z2_milli,
+        CASE WHEN z2_milli < 0 THEN false
+             ELSE 10 * z2_milli >= 38415 END AS significant_5pct
+      FROM z"""))
   )
 }

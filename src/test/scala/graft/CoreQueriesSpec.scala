@@ -996,4 +996,32 @@ class CoreQueriesSpec extends AnyFunSuite {
         (10L * card.getAs[Long]("z2_milli") >= 38415L))
     }
   }
+
+  test("q178: rank-sum 2U and z² replay from brute pairwise comparison") {
+    import org.apache.spark.sql.functions._
+    val card = SparkEntry.queries("q178_rank_sum_test")(spark, sf)
+      .collect().head
+    val v = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .selectExpr("o_orderpriority = '1-URGENT' as urgent",
+        "CAST(datediff(to_date(l_shipdate), to_date(o_orderdate)) AS LONG) as delay")
+      .collect().map(r => (r.getAs[Boolean]("urgent"), r.getAs[Long]("delay")))
+    val u = v.filter(_._1).map(_._2); val l = v.filterNot(_._1).map(_._2)
+    // 2U counts urgent-beats-low pairs with midrank ties: urgent is
+    // the "positive" sample, ordered by delay ascending (the gate's
+    // cumulative-low-below convention)
+    val twoU = (for (a <- u; b <- l)
+      yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+    assert(card.getAs[Long]("n1") == u.length.toLong)
+    assert(card.getAs[Long]("n2") == l.length.toLong)
+    assert(card.getAs[Long]("two_u") == twoU)
+    val n1 = BigInt(u.length); val n2 = BigInt(l.length)
+    val z2 = BigInt(3000) * (BigInt(twoU) - n1 * n2).pow(2) /
+      (n1 * n2 * (n1 + n2 + 1))
+    assert(BigInt(card.getAs[Long]("z2_milli")) == z2)
+    assert(card.getAs[Boolean]("significant_5pct") ==
+      (10L * card.getAs[Long]("z2_milli") >= 38415L))
+  }
 }
