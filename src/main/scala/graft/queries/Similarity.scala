@@ -993,6 +993,109 @@ object Similarity {
               CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
                 rank
             FROM fu)
-      WHERE rank <= 20 ORDER BY rank"""))
+      WHERE rank <= 20 ORDER BY rank""")),
+
+    // rank correlation between the two quality signals (the Spearman
+    // family done exactly: Pearson on TIE-EXACT doubled midranks —
+    // with ties, Spearman IS Pearson on midranks, and 2·midrank =
+    // 2·cum_below + n_v + 1 stays integer; the q169 carry-the-square
+    // rule keeps sqrt out: cov sign decides agree/oppose, ρ²_ppm =
+    // ⌊10⁶·cov²/(varx·vary)⌋): does the corpus-frequency signal
+    // (q91) rank documents like the learned classifier (q88)?
+    // Midranks come from cumulative windows over the BOUNDED grouped
+    // score tables (the q155 shape) — no corpus sort, no per-doc
+    // tie-break needed (midranks are functions of score values)
+    Q("q179_rank_correlation", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val docs = t(s, d, "documents")
+      val a = Pipeline.commonnessScore(docs).filter(col("ntok") > 0)
+        .select(col("doc_id"), expr("(1000000L * num) div ntok").as("sa"))
+      val wgt = s.range(512).select(col("id").as("bucket"),
+        (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L)
+          .as("w"))
+      val b = Pipeline.classifierScore(docs, wgt).filter(col("ntok") > 0)
+        .select(col("doc_id"),
+          expr("(1000000L * (score_num + 1000L * ntok)) div ntok").as("sb"))
+      def midranks(df: DataFrame, scoreCol: String, out: String): DataFrame = {
+        val g = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("nv"))
+        val wnd = Window.orderBy(col(scoreCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = g.withColumn("cb",
+          coalesce(sum(col("nv")).over(wnd), lit(0L)))
+          .select(col(scoreCol), (col("cb") * 2L + col("nv") + 1L).as(out))
+        df.join(cum, scoreCol)
+      }
+      val ja = midranks(a, "sa", "ra2").select(col("doc_id"), col("ra2"))
+      val jb = midranks(b, "sb", "rb2").select(col("doc_id"), col("rb2"))
+      ja.join(jb, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("ra2")).as("sx"), sum(col("rb2")).as("sy"),
+          sum(col("ra2").cast(dec) * col("rb2").cast(dec)).as("sxy"),
+          sum(col("ra2").cast(dec) * col("ra2").cast(dec)).as("sxx"),
+          sum(col("rb2").cast(dec) * col("rb2").cast(dec)).as("syy"))
+        .withColumn("cov_num", expr(
+          "CAST(CAST(n AS DECIMAL(38,0)) * sxy - " +
+            "CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))"))
+        .withColumn("varx", expr(
+          "CAST(CAST(n AS DECIMAL(38,0)) * sxx - " +
+            "CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))"))
+        .withColumn("vary", expr(
+          "CAST(CAST(n AS DECIMAL(38,0)) * syy - " +
+            "CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))"))
+        .select(col("n"),
+          col("cov_num").cast(LongType).as("cov_num"),
+          expr("CAST(CASE WHEN varx * vary = 0 THEN -1 ELSE " +
+            "(CAST(1000000 AS DECIMAL(38,0)) * cov_num * cov_num) div " +
+            "(varx * vary) END AS BIGINT)").as("rho2_ppm"),
+          expr("CASE WHEN varx * vary = 0 THEN 'degenerate' " +
+            "WHEN cov_num > 0 THEN 'agree' " +
+            "WHEN cov_num < 0 THEN 'oppose' ELSE 'none' END").as("verdict"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      ex AS (SELECT doc_id, unnest(tk) tok FROM tk),
+      freq AS (SELECT tok, CAST(count(*) AS BIGINT) cnt FROM ex GROUP BY 1),
+      pa AS (SELECT doc_id, CAST(count(*) AS BIGINT) ntok,
+               CAST(SUM(cnt) AS BIGINT) num
+             FROM ex JOIN freq USING (tok) GROUP BY 1),
+      sa AS (SELECT doc_id, (1000000*num) // ntok sa FROM pa WHERE ntok > 0),
+      fb AS (SELECT doc_id, ${sql.hmod("'qw:'||tok")} % 512 b FROM ex),
+      wq AS (SELECT b, ${sql.hmod("'w:'||CAST(b AS VARCHAR)")} % 2001 - 1000 w
+             FROM generate_series(0,511) gs(b)),
+      pb AS (SELECT doc_id, CAST(count(*) AS BIGINT) ntok,
+               CAST(SUM(wq.w) AS BIGINT) score_num
+             FROM fb JOIN wq USING (b) GROUP BY 1),
+      sb AS (SELECT doc_id, (1000000*(score_num + 1000*ntok)) // ntok sb
+             FROM pb WHERE ntok > 0),
+      ga AS (SELECT sa, CAST(count(*) AS BIGINT) nv FROM sa GROUP BY 1),
+      ca AS (SELECT sa, 2*COALESCE(SUM(nv) OVER (ORDER BY sa
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + nv + 1 ra2 FROM ga),
+      gb AS (SELECT sb, CAST(count(*) AS BIGINT) nv FROM sb GROUP BY 1),
+      cb AS (SELECT sb, 2*COALESCE(SUM(nv) OVER (ORDER BY sb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + nv + 1 rb2 FROM gb),
+      j AS (SELECT sa.doc_id, ca.ra2, cb.rb2
+            FROM sa JOIN ca USING (sa)
+              JOIN sb ON sb.doc_id = sa.doc_id
+              JOIN cb USING (sb)),
+      m AS (SELECT CAST(count(*) AS BIGINT) n,
+              CAST(SUM(ra2) AS BIGINT) sx, CAST(SUM(rb2) AS BIGINT) sy,
+              SUM(CAST(ra2 AS HUGEINT) * rb2) sxy,
+              SUM(CAST(ra2 AS HUGEINT) * ra2) sxx,
+              SUM(CAST(rb2 AS HUGEINT) * rb2) syy
+            FROM j),
+      c AS (SELECT n, n*sxy - CAST(sx AS HUGEINT)*sy cov_num,
+              n*sxx - CAST(sx AS HUGEINT)*sx varx,
+              n*syy - CAST(sy AS HUGEINT)*sy vary
+            FROM m)
+      SELECT n, CAST(cov_num AS BIGINT) AS cov_num,
+        CAST(CASE WHEN varx * vary = 0 THEN -1
+             ELSE (1000000 * cov_num * cov_num) // (varx * vary)
+             END AS BIGINT) AS rho2_ppm,
+        CASE WHEN varx * vary = 0 THEN 'degenerate'
+             WHEN cov_num > 0 THEN 'agree'
+             WHEN cov_num < 0 THEN 'oppose' ELSE 'none' END AS verdict
+      FROM c"""))
   )
 }

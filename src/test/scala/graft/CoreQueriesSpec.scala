@@ -1024,4 +1024,49 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(card.getAs[Boolean]("significant_5pct") ==
       (10L * card.getAs[Long]("z2_milli") >= 38415L))
   }
+
+  test("q179: rank correlation replays from brute midranks") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols.hmod
+    val card = SparkEntry.queries("q179_rank_correlation")(spark, sf)
+      .collect().head
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sa = graft.queries.Pipeline.commonnessScore(docs)
+      .filter(col("ntok") > 0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        1000000L * r.getAs[Long]("num") / r.getAs[Long]("ntok")).toMap
+    val wgt = spark.range(512).select(col("id").as("bucket"),
+      (hmod(concat(lit("w:"), col("id").cast("string"))) % 2001L - 1000L).as("w"))
+    val sb = graft.queries.Pipeline.classifierScore(docs, wgt)
+      .filter(col("ntok") > 0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        1000000L * (r.getAs[Long]("score_num") + 1000L * r.getAs[Long]("ntok")) /
+          r.getAs[Long]("ntok")).toMap
+    def midranks2(m: Map[Long, Long]): Map[Long, Long] = {
+      // 2·midrank of each doc's score within the multiset of scores
+      val sorted = m.values.toSeq.sorted
+      m.view.mapValues { v =>
+        val below = sorted.count(_ < v).toLong
+        val ties = sorted.count(_ == v).toLong
+        2L * below + ties + 1L
+      }.toMap
+    }
+    val (ra, rb) = (midranks2(sa), midranks2(sb))
+    val ids = (ra.keySet & rb.keySet).toSeq
+    val n = BigInt(ids.length)
+    val xs = ids.map(i => BigInt(ra(i))); val ys = ids.map(i => BigInt(rb(i)))
+    val cov = n * ids.map(i => BigInt(ra(i)) * rb(i)).sum - xs.sum * ys.sum
+    val varx = n * xs.map(x => x * x).sum - xs.sum.pow(2)
+    val vary = n * ys.map(y => y * y).sum - ys.sum.pow(2)
+    assert(BigInt(card.getAs[Long]("n")) == n)
+    assert(BigInt(card.getAs[Long]("cov_num")) == cov)
+    if (varx * vary == 0) assert(card.getAs[Long]("rho2_ppm") == -1L)
+    else {
+      assert(BigInt(card.getAs[Long]("rho2_ppm")) ==
+        BigInt(1000000) * cov * cov / (varx * vary))
+      assert(card.getAs[Long]("rho2_ppm") <= 1000000L)
+      val expect = if (cov > 0) "agree" else if (cov < 0) "oppose" else "none"
+      assert(card.getAs[String]("verdict") == expect)
+    }
+  }
 }
