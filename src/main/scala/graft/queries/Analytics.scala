@@ -1272,6 +1272,150 @@ object Analytics {
       SELECT n1, n2, two_u, z2_milli,
         CASE WHEN z2_milli < 0 THEN false
              ELSE 10 * z2_milli >= 38415 END AS significant_5pct
-      FROM z"""))
+      FROM z""")),
+
+    // Kolmogorov–Smirnov two-sample test in the exact regime (the
+    // q178 rank-sum test's distribution-shape sibling — do urgent and
+    // low ship-delay DISTRIBUTIONS differ anywhere, not just in
+    // location?): D = max_v |F₁(v) − F₂(v)| over the same grouped
+    // delay-value table (no corpus sort), carried as the INTEGER
+    // d_int = max |cumU·n₂ − cumL·n₁| so the supremum is exact; the
+    // 5% verdict is the cross-multiplied D > 1.358·√((n₁+n₂)/(n₁n₂))
+    // ⇔ 10⁶·d_int² > 1358²·(n₁+n₂)·n₁·n₂ — and 1358² = 1844164 is
+    // EXACT, so the classic KS coefficient needs no rounding at all
+    // (the cleanest member of the fixed-literal family). Totals ride
+    // an unbounded window over the bounded value table;
+    // DECIMAL/HUGEINT carries the n²-sized squares
+    Q("q180_ks_test", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val dl = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_orderpriority") === "1-URGENT").as("urgent"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast(LongType).as("delay"))
+      val g = dl.groupBy(col("delay"))
+        .agg(sum(when(col("urgent"), 1L).otherwise(0L)).as("nu"),
+          sum(when(col("urgent"), 0L).otherwise(1L)).as("nl"))
+      val run = Window.orderBy(col("delay"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = g
+        .withColumn("cu", sum(col("nu")).over(run))
+        .withColumn("cl", sum(col("nl")).over(run))
+        .withColumn("n1", sum(col("nu")).over(all))
+        .withColumn("n2", sum(col("nl")).over(all))
+        .withColumn("diff",
+          abs(col("cu").cast(dec) * col("n2") - col("cl").cast(dec) * col("n1")))
+      cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(col("diff")).cast(LongType).as("d_int"))
+        .withColumn("d_ppm", expr(
+          "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN -1 ELSE " +
+            "(CAST(1000000 AS DECIMAL(38,0)) * d_int) " +
+            "div (CAST(n1 AS DECIMAL(38,0)) * n2) END AS BIGINT)"))
+        .withColumn("significant_5pct", expr(
+          "CASE WHEN n1 = 0 OR n2 = 0 THEN false ELSE " +
+            "CAST(1000000 AS DECIMAL(38,0)) * d_int * d_int > " +
+            "CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2 END"))
+        .select(col("n1"), col("n2"), col("d_int"), col("d_ppm"),
+          col("significant_5pct"))
+    }, Some("""
+      WITH v AS (SELECT o_orderpriority = '1-URGENT' AS urgent,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT) delay
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      g AS (SELECT delay,
+              CAST(SUM(CASE WHEN urgent THEN 1 ELSE 0 END) AS BIGINT) nu,
+              CAST(SUM(CASE WHEN urgent THEN 0 ELSE 1 END) AS BIGINT) nl
+            FROM v GROUP BY 1),
+      cum AS (SELECT
+                SUM(nu) OVER (ORDER BY delay
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cu,
+                SUM(nl) OVER (ORDER BY delay
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cl,
+                SUM(nu) OVER () n1, SUM(nl) OVER () n2
+              FROM g),
+      a AS (SELECT CAST(MAX(n1) AS BIGINT) n1, CAST(MAX(n2) AS BIGINT) n2,
+              CAST(MAX(abs(CAST(cu AS HUGEINT) * n2
+                           - CAST(cl AS HUGEINT) * n1)) AS BIGINT) d_int
+            FROM cum)
+      SELECT n1, n2, d_int,
+        CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN -1 ELSE
+          (1000000 * CAST(d_int AS HUGEINT))
+          // (CAST(n1 AS HUGEINT) * n2) END AS BIGINT) AS d_ppm,
+        CASE WHEN n1 = 0 OR n2 = 0 THEN false ELSE
+          1000000 * CAST(d_int AS HUGEINT) * d_int >
+          1844164 * CAST(n1 + n2 AS HUGEINT) * n1 * n2 END
+          AS significant_5pct
+      FROM a""")),
+
+    // Cramér's V effect size over the order priority × status
+    // contingency (the EFFECT-SIZE card next to the q177/q178/q180
+    // significance family — a 15M-row table makes any dependence
+    // "significant"; V says whether it is LARGE): per-cell chi-square
+    // contributions ⌊1000·(N·O−r·c)²/(N·r·c)⌋ floored IDENTICALLY on
+    // both engines then summed (the defined-statistic rule — exact
+    // rational summation would need a common denominator in the
+    // N³-digit range), V² = χ²/(N·(min(r,c)−1)) carried as v2_ppm per
+    // the q169 carry-the-square doctrine. Marginals are two bounded
+    // rollups of the |r×c| cell table; N³-sized products ride
+    // DECIMAL(38,0)/HUGEINT
+    Q("q185_cramers_v", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("o"))
+        .cut() // feeds the marginals and the per-cell contributions
+      val rm = cells.groupBy(col("prio")).agg(sum(col("o")).as("r"))
+      val cm = cells.groupBy(col("status")).agg(sum(col("o")).as("c"))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val contrib = cells.join(rm, "prio").join(cm, "status")
+        .withColumn("n", sum(col("o")).over(all))
+        .withColumn("part", expr(
+          "(CAST(1000 AS DECIMAL(38,0)) * (n*o - r*c) * (n*o - r*c)) " +
+            "div (CAST(n AS DECIMAL(38,0)) * r * c)").cast(LongType))
+      contrib.agg(
+          countDistinct(col("prio")).as("n_rows"),
+          countDistinct(col("status")).as("n_cols"),
+          max(col("n")).as("n"),
+          sum(col("part")).as("chi2_milli"))
+        .withColumn("df", (col("n_rows") - 1L) * (col("n_cols") - 1L))
+        .withColumn("v2_ppm", expr(
+          "CAST(CASE WHEN least(n_rows, n_cols) <= 1 OR n = 0 THEN -1 ELSE " +
+            "(CAST(1000 AS DECIMAL(38,0)) * chi2_milli) " +
+            "div (CAST(n AS DECIMAL(38,0)) * (least(n_rows, n_cols) - 1)) " +
+            "END AS BIGINT)"))
+        .select(col("n_rows"), col("n_cols"), col("n"), col("df"),
+          col("chi2_milli"), col("v2_ppm"))
+    }, Some("""
+      WITH cells AS (SELECT o_orderpriority prio, o_orderstatus status,
+               CAST(count(*) AS BIGINT) o
+             FROM orders GROUP BY 1, 2),
+      rm AS (SELECT prio, CAST(SUM(o) AS BIGINT) r FROM cells GROUP BY 1),
+      cm AS (SELECT status, CAST(SUM(o) AS BIGINT) c FROM cells GROUP BY 1),
+      w AS (SELECT cells.*, r, c, SUM(o) OVER () n
+            FROM cells JOIN rm USING (prio) JOIN cm USING (status)),
+      contrib AS (SELECT *,
+              CAST((1000 * CAST(n*o - r*c AS HUGEINT) * (n*o - r*c))
+                   // (CAST(n AS HUGEINT) * r * c) AS BIGINT) part
+            FROM w),
+      a AS (SELECT CAST(count(DISTINCT prio) AS BIGINT) n_rows,
+              CAST(count(DISTINCT status) AS BIGINT) n_cols,
+              CAST(MAX(n) AS BIGINT) n,
+              CAST(SUM(part) AS BIGINT) chi2_milli
+            FROM contrib)
+      SELECT n_rows, n_cols, n, (n_rows - 1) * (n_cols - 1) AS df,
+        chi2_milli,
+        CAST(CASE WHEN least(n_rows, n_cols) <= 1 OR n = 0 THEN -1 ELSE
+          (1000 * CAST(chi2_milli AS HUGEINT))
+          // (CAST(n AS HUGEINT) * (least(n_rows, n_cols) - 1))
+          END AS BIGINT) AS v2_ppm
+      FROM a"""))
   )
 }
