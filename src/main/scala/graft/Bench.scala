@@ -159,7 +159,21 @@ object Bench {
       else s""","passes":$passes,"queries_max":${qmap(_._3)},"session_total":${ms(total(_._4))},"session_queries":${qmap(_._4)}"""
     val bytesPart =
       s""","shuffle_bytes":${bmap(_._5)},"shuffle_read_bytes":${bmap(_._6)},"spill_bytes":${bmap(_._7)}"""
-    val json = s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":${qmap(_._2)},"failed":$failedJson,"flaky_passes":$flakyJson,"mode":"$mode"$sessionPart$bytesPart,"sf":"$sfDir"}"""
+    // Anchor-normalized ratios (full artifact only): per-query min ÷
+    // the q01_agg_basic min. The host shows sustained 1.6–2.7×
+    // baseline shifts between rounds (CLAUDE.md r10 note), so raw
+    // cross-round deltas are unreadable; the ratio to a frozen anchor
+    // query separates plan regressions from host drift mechanically.
+    val anchor = results.find(_._1 == "q01_agg_basic").map(_._2).filter(_ > 0)
+    val anchorPart = anchor match {
+      case Some(a) =>
+        val m = results.map(r => "\"" + r._1 + "\":" +
+          (if (r._2 < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, r._2 / a)))
+          .mkString("{", ",", "}")
+        s""","anchor":"q01_agg_basic","anchor_sec":${ms(a)},"queries_anchor_ratio":$m"""
+      case None => ""
+    }
+    val json = s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":${qmap(_._2)},"failed":$failedJson,"flaky_passes":$flakyJson,"mode":"$mode"$sessionPart$bytesPart$anchorPart,"sf":"$sfDir"}"""
     // Full-width detail (full query names, per-pass worst, session map,
     // byte counters) goes to bench_full.json — it is ~15 KB and the
     // driver keeps only the last 2000 chars of combined output, which
@@ -205,9 +219,26 @@ object Bench {
       Iterator(2, 1, 0).map(render).find(_.length <= 1800)
         .getOrElse(render(0))
     }
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
-    println(compact)
-    System.out.flush()
+    // Teardown silencing (the r8 lesson: a DAGScheduler stack trace
+    // reached stdout immediately before the compact line — one unlucky
+    // ordering away from garbling the only artifact the driver
+    // parses). Three layers: log level OFF (silences log4j, whose
+    // console appender writes to the raw fd, not System.out);
+    // System.err permanently sunk (printStackTrace from non-log4j
+    // paths — bench stderr has no value past this point, including
+    // shutdown hooks); stop() failures swallowed. The compact line is
+    // the LAST thing written to the real stdout.
+    spark.sparkContext.setLogLevel("OFF")
+    val realOut = System.out
+    val devNull = new java.io.PrintStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = ()
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = ()
+    })
+    System.setErr(devNull)
+    System.setOut(devNull)
+    try spark.stop() catch { case _: Throwable => () }
+    System.setOut(realOut)
+    realOut.println(compact)
+    realOut.flush()
   }
 }

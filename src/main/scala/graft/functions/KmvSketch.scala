@@ -108,10 +108,13 @@ object KmvSketch {
     * fail-loud guard stays armed behind it. */
   def autoK(df: DataFrame, groupKeys: Seq[Column], h: Column): Int = {
     import org.apache.spark.sql.functions.{col, countDistinct, max => fmax}
-    val card = df.groupBy(groupKeys: _*)
+    // empty input → the max aggregate returns one NULL row; fall back
+    // to the minimal k (nothing will ever enter the sketch anyway)
+    val row = df.groupBy(groupKeys: _*)
       .agg(countDistinct(h).as("c"))
       .agg(fmax(col("c")))
-      .head.getLong(0)
+      .head
+    val card = if (row.isNullAt(0)) 0L else row.getLong(0)
     math.min(card + 1L, Int.MaxValue.toLong).toInt
   }
 }

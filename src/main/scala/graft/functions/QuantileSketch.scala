@@ -143,10 +143,13 @@ object QuantileSketch {
   def autoBuffer(df: org.apache.spark.sql.DataFrame, groupKeys: Seq[Column],
                  value: Column): Int = {
     import org.apache.spark.sql.functions.{countDistinct, max => fmax}
-    val card = df.groupBy(groupKeys: _*)
+    // empty input → the max aggregate returns one NULL row; fall back
+    // to the minimal buffer (nothing will ever enter the sketch anyway)
+    val row = df.groupBy(groupKeys: _*)
       .agg(countDistinct(value).as("c"))
       .agg(fmax(org.apache.spark.sql.functions.col("c")))
-      .head.getLong(0)
+      .head
+    val card = if (row.isNullAt(0)) 0L else row.getLong(0)
     math.min(card + 1L, Int.MaxValue.toLong).toInt
   }
 }

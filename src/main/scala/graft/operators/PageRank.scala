@@ -38,7 +38,11 @@ import graft.Checkpoints._
   * (src, dst), already deduplicated. Undirected graphs pass both
   * directions. Nodes with no out-edges (dangling) are excluded by
   * construction — callers that need dangling-mass redistribution
-  * symmetrize the graph first (the q138 gate does).
+  * symmetrize the graph first (the q138 gate does). The rank universe
+  * is the out-edge node set (deg's keys) EVERY round: an in-degree-0
+  * source keeps its base mass r = basePpm via the left join back, so
+  * its out-edges keep contributing in later rounds (standard PageRank
+  * semantics on general directed graphs, not just symmetrized ones).
   */
 object PageRank {
 
@@ -53,17 +57,23 @@ object PageRank {
     val ed = edges.select(col("src"), col("dst"))
       .cut() // referenced every round
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .cut() // referenced every round + seeds r0
-    var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      .cut() // referenced every round + seeds r0 + the node universe
+    val nodes = deg.select(col("src").as("node"))
+    var r = nodes.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to rounds) {
-      r = ed.join(deg, "src")
+      val contrib = ed.join(deg, "src")
         .join(r, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst"))
-        .agg((lit(basePpm) +
-          expr(s"(CAST($dampingPpm AS DECIMAL(38,0)) * sum(CAST(c AS DECIMAL(38,0)))) div 1000000")
-            .cast("long")).as("r"))
-        .select(col("dst").as("node"), col("r"))
+        .agg(expr(s"(CAST($dampingPpm AS DECIMAL(38,0)) * sum(CAST(c AS DECIMAL(38,0)))) div 1000000")
+          .cast("long").as("rc"))
+        .select(col("dst").as("node"), col("rc"))
+      // left-join the full node universe back: a node receiving no
+      // contributions this round (in-degree 0 within the universe)
+      // keeps r = basePpm instead of silently dropping out
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("rc"), lit(0L)) + lit(basePpm)).as("r"))
         .cut() // the iterative-loop lineage rule
     }
     r
@@ -88,7 +98,11 @@ object PageRank {
     require(rounds >= 1, s"hits rounds out of range: $rounds")
     val ed = edges.select(col("src"), col("dst")).cut()
     def normalized(scores: DataFrame): DataFrame = {
-      val m = scores.agg(max(col("s"))).head.getLong(0)
+      // empty edge table → the max aggregate returns one NULL row;
+      // clamp to ≥1 so the normalizer division is always defined
+      // (the downstream tables are empty anyway in that case)
+      val row = scores.agg(max(col("s"))).head
+      val m = if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
       scores.select(col("node"),
         expr(s"(CAST(1000000 AS DECIMAL(38,0)) * s) div ${m}L")
           .cast("long").as("s"))

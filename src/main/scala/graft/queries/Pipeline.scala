@@ -38,6 +38,41 @@ object Pipeline {
   private[queries] val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private[queries] val stopSetSql = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Cumulative sum of `v` over all rows with strictly smaller `key`,
+    * with NO unpartitioned window over the keyed table — the shape
+    * that makes midrank/CDF statistics (q155 AUC, q179 Spearman)
+    * survive 100×: a single `Window.orderBy(key)` is a one-partition
+    * WindowExec whose input grows with key cardinality. Two levels
+    * instead: (1) per-bin totals (bin = key div binWidth) — the ONLY
+    * unpartitioned cumulative runs on this table, bounded by
+    * key-range/binWidth rows (for the 10⁶-scaled shifted score keys
+    * of q155/q157, range ≤ 2.001e9 ⇒ ≤ 101 bins at the default
+    * width); (2) a within-bin cumulative PARTITIONED by bin — each
+    * partition holds ≤ binWidth distinct keys and bins parallelize
+    * across the cluster. out = bin_cum_below + in_bin_cum_below is
+    * exactly Σ_{k'<k} v(k') regardless of binning, so gate hashes are
+    * unchanged. Keys must be NONNEGATIVE (`div` truncates toward
+    * zero, so negative keys would interleave bins — the q155 shifted-
+    * key rule). Input `g` must be one row per distinct key. */
+  private[queries] def boundedCumBelow(g: DataFrame, key: String, v: String,
+                                       out: String,
+                                       binWidth: Long = 20000000L): DataFrame = {
+    val binned = g.withColumn("__bin", expr(s"$key div ${binWidth}L"))
+    val binTot = binned.groupBy(col("__bin")).agg(sum(col(v)).as("__bv"))
+    val wb = Window.orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binCum = binTot
+      .withColumn("__bcum", coalesce(sum(col("__bv")).over(wb), lit(0L)))
+      .select(col("__bin"), col("__bcum"))
+    val wi = Window.partitionBy(col("__bin")).orderBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned
+      .withColumn("__icum", coalesce(sum(col(v)).over(wi), lit(0L)))
+      .join(broadcast(binCum), "__bin")
+      .withColumn(out, col("__bcum") + col("__icum"))
+      .drop("__bin", "__bcum", "__icum")
+  }
+
   /** The cumulative Gopher stage-5 keep decision as ONE scan-stage
     * predicate over raw text — the per-doc form of [[funnelStats]]'s
     * c5 (same kernels, same integer-exact thresholds; PipelineSpec
@@ -2558,9 +2593,10 @@ object Pipeline {
     // q88 classifier. AUC is the Mann-Whitney rank-sum over the
     // quantized score key — 2U = Σ_s np_s·(2·cumneg_below(s) + nn_s)
     // handles ties with midranks exactly, no sort of the corpus:
-    // docs reduce to a map-side-combined groupBy(skey) (bounded by
-    // score granularity), the cumulative-negative window runs on that
-    // bounded table, and one final aggregate folds AUC and the
+    // docs reduce to a map-side-combined groupBy(skey), the
+    // cumulative-negative sum runs two-level (boundedCumBelow: the
+    // unpartitioned window sees ≤101 bin rows, the per-key cumulative
+    // is partitioned by bin), and one final aggregate folds AUC and the
     // threshold-0 confusion counts together (predicted-positive ⇔
     // skey ≥ 10⁹, exactly score_num ≥ 0). n²-sized 2U rides
     // DECIMAL(38,0)/HUGEINT; every ppm is a nonnegative floor ratio
@@ -2570,10 +2606,9 @@ object Pipeline {
         .groupBy(col("skey"))
         .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
           sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
-      val wnd = Window.orderBy(col("skey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = g.withColumn("cnb",
-        coalesce(sum(col("nn")).over(wnd), lit(0L)))
+      // two-level cumulative (boundedCumBelow): the unpartitioned
+      // window sees only the ≤101-row bin table, never the skey table
+      val cum = boundedCumBelow(g, "skey", "nn", "cnb")
       cum.agg(
         sum(col("np") + col("nn")).as("n_docs"),
         sum(col("np")).as("n_pos"),

@@ -1002,9 +1002,11 @@ object Similarity {
     // rule keeps sqrt out: cov sign decides agree/oppose, ρ²_ppm =
     // ⌊10⁶·cov²/(varx·vary)⌋): does the corpus-frequency signal
     // (q91) rank documents like the learned classifier (q88)?
-    // Midranks come from cumulative windows over the BOUNDED grouped
-    // score tables (the q155 shape) — no corpus sort, no per-doc
-    // tie-break needed (midranks are functions of score values)
+    // Midranks come from two-level cumulative sums over the grouped
+    // score tables (Pipeline.boundedCumBelow — the unpartitioned
+    // window sees only the bin table, the q155 shape) — no corpus
+    // sort, no per-doc tie-break needed (midranks are functions of
+    // score values)
     Q("q179_rank_correlation", (s, d) => {
       val dec = DecimalType(38, 0)
       val docs = t(s, d, "documents")
@@ -1017,11 +1019,12 @@ object Similarity {
         .select(col("doc_id"),
           expr("(1000000L * (score_num + 1000L * ntok)) div ntok").as("sb"))
       def midranks(df: DataFrame, scoreCol: String, out: String): DataFrame = {
+        // two-level cumulative (Pipeline.boundedCumBelow): the
+        // unpartitioned window sees only the bin table (key-range/2e7
+        // rows), never the grouped score table — both score keys here
+        // are shifted nonnegative (sa ≥ 10⁶, sb ≥ 0)
         val g = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("nv"))
-        val wnd = Window.orderBy(col(scoreCol))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val cum = g.withColumn("cb",
-          coalesce(sum(col("nv")).over(wnd), lit(0L)))
+        val cum = Pipeline.boundedCumBelow(g, scoreCol, "nv", "cb")
           .select(col(scoreCol), (col("cb") * 2L + col("nv") + 1L).as(out))
         df.join(cum, scoreCol)
       }

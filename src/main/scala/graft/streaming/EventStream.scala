@@ -59,8 +59,10 @@ object EventStream {
   final case class UserSec(user_id: Long, sec: Long)
 
   /** Running per-user gap statistics (public: state encoder codegen
-    * constructs it). */
-  final case class GapState(last: Long, n: Long, s: Long, s2: Long)
+    * constructs it). `has` = a prior event exists — an explicit flag,
+    * not a Long sentinel, so no legitimate epoch value can collide
+    * with "no prior event". */
+  final case class GapState(has: Boolean, last: Long, n: Long, s: Long, s2: Long)
 
   /** q132's row, emitted per user per micro-batch (update semantics:
     * the latest emission per user is the current verdict). */
@@ -81,19 +83,26 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[GapState, BeaconRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
-        var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L, 0L, 0L))
+        var st = state.getOption.getOrElse(GapState(has = false, 0L, 0L, 0L, 0L))
         for (e <- evs.toSeq.sortBy(_.sec)) {
-          if (st.last != Long.MinValue) {
+          if (st.has) {
             val d = e.sec - st.last
-            st = GapState(e.sec, st.n + 1, st.s + d, st.s2 + d * d)
-          } else st = GapState(e.sec, 0L, 0L, 0L)
+            st = GapState(has = true, e.sec, st.n + 1, st.s + d, st.s2 + d * d)
+          } else st = GapState(has = true, e.sec, 0L, 0L, 0L)
         }
         state.update(st)
         if (st.n > 0) {
           val num = BigInt(st.n) * st.s2 - BigInt(st.s) * st.s
           val den = BigInt(st.s) * st.s
-          Iterator(BeaconRow(uid, st.n, st.s, st.s2,
-            (BigInt(1000000) * num / den).toLong, num * 4 <= den * 3))
+          // den == 0 ⇔ every gap so far is 0 (all events in one epoch
+          // second) ⇒ num = n·Σd² = 0 too: perfect regularity, CV² = 0.
+          // Emit (0, true) instead of dividing 0/0 and killing the query
+          // — the one early-ingest state the batch gate never sees.
+          if (den == 0)
+            Iterator(BeaconRow(uid, st.n, st.s, st.s2, 0L, is_beacon = true))
+          else
+            Iterator(BeaconRow(uid, st.n, st.s, st.s2,
+              (BigInt(1000000) * num / den).toLong, num * 4 <= den * 3))
         } else Iterator.empty
       }
   }

@@ -189,6 +189,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q155/q179: cumulative sums are two-level (unpartitioned windows only over the bin table)") {
+    // a bare Window.orderBy(score) is a one-partition WindowExec whose
+    // input grows with score-key cardinality (toward O(docs) on a real
+    // corpus); boundedCumBelow splits it so the only unpartitioned
+    // window runs over the __bin table (key-range/binWidth rows) and
+    // the per-key cumulative is PARTITIONED by bin
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q155_classifier_eval", "q179_rank_correlation")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val unpart = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(unpart.nonEmpty, s"$q lost its bin-level cumulative window")
+      for (w <- unpart)
+        assert(w.orderSpec.forall(_.child.references.forall(_.name == "__bin")),
+          s"$q has an unpartitioned window over a non-bin key:\n$w")
+    }
+  }
+
   test("core agg query stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q01_agg_basic")(spark, sf)
     df.collect() // finalize the adaptive plan

@@ -81,6 +81,20 @@ class PageRankSpec extends AnyFunSuite {
     assert(got(("s3", "authority")) < got(("s2", "authority")))
   }
 
+  test("in-degree-0 sources keep contributing base mass on directed graphs") {
+    import spark.implicits._
+    // chain x → y → z: x has out-edges but no in-edges. It must stay
+    // in the rank universe at base mass every round (so its out-edges
+    // keep contributing), not silently drop out after round 1; z
+    // (dangling, no out-edges) stays excluded by construction.
+    val got = PageRank.ranks(Seq(("x", "y"), ("y", "z")).toDF("src", "dst"),
+      rounds = 3).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("r")).toMap
+    // round 1: y = 150000 + ⌊.85·1e6⌋ = 1e6; rounds 2,3:
+    // y = 150000 + ⌊850000·150000/1e6⌋ = 277500; x = base throughout
+    assert(got == Map("x" -> 150000L, "y" -> 277500L))
+  }
+
   test("result is independent of input partitioning") {
     val a = PageRank.ranks(edgesDf.repartition(7), rounds = 3)
       .orderBy(col("node")).collect().map(_.toString).toSeq

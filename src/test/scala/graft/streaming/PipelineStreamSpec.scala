@@ -549,6 +549,35 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming beacon stats survive an all-same-second early-ingest state (den=0)") {
+    // a user whose first ≥2 tracked events share one epoch second has
+    // every gap 0 ⇒ (Σgap)² = 0 — the division guard must emit the
+    // perfect-regularity verdict (cv2_ppm 0, is_beacon) instead of
+    // throwing and killing the streaming query
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventStream.UserSec]
+    val q = EventStream.beaconStatsStream(in.toDS())
+      .writeStream.format("memory").queryName("beacon_zero_gap")
+      .outputMode("update").start()
+    try {
+      in.addData(EventStream.UserSec(7L, 100L), EventStream.UserSec(7L, 100L),
+        EventStream.UserSec(7L, 100L))
+      q.processAllAvailable()
+      val rows = spark.table("beacon_zero_gap").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Long]("n_gaps") == 2L && r.getAs[Long]("sum_gap") == 0L &&
+        r.getAs[Long]("cv2_ppm") == 0L && r.getAs[Boolean]("is_beacon"))
+      // a later real gap leaves the degenerate state and re-emits normally
+      in.addData(EventStream.UserSec(7L, 160L))
+      q.processAllAvailable()
+      val fin = spark.table("beacon_zero_gap").collect()
+        .maxBy(_.getAs[Long]("n_gaps"))
+      assert(fin.getAs[Long]("n_gaps") == 3L && fin.getAs[Long]("sum_gap") == 60L)
+    } finally q.stop()
+  }
+
   test("streaming EWMA over hourly count rows emits the q141 trajectory row-for-row") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
