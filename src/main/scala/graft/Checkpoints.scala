@@ -25,6 +25,13 @@ import org.apache.spark.sql.DataFrame
   * modes produce identical results on the dedup family.
   */
 object Checkpoints {
+  // the conf value the SparkContext checkpoint dir was last set from:
+  // setCheckpointDir appends a UUID subdir and qualifies the scheme,
+  // so the conf string can't be compared against getCheckpointDir —
+  // without this, changing graft.checkpoint.dir mid-session would be
+  // silently ignored and files would keep landing in the old dir
+  @volatile private var appliedDir: Option[String] = None
+
   implicit final class CutOps(private val df: DataFrame) extends AnyVal {
     /** Cut lineage here: reliable `checkpoint(eager)` under
       * `graft.checkpoint.dir` when that conf is set, else
@@ -34,7 +41,10 @@ object Checkpoints {
       spark.conf.getOption("graft.checkpoint.dir").filter(_.nonEmpty) match {
         case Some(dir) =>
           val sc = spark.sparkContext
-          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+          if (sc.getCheckpointDir.isEmpty || !appliedDir.contains(dir)) {
+            sc.setCheckpointDir(dir)
+            appliedDir = Some(dir)
+          }
           df.checkpoint(eager)
         case None => df.localCheckpoint(eager)
       }

@@ -11,12 +11,22 @@ import org.apache.spark.sql.functions._
   * (json|csv|plain|mem|solr — solr POSTs JSON-array batches to
   * -solr_url like app/solr_commit.cc), -solr_url, -solr_batch_size,
   * -ofname, -ndisp, -skip_header,
-  * -store_content, -merge_results, -quiet, and accepted-but-
-  * redundant tuning flags (-nprocs, -map_tasks, -reduce_tasks,
-  * -autosplit, -memory_factor, -compressed, -tmp_save, -nchunks_split)
+  * -store_content, -merge_results, -tmp_save, -quiet, and accepted-
+  * but-redundant tuning flags (-nprocs, -map_tasks, -reduce_tasks,
+  * -autosplit, -memory_factor, -compressed, -nchunks_split)
   * — input splitting, task counts, spilling, and compression are
   * Spark's job (AQE + shuffle + parquet codecs), so those flags are
   * no-ops by design, not omissions.
+  *
+  * `-tmp_save` (merge mode only, mr_job.h:107-108 + 147-177): after
+  * EACH input file, the merged-so-far partial state is saved to
+  * `<stem>_<ctime-with-underscores>_.<ext>` — content in CSV form
+  * (with header, output_csv nfile=-1) when -output_format csv, an
+  * empty placeholder file otherwise, both exactly the reference's
+  * behavior. Needs -ofname (the reference crashes without one; we
+  * skip). Each prefix re-aggregates here (the reference folds
+  * in-memory state) — CLI-parity cost only; a cluster-scale
+  * incremental merge is the streaming variant (MiwStreaming).
   *
   * Semantics: each input file is an independent job (separate output,
   * reference default); `-merge_results` unions all files into ONE
@@ -41,6 +51,7 @@ object MiwCli {
       skipHeader: Boolean = false,
       storeContent: Boolean = false,
       mergeResults: Boolean = false,
+      tmpSave: Boolean = false,
       caseInsensitiveKeys: Boolean = false,
       quiet: Boolean = true,
       // reference default endpoint (app/solr_commit.cc:57)
@@ -69,6 +80,7 @@ object MiwCli {
         case "skip_header"   => a = a.copy(skipHeader = boolVal(inline))
         case "store_content" => a = a.copy(storeContent = boolVal(inline))
         case "merge_results" => a = a.copy(mergeResults = boolVal(inline))
+        case "tmp_save"      => a = a.copy(tmpSave = boolVal(inline))
         // reference behavior (strcasecmp btree) as an opt-in flag
         case "case_insensitive_keys" => a = a.copy(caseInsensitiveKeys = boolVal(inline))
         case "solr_url"        => a = a.copy(solrUrl = value())
@@ -76,7 +88,7 @@ object MiwCli {
         case "quiet"         => a = a.copy(quiet = boolVal(inline))
         case "nprocs" | "map_tasks" | "reduce_tasks" | "memory_factor" |
              "nchunks_split" => if (inline.isEmpty) i += 1 // consumed, no-op
-        case "autosplit" | "compressed" | "tmp_save" => () // boolean no-ops
+        case "autosplit" | "compressed" => () // boolean no-ops
         case other => System.err.println(s"[miw] ignoring unknown flag -$other")
       }
       i += 1
@@ -111,6 +123,37 @@ object MiwCli {
     } else lines.collect().foreach(println)
   }
 
+  /** Snapshot file name, mr_job.h:152-162: ctime() with ' '/'?'/'\n'
+    * → '_' (so a trailing '_' from the newline; single-digit days get
+    * ctime's width-2 space pad → a double underscore), spliced into
+    * ofname as `<stem>_<date>.<ext>` via a '.'-split taking fields
+    * [0] and [1]. No-dot ofnames (reference UB) get `_<date>` appended. */
+  private[miw] def tmpSnapshotName(ofname: String,
+                                   now: java.time.LocalDateTime): String = {
+    val date = now.format(java.time.format.DateTimeFormatter
+      .ofPattern("EEE MMM ppd HH:mm:ss yyyy", java.util.Locale.ROOT))
+      .replace(' ', '_') + "_" // the '\n' ctime suffix, underscored
+    ofname.split('.') match {
+      case parts if parts.length >= 2 => parts(0) + "_" + date + "." + parts(1)
+      case _                          => ofname + "_" + date
+    }
+  }
+
+  /** The per-file partial-state save (temp_state_save,
+    * mr_job.h:147-177): CSV content (header row, nfile=-1 semantics)
+    * when the output format is csv, an empty placeholder otherwise —
+    * both faithful to the reference. */
+  private def writeTmpSnapshot(df: DataFrame, a: Args): Unit = {
+    val target = tmpSnapshotName(a.ofname, java.time.LocalDateTime.now())
+    val lines =
+      if (a.outputFormat == "csv")
+        Output.csvHeader(df) +: Output.csvLines(df).collect().toSeq
+      else Nil
+    val out = new java.io.PrintWriter(target)
+    try lines.foreach(out.println) finally out.close()
+    if (!a.quiet) println(s"temporary result saved in $target")
+  }
+
   private def printTop(df: DataFrame, ndisp: Int): Unit = {
     val agg = df.agg(count(lit(1)), sum(col("logs"))).head()
     val keys = agg.getLong(0)
@@ -129,6 +172,13 @@ object MiwCli {
     val base = LogFormat.parseFile(a.formatName)
     val fmt = if (a.appname.nonEmpty) base.copy(appname = a.appname) else base
     if (a.mergeResults || a.fnames.size == 1) {
+      // -tmp_save (merge path, every file — job.cc:140 passes
+      // newfile=true per file, the last included): partial merged
+      // state after files 0..k, timestamped (see writeTmpSnapshot)
+      if (a.tmpSave && a.mergeResults && a.ofname.nonEmpty)
+        a.fnames.indices.foreach { k =>
+          writeTmpSnapshot(runJob(spark, fmt, a.fnames.take(k + 1), a), a)
+        }
       val df = runJob(spark, fmt, a.fnames, a)
       if (!a.quiet) printTop(df, a.ndisp)
       if (a.outputFormat != "mem") writeOut(df, a, "")

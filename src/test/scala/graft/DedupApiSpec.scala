@@ -494,6 +494,31 @@ class DedupApiSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.checkpoint.dir")
   }
 
+  test("reliable-checkpoint mode: a full dedup gate is identical and writes checkpoint files") {
+    // executor-loss tolerance, end-to-end: the q56 gate (clustering via
+    // iterated connected components — cut() every round) run with
+    // graft.checkpoint.dir set must (a) produce the exact gate rows of
+    // the default localCheckpoint mode and (b) physically write rdd
+    // checkpoint files under the directory — the artifact a recovering
+    // executor re-reads instead of failing the job.
+    val sf = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("q56_dup_clusters")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-gate")
+    spark.conf.set("graft.checkpoint.dir", dir.toString)
+    try {
+      val got = SparkEntry.queries("q56_dup_clusters")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+      val files = java.nio.file.Files.walk(dir).iterator()
+      val rddFiles = Iterator.continually(files)
+        .takeWhile(_.hasNext).map(_.next.toString)
+        .filter(p => p.contains("rdd-") && !new java.io.File(p).isDirectory)
+        .toList
+      assert(rddFiles.nonEmpty, s"no rdd checkpoint files under $dir")
+    } finally spark.conf.unset("graft.checkpoint.dir")
+  }
+
   test("q93: no near-dup cluster straddles a split boundary; a doc-hash split does") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
