@@ -116,9 +116,11 @@ object Pipeline {
         col("pos"))
   }
 
-  /** DuckDB CTE chain mirroring [[classifierEvalScores]] — ends in
-    * `sc(skey, pos)`; shared by the q155 and q157 oracles. */
-  private def evalScoresSql: String = s"""
+  /** DuckDB CTE chain for the [[gopherKeep]] ground-truth label —
+    * ends in `tr(doc_id, pos)`; `tkv(doc_id, text, tk)` rides along.
+    * Shared by the model-evaluation oracles (q155/q157 via
+    * [[evalScoresSql]]) and the feature/agreement cards (q181). */
+  private def gopherLabelSql: String = s"""
       tkv AS (SELECT doc_id, text, list_filter(string_split(text,' '), x->x<>'') tk
               FROM documents),
       gq AS (SELECT doc_id, CAST(len(tk) AS BIGINT) ntok,
@@ -137,7 +139,11 @@ object Pipeline {
                (ntok >= 10 AND wlen >= ntok*3 AND wlen <= ntok*10
                 AND nalpha*5 >= ntok*4 AND nstop >= 2
                 AND (ntotal-ndist)*10 < ntotal*3) pos
-             FROM gq),
+             FROM gq)"""
+
+  /** DuckDB CTE chain mirroring [[classifierEvalScores]] — ends in
+    * `sc(skey, pos)`; shared by the q155 and q157 oracles. */
+  private def evalScoresSql: String = s"""$gopherLabelSql,
       exq AS (SELECT doc_id, unnest(tk) tok FROM tkv),
       fq AS (SELECT doc_id, ${sql.hmod("'qw:'||tok")} % 512 b FROM exq),
       wq AS (SELECT b, ${sql.hmod("'w:'||CAST(b AS VARCHAR)")} % 2001 - 1000 w
@@ -2695,6 +2701,183 @@ object Pipeline {
         CAST(SUM(skey) AS BIGINT) AS sum_skey,
         CAST((1000000 * SUM(CASE WHEN pos THEN 1 ELSE 0 END)) // count(*)
              AS BIGINT) AS pos_rate_ppm
-      FROM sc GROUP BY 1 ORDER BY 1"""))
+      FROM sc GROUP BY 1 ORDER BY 1""")),
+
+    // χ² feature selection (Yang & Pedersen 1997; the classical
+    // which-tokens-predict-quality card): per token type, the 2×2
+    // document-presence × gopherKeep-label contingency table, ranked
+    // by the χ² statistic in its exact-integer form chi2_ppm =
+    // ⌊10⁶·n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))⌋ — every product rides
+    // DECIMAL(38,0)/HUGEINT (n⁵-sized numerator), the floor ratio is
+    // nonnegative so Spark div ≡ DuckDB //. n_pos/n_neg are driver
+    // scalars (the q137 rule, no 1-row cross join); presence is
+    // per-doc DISTINCT tokens; df ≥ 5 keeps the candidate set sane;
+    // selection is TakeOrderedAndProject + a 20-row rank window (the
+    // q134 shape). Tokens present in EVERY doc have c+d = 0 → -1
+    // sentinel (χ² undefined, carries no signal)
+    Q("q181_chi2_tokens", (s, d) => {
+      val docs = t(s, d, "documents")
+      val lab = docs.select(col("doc_id"), gopherKeep(col("text")).as("pos"))
+        .cut() // feeds the marginal scalars and the per-token join
+      val tot = lab.agg(sum(when(col("pos"), 1L).otherwise(0L)),
+        count(lit(1))).head
+      val nPos = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+      val nAll = tot.getLong(1)
+      val nNeg = nAll - nPos
+      val ct = docs
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+        .join(lab, "doc_id")
+        .groupBy(col("tok"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos_tok"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg_tok"))
+        .filter(col("n_pos_tok") + col("n_neg_tok") >= 5L)
+        .withColumn("n_pos_rest", lit(nPos) - col("n_pos_tok"))
+        .withColumn("n_neg_rest", lit(nNeg) - col("n_neg_tok"))
+        .withColumn("chi2_ppm", expr(
+          s"""CASE WHEN n_pos_rest + n_neg_rest = 0
+                     OR ${nPos}L = 0 OR ${nNeg}L = 0 THEN -1L
+              ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * ${nAll}L *
+                (CAST(n_pos_tok AS DECIMAL(38,0)) * n_neg_rest -
+                 CAST(n_neg_tok AS DECIMAL(38,0)) * n_pos_rest) *
+                (CAST(n_pos_tok AS DECIMAL(38,0)) * n_neg_rest -
+                 CAST(n_neg_tok AS DECIMAL(38,0)) * n_pos_rest))
+                div (CAST(n_pos_tok + n_neg_tok AS DECIMAL(38,0)) *
+                     (n_pos_rest + n_neg_rest) * ${nPos}L * ${nNeg}L)
+                AS BIGINT) END"""))
+      val w = Window.orderBy(col("chi2_ppm").desc, col("tok").asc)
+      ct.orderBy(col("chi2_ppm").desc, col("tok").asc).limit(20)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .select(col("rank"), col("tok"), col("n_pos_tok"), col("n_neg_tok"),
+          col("n_pos_rest"), col("n_neg_rest"), col("chi2_ppm"))
+        .orderBy(col("rank"))
+    }, Some(s"""
+      WITH $gopherLabelSql,
+      pres AS (SELECT DISTINCT doc_id, tok
+               FROM (SELECT doc_id, unnest(tk) tok FROM tkv)),
+      tot AS (SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) np,
+                CAST(count(*) AS BIGINT) n FROM tr),
+      ct AS (SELECT tok,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) a,
+               CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) b
+             FROM pres JOIN tr USING (doc_id) GROUP BY 1
+             HAVING count(*) >= 5),
+      x AS (SELECT tok, a, b, np - a c, (n - np) - b dd, n, np, n - np nn
+            FROM ct, tot),
+      chi AS (SELECT tok, a n_pos_tok, b n_neg_tok, c n_pos_rest,
+                dd n_neg_rest,
+                CASE WHEN c + dd = 0 OR np = 0 OR nn = 0 THEN -1
+                     ELSE CAST((1000000 * CAST(n AS HUGEINT) *
+                       (CAST(a AS HUGEINT)*dd - CAST(b AS HUGEINT)*c) *
+                       (CAST(a AS HUGEINT)*dd - CAST(b AS HUGEINT)*c))
+                       // (CAST(a+b AS HUGEINT) * (c+dd) * np * nn)
+                       AS BIGINT) END chi2_ppm
+              FROM x)
+      SELECT CAST(row_number() OVER (ORDER BY chi2_ppm DESC, tok ASC)
+               AS BIGINT) AS rank,
+        tok, n_pos_tok, n_neg_tok, n_pos_rest, n_neg_rest, chi2_ppm
+      FROM chi ORDER BY chi2_ppm DESC, tok ASC LIMIT 20""")),
+
+    // Cohen's kappa (Cohen 1960) between the learned classifier's
+    // keep decision (skey ≥ 10⁹ ⇔ score ≥ 0, the q155 threshold) and
+    // the hand-written gopherKeep rule — chance-corrected agreement,
+    // fully rational: κ = (n·po − pe)/(n² − pe) with pe = pp·ap +
+    // pn·an from the marginals; kappa_ppm = sign(num)·⌊10⁶·|num|/den⌋
+    // (magnitude-floor keeps Spark div ≡ DuckDB // on the possibly-
+    // negative numerator — the q155 shift rule's sibling), verdict
+    // thresholds by cross-multiplication (κ ≥ 0.4 ⇔ 5·num ≥ 2·den).
+    // One aggregate over the scored-doc table; n²-sized terms ride
+    // DECIMAL(38,0)/HUGEINT
+    Q("q182_cohens_kappa", (s, d) => {
+      val dec = DecimalType(38, 0)
+      classifierEvalScores(s, d)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("skey") >= 1000000000L && col("pos"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("skey") >= 1000000000L && !col("pos"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("skey") < 1000000000L && !col("pos"), 1L)
+            .otherwise(0L)).as("tn"),
+          sum(when(col("skey") < 1000000000L && col("pos"), 1L)
+            .otherwise(0L)).as("fn"))
+        .withColumn("pe", expr(
+          "CAST(tp+fp AS DECIMAL(38,0)) * (tp+fn) + " +
+            "CAST(tn+fn AS DECIMAL(38,0)) * (tn+fp)"))
+        .withColumn("num", expr(
+          "CAST(n AS DECIMAL(38,0)) * (tp+tn) - pe"))
+        .withColumn("den", expr(
+          "CAST(n AS DECIMAL(38,0)) * n - pe"))
+        .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+          expr("CAST(CASE WHEN den = 0 THEN 0 ELSE " +
+            "CASE WHEN num < 0 THEN -1 ELSE 1 END * " +
+            "((CAST(1000000 AS DECIMAL(38,0)) * abs(num)) div den) " +
+            "END AS BIGINT)").as("kappa_ppm"),
+          expr("CASE WHEN den = 0 THEN 'degenerate' " +
+            "WHEN 5 * num >= 2 * den THEN 'strong' " +
+            "WHEN num > 0 THEN 'weak' ELSE 'none' END").as("verdict"))
+    }, Some(s"""
+      WITH $evalScoresSql,
+      cm AS (SELECT CAST(count(*) AS BIGINT) n,
+               CAST(SUM(CASE WHEN skey >= 1000000000 AND pos
+                 THEN 1 ELSE 0 END) AS BIGINT) tp,
+               CAST(SUM(CASE WHEN skey >= 1000000000 AND NOT pos
+                 THEN 1 ELSE 0 END) AS BIGINT) fp,
+               CAST(SUM(CASE WHEN skey < 1000000000 AND NOT pos
+                 THEN 1 ELSE 0 END) AS BIGINT) tn,
+               CAST(SUM(CASE WHEN skey < 1000000000 AND pos
+                 THEN 1 ELSE 0 END) AS BIGINT) fn
+             FROM sc),
+      k AS (SELECT n, tp, fp, tn, fn,
+              CAST(tp+fp AS HUGEINT)*(tp+fn)
+                + CAST(tn+fn AS HUGEINT)*(tn+fp) pe
+            FROM cm),
+      r AS (SELECT n, tp, fp, tn, fn,
+              CAST(n AS HUGEINT)*(tp+tn) - pe num,
+              CAST(n AS HUGEINT)*n - pe den
+            FROM k)
+      SELECT n, tp, fp, tn, fn,
+        CAST(CASE WHEN den = 0 THEN 0
+             ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+                  ((1000000 * abs(num)) // den) END AS BIGINT) AS kappa_ppm,
+        CASE WHEN den = 0 THEN 'degenerate'
+             WHEN 5 * num >= 2 * den THEN 'strong'
+             WHEN num > 0 THEN 'weak' ELSE 'none' END AS verdict
+      FROM r""")),
+
+    // shard-balance audit (the operational card next to q73 packing /
+    // q93 splits): docs hash-assigned to 8 shards (the stable per-row
+    // arithmetic of q79 — scan-stage, reproducible under
+    // repartitioning), per shard doc/token volumes and the balance
+    // ratio skew_ppm = ⌊10⁶·tokens·8/total⌋ (10⁶ = perfectly even).
+    // The corpus token total is one driver scalar (the q134 rule);
+    // one keyed shuffle, 8-row output
+    Q("q184_shard_balance", (s, d) => {
+      val perDoc = t(s, d, "documents")
+        .select((hmod(concat(lit("shard:"), col("doc_id").cast("string")))
+          % 8L).as("shard"),
+          size(tokens(col("text"))).cast(LongType).as("ntok"))
+        .cut() // feeds the total scalar and the per-shard groupBy
+      val totRow = perDoc.agg(sum(col("ntok"))).head
+      val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      perDoc.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+        .withColumn("skew_ppm",
+          if (total == 0L) lit(-1L)
+          else expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * tokens * 8)" +
+            s" div ${total}L AS BIGINT)")) // 10⁶·tokens·8 > int64 at 100 TB
+        .orderBy(col("shard"))
+    }, Some(s"""
+      WITH pd AS (SELECT ${sql.hmod("'shard:'||CAST(doc_id AS VARCHAR)")} % 8
+                    AS shard,
+                  CAST(len(list_filter(string_split(text,' '), x->x<>''))
+                    AS BIGINT) ntok
+                  FROM documents),
+      tot AS (SELECT CAST(SUM(ntok) AS BIGINT) total FROM pd)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(ntok) AS BIGINT) AS tokens,
+        CAST(CASE WHEN total = 0 THEN -1
+             ELSE (1000000 * SUM(ntok) * 8) // total END AS BIGINT)
+          AS skew_ppm
+      FROM pd, tot GROUP BY shard, total ORDER BY shard"""))
   )
 }

@@ -1125,5 +1125,104 @@ object Temporal {
         CASE WHEN z2_milli < 0 THEN false
              ELSE 10 * z2_milli >= 38415 END AS significant_5pct
       FROM z"""))
+  ,
+
+    // sessionization (the canonical clickstream operator: a 30-minute
+    // inactivity gap closes a session): per user, sessions are runs of
+    // events with gaps ≤ 1800 s — session boundaries from a lag window
+    // over the per-user timeline (bounded partitions, the q131 no-skew
+    // argument), session ids as the running boundary count, session
+    // sizes from one groupBy, rolled up per user. Ties (same-second
+    // events) are order-independent: gap 0 never opens a boundary, so
+    // the running sum is identical under any tie order. All integers;
+    // mean session length as a nonneg floor ratio
+    Q("q186_sessions", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      val sess = t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .withColumn("nb",
+          when(col("gap").isNull || col("gap") > 1800L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("nb")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("ne"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("ne")).as("n_events"),
+          max(col("ne")).as("max_sess_events"))
+        .withColumn("mean_len_ppm",
+          expr("(1000000L * n_events) div n_sessions"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ms(ts)//1000 sec FROM events),
+      g AS (SELECT user_id, sec,
+              sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) gap
+            FROM e),
+      b AS (SELECT user_id,
+              CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END nb,
+              sec FROM g),
+      sd AS (SELECT user_id,
+               SUM(nb) OVER (PARTITION BY user_id ORDER BY sec
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+             FROM b),
+      sz AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) ne
+             FROM sd GROUP BY 1, 2)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(ne) AS BIGINT) AS n_events,
+        CAST(MAX(ne) AS BIGINT) AS max_sess_events,
+        CAST((1000000 * SUM(ne)) // count(*) AS BIGINT) AS mean_len_ppm
+      FROM sz GROUP BY 1 ORDER BY 1""")),
+
+    // Fano-factor burstiness (variance-to-mean ratio of per-hour event
+    // counts; VMR ≈ 1 = Poisson, > 1 = bursty, < 1 = metronomic — the
+    // hourly-counts complement of q132's gap-CV² beacon test), fully
+    // rational over OBSERVED hours: population VMR = (H·Σc² − (Σc)²)
+    // / (H·Σc), vmr_ppm the nonneg floor (numerator ≥ 0 by Cauchy–
+    // Schwarz), verdict by cross-multiplication — no variance or mean
+    // ever divides. Products ride HUGEINT/DECIMAL(38,0); per-type
+    // hourly pre-aggregation is map-side combined, final table = one
+    // row per event type
+    Q("q188_fano_burstiness", (s, d) => {
+      val dec = DecimalType(38, 0)
+      t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("c")).as("n_events"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("s2"))
+        .withColumn("num", expr(
+          "CAST(n_hours AS DECIMAL(38,0)) * s2 - " +
+            "CAST(n_events AS DECIMAL(38,0)) * n_events"))
+        .withColumn("den", expr(
+          "CAST(n_hours AS DECIMAL(38,0)) * n_events"))
+        .select(col("event_type"), col("n_hours"), col("n_events"),
+          col("s2").cast(LongType).as("sum_c2"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * num) div den AS BIGINT)")
+            .as("vmr_ppm"),
+          expr("CASE WHEN num > den THEN 'bursty' " +
+            "WHEN num < den THEN 'regular' ELSE 'poisson' END").as("verdict"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH e AS (SELECT event_type, epoch_ms(ts)//1000//3600 hr FROM events),
+      hc AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) c
+             FROM e GROUP BY 1, 2),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) n_hours,
+              CAST(SUM(c) AS BIGINT) n_events,
+              SUM(CAST(c AS HUGEINT) * c) s2
+            FROM hc GROUP BY 1),
+      r AS (SELECT event_type, n_hours, n_events, s2,
+              CAST(n_hours AS HUGEINT) * s2
+                - CAST(n_events AS HUGEINT) * n_events num,
+              CAST(n_hours AS HUGEINT) * n_events den
+            FROM a)
+      SELECT event_type, n_hours, n_events, CAST(s2 AS BIGINT) AS sum_c2,
+        CAST((1000000 * num) // den AS BIGINT) AS vmr_ppm,
+        CASE WHEN num > den THEN 'bursty'
+             WHEN num < den THEN 'regular' ELSE 'poisson' END AS verdict
+      FROM r ORDER BY event_type"""))
   )
 }

@@ -657,5 +657,89 @@ object Text {
                          + CAST(nb - shb AS HUGEINT)*na))
              // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS tvd_ppm
       FROM sh ORDER BY sa, sb"""))
+  ,
+
+    // power-of-2 document-length spectrum per language (the corpus
+    // shape card a data curator reads before setting sequence
+    // lengths): bucket = ⌊log2(n_chars)⌋ computed EXACTLY as
+    // length(bin(n_chars)) − 1 — the binary-representation length, an
+    // integer identity on both engines, never a transcendental log
+    // (the q172/q133 doctrine). Scan-stage bucketing + one keyed
+    // groupBy; output bounded by |langs| × 64 buckets at any scale
+    Q("q183_length_spectrum", (s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), col("n_chars").cast(LongType).as("nc"))
+        .withColumn("bucket",
+          when(col("nc") <= 0L, lit(-1L))
+            .otherwise((length(bin(col("nc"))) - 1).cast(LongType)))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("sum_chars"),
+          min(col("nc")).as("min_chars"),
+          max(col("nc")).as("max_chars"))
+        .orderBy(col("lang"), col("bucket"))
+    }, Some("""
+      WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) nc,
+                   CASE WHEN n_chars <= 0 THEN -1
+                        ELSE CAST(length(bin(CAST(n_chars AS BIGINT))) - 1
+                          AS BIGINT) END AS bucket
+                 FROM documents)
+      SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nc) AS BIGINT) AS sum_chars,
+        CAST(MIN(nc) AS BIGINT) AS min_chars,
+        CAST(MAX(nc) AS BIGINT) AS max_chars
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // vocabulary coverage curve (the subword-tokenizer sizing card:
+    // what corpus share do the top-K token types cover?): the K
+    // targets (1/10/100/1000) read off the ranked frequency table —
+    // ranked surface = TakeOrderedAndProject limit 1000 (distributed
+    // per-partition top-k, the q134 rule: never a vocabulary sort),
+    // rank/cumsum windows on that bounded table, corpus total and
+    // vocab size as driver scalars. k beyond the vocabulary clamps to
+    // the full-vocab row (LEAST(k, V) — both engines)
+    Q("q187_vocab_coverage", (s, d) => {
+      val tc = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .cut() // feeds the scalars and the ranked top
+      val row = tc.agg(sum(col("f")), count(lit(1))).head
+      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val v = row.getLong(1)
+      val w = Window.orderBy(col("f").desc, col("tok").asc)
+      val ranked = tc.orderBy(col("f").desc, col("tok").asc).limit(1000)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .withColumn("covered", expr(
+          "sum(f) OVER (ORDER BY f DESC, tok ASC " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+      import s.implicits._
+      val ks = Seq(1L, 10L, 100L, 1000L)
+        .map(k => (k, math.min(k, math.max(v, 1L)))).toDF("k", "rank")
+      ks.join(ranked, "rank")
+        .select(col("k"), col("rank").as("types"), col("covered"),
+          (if (total == 0L) lit(-1L)
+           else expr(s"(1000000L * covered) div ${total}L")).as("coverage_ppm"))
+        .orderBy(col("k"))
+    }, Some("""
+      WITH ex AS (SELECT unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+                  FROM documents),
+      c AS (SELECT tok, CAST(count(*) AS BIGINT) f FROM ex GROUP BY 1),
+      tot AS (SELECT CAST(SUM(f) AS BIGINT) total,
+                CAST(count(*) AS BIGINT) v FROM c),
+      rk AS (SELECT tok, f,
+               CAST(row_number() OVER (ORDER BY f DESC, tok ASC) AS BIGINT)
+                 rank,
+               CAST(SUM(f) OVER (ORDER BY f DESC, tok ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 covered
+             FROM c),
+      ks AS (SELECT CAST(unnest([1,10,100,1000]) AS BIGINT) AS k)
+      SELECT k, rank AS types, covered,
+        CAST(CASE WHEN total = 0 THEN -1
+             ELSE (1000000 * covered) // total END AS BIGINT)
+          AS coverage_ppm
+      FROM ks JOIN tot ON true
+        JOIN rk ON rk.rank = LEAST(k, GREATEST(v, 1))
+      ORDER BY k"""))
   )
 }
