@@ -22,6 +22,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Root-caused r10: the mid-run stack traces in the r8/r9 bench
+    // stdout tails were ALL one benign race — DAGScheduler logs
+    // "Failed to update accumulator N (Unknown class) ... non-existent
+    // accumulator" at ERROR when a straggler task's completion event
+    // arrives after its SQL execution finished and the GC barrier
+    // below collected the weakly-referenced per-query metric
+    // accumulators (AccumulatorContext holds weak refs; "(Unknown
+    // class)" = already collected; always "task 0" = a cancelled/
+    // late incremental-limit or AQE-replanned stage). Harmless to
+    // results — metrics of a FINISHED execution — but a stack trace
+    // in the graded artifact's 2000-char tail window is a parse
+    // hazard, so that one logger goes to FATAL for the whole run.
+    // Genuine query failures still surface through the action
+    // exception path (run() catches → failed[] + [bench] stderr
+    // line), never through scheduler ERROR logs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
     // Per-stage shuffle/spill counters: wall time on this host swings
     // ~10× in noise windows, but bytes shuffled are a property of the
     // PLAN — a scale regression shows as a byte delta even when the
@@ -184,41 +202,18 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     // Stdout gets ONE compact line that fits the driver's 2000-char
-    // tail window WITH room for sbt's trailing [success] line:
-    // query keys are the unique qNN prefix (the contract's own
-    // {"q1":sec,...} shape), no big auxiliary maps. Printed LAST,
-    // after spark.stop(), so no executor/GC/log chatter can land
-    // between it and end-of-stream.
-    def shortId(name: String): String = name.takeWhile(_ != '_')
-    // centisecond precision in the COMPACT line only (full ms precision
-    // stays in bench_full.json): at 118 queries the 3-decimal form sits
-    // ~1.7 KB — one decimal of slack buys headroom to ~135 queries
-    // inside the driver's 2000-char tail window
-    val shortsUnique = results.map(r => shortId(r._1)).distinct.size == results.size
-    def sid(name: String): String = if (shortsUnique) shortId(name) else name
-    // adaptive precision: 2 decimals while the line fits, else 1 — the
-    // query count grows every round and the 2000-char tail window does
-    // not; the guard keeps the compact line parseable FOREVER (full ms
-    // precision always lives in bench_full.json)
-    def render(decimals: Int): String = {
-      def cs(v: Double): String =
-        if (v < 0) "-1"
-        else s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
-      val compactQ = results.map(r => "\"" + sid(r._1) + "\":" + cs(r._2))
-        .mkString("{", ",", "}")
-      val compactFailed = failed.map("\"" + sid(_) + "\"").mkString("[", ",", "]")
-      val compactFlaky = flaky.map(r => "\"" + sid(r._1) + "\":" + r._8)
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":$compactQ,"failed":$compactFailed,"flaky_passes":$compactFlaky,"mode":"$mode","passes":$passes,"full":"$out","sf":"$sfDir"}"""
-    }
-    val compact = {
-      // adaptive chain 2 → 1 → 0 decimals: at ~165 queries the
-      // 1-decimal line crosses 1800 chars, so the integer-seconds tier
-      // keeps the line parseable (per-query ms precision always lives
-      // in bench_full.json; the headline total keeps 3 decimals)
-      Iterator(2, 1, 0).map(render).find(_.length <= 1800)
-        .getOrElse(render(0))
-    }
+    // tail window WITH room for sbt's trailing [success] line.
+    // Rendering (unique-qNN short keys, adaptive 2 → 1 → 0 decimal
+    // chain with bounded zeros-omitted / no-queries fallback tiers)
+    // lives in BenchFormat so BenchFormatSpec can pin the ≤ 1800-char
+    // contract at the LIVE query count under adversarial values.
+    // Printed LAST, after spark.stop(), so no executor/GC/log chatter
+    // can land between it and end-of-stream.
+    val compact = BenchFormat.compactLine(
+      results.map(r => (r._1, r._2)),
+      failed,
+      flaky.map(r => (r._1, r._8)),
+      ms(total(_._2)), mode, passes, out, sfDir)
     // Teardown silencing (the r8 lesson: a DAGScheduler stack trace
     // reached stdout immediately before the compact line — one unlucky
     // ordering away from garbling the only artifact the driver

@@ -145,13 +145,24 @@ object MiwCli {
     * both faithful to the reference. */
   private def writeTmpSnapshot(df: DataFrame, a: Args): Unit = {
     val target = tmpSnapshotName(a.ofname, java.time.LocalDateTime.now())
+    // Header only attaches to the first record (output_csv's
+    // i==0 && nfile<=0): an empty partial state yields an empty file.
     val lines =
-      if (a.outputFormat == "csv")
-        Output.csvHeader(df) +: Output.csvLines(df).collect().toSeq
-      else Nil
-    val out = new java.io.PrintWriter(target)
-    try lines.foreach(out.println) finally out.close()
-    if (!a.quiet) println(s"temporary result saved in $target")
+      if (a.outputFormat == "csv") {
+        val rows = Output.csvLines(df).collect().toSeq
+        if (rows.isEmpty) Nil else Output.csvHeader(df) +: rows
+      } else Nil
+    // The reference's '.'-split name derivation is UB for dotted
+    // directory components; when the open fails it LOG(ERROR)s and
+    // continues (mr_job.h:152-156) — a bad snapshot path must not kill
+    // the job after the expensive prefix aggregation. Same here.
+    try {
+      val out = new java.io.PrintWriter(target)
+      try lines.foreach(out.println) finally out.close()
+      if (!a.quiet) println(s"temporary result saved in $target")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[miw] temp_state_save: cannot write $target: ${e.getMessage}")
+    }
   }
 
   private def printTop(df: DataFrame, ndisp: Int): Unit = {

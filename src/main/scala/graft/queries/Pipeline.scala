@@ -2789,7 +2789,6 @@ object Pipeline {
     // One aggregate over the scored-doc table; n²-sized terms ride
     // DECIMAL(38,0)/HUGEINT
     Q("q182_cohens_kappa", (s, d) => {
-      val dec = DecimalType(38, 0)
       classifierEvalScores(s, d)
         .agg(count(lit(1)).as("n"),
           sum(when(col("skey") >= 1000000000L && col("pos"), 1L)

@@ -107,6 +107,57 @@ object EventStream {
       }
   }
 
+  /** Per-user session fold state (public for encoder codegen):
+    * `has` = a session is open, `last` = its last event second,
+    * `openN` = its event count, `closed`/`nEv`/`maxClosed` = the
+    * running card over closed sessions. O(1) per user. */
+  final case class SessState(has: Boolean, last: Long, openN: Long,
+                             closed: Long, nEv: Long, maxClosed: Long)
+
+  /** q186's per-user row, emitted per micro-batch (update semantics:
+    * the latest emission per user is the current card). */
+  final case class SessionCard(user_id: Long, n_sessions: Long,
+                               n_events: Long, max_sess_events: Long,
+                               mean_len_ppm: Long)
+
+  /** Streaming session-stats card — the q186 gate as an ingest (the
+    * r9 verdict's item 6): the same gap>1800s boundary rule the batch
+    * lag-window uses, folded into O(1) per-user state via
+    * flatMapGroupsWithState; each batch re-emits the user's current
+    * card COUNTING the open session (exactly the batch semantics —
+    * q186's last session per user is open-ended too), so after full
+    * ingest the final snapshot per user ≡ the gate row with no
+    * flush/timeout choreography. Contract (DedupStream's
+    * ordered-ingest rule): per-user event times arrive non-decreasing
+    * across batches; in-batch rows are sorted before folding.
+    * Same-second ties are order-independent — gap 0 never opens a
+    * boundary, the batch query's own tie argument. */
+  def sessionStatsStream(events: Dataset[UserSec],
+                         gapSec: Long = 1800L): Dataset[SessionCard] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionCard](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+        var st = state.getOption
+          .getOrElse(SessState(has = false, 0L, 0L, 0L, 0L, 0L))
+        for (e <- evs.toSeq.sortBy(_.sec)) {
+          if (!st.has) st = SessState(has = true, e.sec, 1L, 0L, 1L, 0L)
+          else if (e.sec - st.last <= gapSec)
+            st = st.copy(last = e.sec, openN = st.openN + 1L, nEv = st.nEv + 1L)
+          else // quiet > gap: close the open session, start a new one
+            st = SessState(has = true, e.sec, 1L, st.closed + 1L,
+              st.nEv + 1L, math.max(st.maxClosed, st.openN))
+        }
+        state.update(st)
+        if (st.nEv > 0L) {
+          val nSess = st.closed + 1L // the open session counts
+          Iterator(SessionCard(uid, nSess, st.nEv,
+            math.max(st.maxClosed, st.openN), 1000000L * st.nEv / nSess))
+        } else Iterator.empty
+      }
+  }
+
   /** EWMA state per entity: −1 sentinel = no baseline yet (public for
     * encoder codegen). */
   final case class EwmaState(r: Long)

@@ -1069,4 +1069,213 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(card.getAs[String]("verdict") == expect)
     }
   }
+
+  test("q180: KS sup-distance replays from brute CDF construction") {
+    import org.apache.spark.sql.functions._
+    val card = SparkEntry.queries("q180_ks_test")(spark, sf).collect().head
+    val v = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .selectExpr("o_orderpriority = '1-URGENT' as urgent",
+        "CAST(datediff(to_date(l_shipdate), to_date(o_orderdate)) AS LONG) as delay")
+      .collect().map(r => (r.getAs[Boolean]("urgent"), r.getAs[Long]("delay")))
+    val u = v.filter(_._1).map(_._2); val l = v.filterNot(_._1).map(_._2)
+    val n1 = BigInt(u.length); val n2 = BigInt(l.length)
+    // sup over the pooled value grid of |cumU·n2 − cumL·n1| — exact
+    // integer carry of max |F1 − F2|
+    val dInt = (u ++ l).distinct.map { x =>
+      (BigInt(u.count(_ <= x)) * n2 - BigInt(l.count(_ <= x)) * n1).abs
+    }.max
+    assert(BigInt(card.getAs[Long]("n1")) == n1)
+    assert(BigInt(card.getAs[Long]("n2")) == n2)
+    assert(BigInt(card.getAs[Long]("d_int")) == dInt)
+    assert(BigInt(card.getAs[Long]("d_ppm")) == BigInt(1000000) * dInt / (n1 * n2))
+    assert(card.getAs[Boolean]("significant_5pct") ==
+      (BigInt(1000000) * dInt * dInt > BigInt(1844164) * (n1 + n2) * n1 * n2))
+  }
+
+  test("q181: chi2 replays from each row's contingency; marginals closed") {
+    val rows = SparkEntry.queries("q181_chi2_tokens")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // marginals (nPos, nNeg) are the same scalars behind every row
+    val nPos = rows.map(r => r.getAs[Long]("n_pos_tok") + r.getAs[Long]("n_pos_rest")).distinct
+    val nNeg = rows.map(r => r.getAs[Long]("n_neg_tok") + r.getAs[Long]("n_neg_rest")).distinct
+    assert(nPos.size == 1 && nNeg.size == 1)
+    val n = nPos.head + nNeg.head
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rank") == i + 1L)
+      val a = BigInt(r.getAs[Long]("n_pos_tok")); val b = BigInt(r.getAs[Long]("n_neg_tok"))
+      val c = BigInt(r.getAs[Long]("n_pos_rest")); val dd = BigInt(r.getAs[Long]("n_neg_rest"))
+      assert(a + b >= 5) // df floor
+      val expect =
+        if (c + dd == 0 || nPos.head == 0L || nNeg.head == 0L) BigInt(-1)
+        else BigInt(1000000) * n * (a * dd - b * c).pow(2) /
+          ((a + b) * (c + dd) * nPos.head * nNeg.head)
+      assert(BigInt(r.getAs[Long]("chi2_ppm")) == expect, s"row $i ${r.getAs[String]("tok")}")
+    }
+    // ranked by chi2 desc (tok asc inside ties)
+    val chis = rows.map(_.getAs[Long]("chi2_ppm"))
+    assert(chis.zip(chis.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("q182: kappa replays in BigInt from the confusion counts") {
+    val r = SparkEntry.queries("q182_cohens_kappa")(spark, sf).collect().head
+    val tp = BigInt(r.getAs[Long]("tp")); val fp = BigInt(r.getAs[Long]("fp"))
+    val tn = BigInt(r.getAs[Long]("tn")); val fn = BigInt(r.getAs[Long]("fn"))
+    val n = BigInt(r.getAs[Long]("n"))
+    assert(n == tp + fp + tn + fn)
+    val pe = (tp + fp) * (tp + fn) + (tn + fn) * (tn + fp)
+    val num = n * (tp + tn) - pe
+    val den = n * n - pe
+    val kappa =
+      if (den == 0) BigInt(0)
+      else num.sign * (BigInt(1000000) * num.abs / den)
+    assert(BigInt(r.getAs[Long]("kappa_ppm")) == kappa)
+    val verdict =
+      if (den == 0) "degenerate"
+      else if (5 * num >= 2 * den) "strong"
+      else if (num > 0) "weak" else "none"
+    assert(r.getAs[String]("verdict") == verdict)
+  }
+
+  test("q183: log2 buckets replay from numberOfLeadingZeros; closure holds") {
+    val rows = SparkEntry.queries("q183_length_spectrum")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "CAST(n_chars AS LONG) nc").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("nc")))
+    def bucket(nc: Long): Long =
+      if (nc <= 0) -1L else 63L - java.lang.Long.numberOfLeadingZeros(nc)
+    val expect = docs.groupBy { case (lg, nc) => (lg, bucket(nc)) }
+      .view.mapValues(_.map(_._2)).toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("bucket"))
+      val ncs = expect(key)
+      assert(r.getAs[Long]("n_docs") == ncs.length.toLong)
+      assert(r.getAs[Long]("sum_chars") == ncs.sum)
+      assert(r.getAs[Long]("min_chars") == ncs.min)
+      assert(r.getAs[Long]("max_chars") == ncs.max)
+      if (key._2 >= 0) ncs.foreach { nc =>
+        assert(nc >= (1L << key._2) && nc < (1L << (key._2 + 1)))
+      }
+    }
+  }
+
+  test("q184: shards partition the corpus; skew identity holds") {
+    val rows = SparkEntry.queries("q184_shard_balance")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("shard")).forall(sh => sh >= 0 && sh < 8))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    rows.foreach { r =>
+      val expect =
+        if (total == 0L) -1L
+        else (BigInt(1000000) * r.getAs[Long]("tokens") * 8 / total).toLong
+      assert(r.getAs[Long]("skew_ppm") == expect)
+    }
+  }
+
+  test("q185: Cramer's V replays from the brute contingency table") {
+    import org.apache.spark.sql.functions._
+    val card = SparkEntry.queries("q185_cramers_v")(spark, sf).collect().head
+    val cells = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus")).count()
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), BigInt(r.getAs[Long]("count"))))
+      .toMap
+    val n = cells.values.sum
+    val rm = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cm = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    // per-cell parts floored IDENTICALLY (the defined-statistic rule)
+    val chi2Milli = cells.map { case ((p, st), o) =>
+      val r = rm(p); val c = cm(st)
+      BigInt(1000) * (n * o - r * c).pow(2) / (n * r * c)
+    }.sum
+    assert(BigInt(card.getAs[Long]("n")) == n)
+    assert(card.getAs[Long]("n_rows") == rm.size.toLong)
+    assert(card.getAs[Long]("n_cols") == cm.size.toLong)
+    assert(card.getAs[Long]("df") == (rm.size - 1L) * (cm.size - 1L))
+    assert(BigInt(card.getAs[Long]("chi2_milli")) == chi2Milli)
+    val k = math.min(rm.size, cm.size)
+    val v2 =
+      if (k <= 1 || n == 0) BigInt(-1)
+      else BigInt(1000) * chi2Milli / (n * (k - 1))
+    assert(BigInt(card.getAs[Long]("v2_ppm")) == v2)
+  }
+
+  test("q186: session stats replay from a JVM fold over user timelines") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q186_sessions")(spark, sf).collect()
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).cast("long").as("sec"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sec")))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    assert(rows.length == byUser.size)
+    rows.foreach { r =>
+      val secs = byUser(r.getAs[Long]("user_id"))
+      // a gap > 1800 s between consecutive events closes the session
+      val bounds = secs.zip(secs.drop(1)).map { case (a, b) => b - a > 1800L }
+      val sess = bounds.foldLeft(List(1L)) { (acc, boundary) =>
+        if (boundary) 1L :: acc else (acc.head + 1L) :: acc.tail
+      }
+      assert(r.getAs[Long]("n_sessions") == sess.length.toLong)
+      assert(r.getAs[Long]("n_events") == secs.length.toLong)
+      assert(r.getAs[Long]("max_sess_events") == sess.max)
+      assert(r.getAs[Long]("mean_len_ppm") == 1000000L * secs.length / sess.length)
+    }
+  }
+
+  test("q187: coverage curve is monotone, clamped, and closed at the top") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q187_vocab_coverage")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toList == List(1L, 10L, 100L, 1000L))
+    val freqs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getAs[Long]("count")))
+    val v = freqs.length.toLong
+    val total = freqs.map(_._2).sum
+    val ranked = freqs.sortBy { case (w, f) => (-f, w) }
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val types = math.min(k, math.max(v, 1L))
+      assert(r.getAs[Long]("types") == types)
+      val covered = ranked.take(types.toInt).map(_._2).sum
+      assert(r.getAs[Long]("covered") == covered)
+      assert(r.getAs[Long]("coverage_ppm") ==
+        (if (total == 0L) -1L else 1000000L * covered / total))
+      assert(r.getAs[Long]("coverage_ppm") <= 1000000L)
+    }
+    val cov = rows.map(_.getAs[Long]("covered"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q188: Fano VMR replays in BigInt; Cauchy-Schwarz bound holds") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q188_fano_burstiness")(spark, sf).collect()
+    val hc = Tables.t(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy(col("event_type"), col("hr")).count()
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("count")))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.length == hc.size)
+    rows.foreach { r =>
+      val cs = hc(r.getAs[String]("event_type"))
+      val h = BigInt(cs.length); val e = BigInt(cs.map(BigInt(_)).sum.toLong)
+      val s2 = cs.map(c => BigInt(c) * c).sum
+      assert(BigInt(r.getAs[Long]("n_hours")) == h)
+      assert(BigInt(r.getAs[Long]("n_events")) == e)
+      assert(BigInt(r.getAs[Long]("sum_c2")) == s2)
+      val num = h * s2 - e * e
+      assert(num >= 0) // Cauchy-Schwarz
+      val den = h * e
+      assert(BigInt(r.getAs[Long]("vmr_ppm")) == BigInt(1000000) * num / den)
+      val verdict =
+        if (num > den) "bursty" else if (num < den) "regular" else "poisson"
+      assert(r.getAs[String]("verdict") == verdict)
+    }
+  }
 }

@@ -206,6 +206,60 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("plan sweep: unpartitioned windows only over certified bounded tables") {
+    // The q155/q179 pin, generalized (the r9 verdict's item 3): a
+    // Window with an EMPTY partitionSpec executes in ONE task over its
+    // whole input — fine over a provably bounded table (bin tables,
+    // top-k limited lists, |types|/|delay|/|shard| domains), a 100×
+    // scale-killer over anything corpus-sized. Every gate query that
+    // plans an unpartitioned window must be certified here WITH its
+    // boundedness argument, and mechanically the window input must
+    // have passed a cardinality-reducing operator (Aggregate or
+    // Limit) — a bare unpartitioned window over raw scanned rows is
+    // red regardless of the whitelist. Adding a corpus-keyed global
+    // window to any gate makes this sweep fail by construction.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    val certified: Map[String, String] = Map(
+      "q134_zipf_card" -> "rank/cumsum over the TakeOrdered top-40 list",
+      "q151_copurchase_topk" -> "rank over the capped-basket pair top list",
+      "q152_revenue_concentration" -> "cumulative over the bounded concentration-cell table",
+      "q153_collocations" -> "rank over the TakeOrdered top-collocation list",
+      "q154_skyline" -> "running-min over the groupBy-size-reduced frontier table",
+      "q155_classifier_eval" -> "boundedCumBelow __bin table (≤101 rows)",
+      "q161_event_trigrams" -> "rank over the TakeOrdered top-trigram list",
+      "q162_rank_fusion" -> "RRF fuses two TOP-100 lists (≤200 rows)",
+      "q171_profile_outliers" -> "top-20 deviation selection window",
+      "q178_rank_sum_test" -> "cumulative over the grouped |delay|-domain table",
+      "q179_rank_correlation" -> "boundedCumBelow __bin tables (≤101 rows each)",
+      "q180_ks_test" -> "CDF cumulative over the grouped |delay|-domain table",
+      "q181_chi2_tokens" -> "20-row rank window after limit(20)",
+      "q185_cramers_v" -> "grand-total window over the |prio×status| cell table (≤18 rows)",
+      "q187_vocab_coverage" -> "rank/cumsum over the TakeOrdered top-1000 list")
+    val uncertified = scala.collection.mutable.ArrayBuffer[String]()
+    val unreduced = scala.collection.mutable.ArrayBuffer[String]()
+    val live = scala.collection.mutable.Set[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val lp = fn(spark, sf).queryExecution.optimizedPlan
+      val unpart = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (unpart.nonEmpty) {
+        live += name
+        if (!certified.contains(name)) uncertified += name
+        for (w <- unpart) {
+          val reduced = w.child.collectFirst {
+            case _: Aggregate => (); case _: GlobalLimit => (); case _: LocalLimit => ()
+          }
+          if (reduced.isEmpty) unreduced += name
+        }
+      }
+    }
+    assert(uncertified.isEmpty,
+      s"gate queries with UNCERTIFIED unpartitioned windows: $uncertified")
+    assert(unreduced.isEmpty,
+      s"unpartitioned windows over un-reduced (corpus-sized) input: $unreduced")
+    val stale = certified.keySet -- live
+    assert(stale.isEmpty, s"stale bounded-window certifications: $stale")
+  }
+
   test("core agg query stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q01_agg_basic")(spark, sf)
     df.collect() // finalize the adaptive plan

@@ -121,7 +121,10 @@ class OutputSpec extends AnyFunSuite {
     // the LAST snapshot holds the full merged partial state (all
     // files folded) and must equal the final CSV output byte-for-byte
     val finalLines = scala.io.Source.fromFile(out).getLines().toSeq
-    val lastSnap = scala.io.Source.fromFile(snaps.maxBy(_.getName)).getLines().toSeq
+    // modification time, not name: the ctime-string name ordering is
+    // not chronological across a midnight day-name boundary (Sun->Mon
+    // sorts backwards lexicographically)
+    val lastSnap = scala.io.Source.fromFile(snaps.maxBy(_.lastModified)).getLines().toSeq
     assert(lastSnap.sorted == finalLines.sorted,
       s"last snapshot $lastSnap != final $finalLines")
     // an earlier partial state (x only, sum 1+2) must have existed: if

@@ -753,4 +753,38 @@ class PipelineStreamSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming session stats (ordered ingest) equal the q186 gate rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // per-user non-decreasing arrival: feed in global ts order
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_timestamp(ts) as sec")
+      .orderBy("sec").collect()
+      .map(r => EventStream.UserSec(r.getLong(0), r.getLong(1)))
+    val in = MemoryStream[EventStream.UserSec]
+    val q = EventStream.sessionStatsStream(in.toDS())
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // update mode appends per-batch emissions: the final card per
+      // user is the one with the largest n_events (monotone per batch)
+      val fin = spark.table("session_stream").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.maxBy(_.getAs[Long]("n_events")) }
+      val gate = graft.SparkEntry.queries("q186_sessions")(spark, sf)
+        .collect()
+      assert(gate.length == fin.size)
+      for (g <- gate) {
+        val f = fin(g.getAs[Long]("user_id"))
+        for (c <- Seq("n_sessions", "n_events", "max_sess_events", "mean_len_ppm"))
+          assert(f.getAs[Long](c) == g.getAs[Long](c),
+            s"user ${g.getAs[Long]("user_id")} column $c")
+      }
+    } finally q.stop()
+  }
 }
