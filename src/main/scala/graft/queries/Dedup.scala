@@ -172,6 +172,16 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
+  /** [[simhashSignatures]] from a pre-built clone collapse (shared-
+    * subtree callers): expand per-rep signatures through the FULL
+    * (gid, doc_id) group table — empty-shingle reps already carry
+    * simhash 0 from [[simhashSignaturesDistinct]]'s left join. */
+  private def simhashSignaturesCollapsed(members: DataFrame, reps: DataFrame,
+                                         cfg: LshConfig): DataFrame =
+    members.join(simhashSignaturesDistinct(reps, cfg)
+        .withColumnRenamed("doc_id", "gid"), "gid")
+      .select(col("doc_id"), col("simhash"))
+
   /** Skew guard: deterministically keep at most `cap` members per
     * bucket (ordered by `idCol`), so a degenerate bucket bounds at
     * C(cap, 2) candidate pairs instead of going quadratic. The window
@@ -234,12 +244,24 @@ object Dedup {
       val shingled = docs.filter(hasShingles)
         .withColumn("gid",
           min(col("doc_id")).over(Window.partitionBy(col("text"))))
-      val members = capBuckets(shingled.select(col("gid"), col("doc_id")),
-          Seq("gid"), "doc_id", cfg.maxBucketSize)
+      nearDupPairsCollapsed(
+        shingled.select(col("gid"), col("doc_id")),
+        shingled.filter(col("doc_id") === col("gid"))
+          .select(col("doc_id"), col("text"))
+          .cut(), // band self-join sides + shingle verify
+        cfg)
+    }
+
+  /** [[nearDupPairs]] from a pre-built clone collapse: `members0` =
+    * UNCAPPED (gid, doc_id) rows of the shingle-able sub-corpus,
+    * `reps` = (doc_id, text) one row per distinct text, ALREADY cut
+    * by the caller. Lets shared-collapse callers
+    * ([[dedupRouteMatrix]]) feed several routes from ONE corpus
+    * window pass; the standalone wrapper above builds its own. */
+  private def nearDupPairsCollapsed(members0: DataFrame, reps: DataFrame,
+                                    cfg: LshConfig): DataFrame = {
+      val members = capBuckets(members0, Seq("gid"), "doc_id", cfg.maxBucketSize)
         .cut() // referenced 4x (intra self-join + expansion)
-      val reps = shingled.filter(col("doc_id") === col("gid"))
-        .select(col("doc_id"), col("text"))
-        .cut() // band self-join sides + shingle verify
       val repPairs = nearDupPairsDistinct(reps, cfg, brute = false)
       val intra = members.as("a")
         .join(members.as("b"),
@@ -394,8 +416,14 @@ object Dedup {
     * jaccard), so the block caps alone already bound clone buckets —
     * measured 8.1 s collapsed-expanded vs 4.4 s capped-buckets at
     * sf10, so the bucket form stays. */
-  def simhashPairs(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
-    val sim = simhashSignatures(docs, cfg)
+  def simhashPairs(docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(docs, cfg), cfg)
+
+  /** [[simhashPairs]] from a pre-built per-doc signature table
+    * (doc_id, simhash): the route blocks and pairs DOCS directly
+    * (clones share a signature; buckets capped), so a shared collapse
+    * only needs to hand in the expanded signatures. */
+  private def simhashPairsFromSigs(sim: DataFrame, cfg: LshConfig): DataFrame = {
     val nb = cfg.maxHamming + 1
     val w = (cfg.simBits + nb - 1) / nb // block width (last may be narrower)
     val blockStructs = (0 until nb).map { bi =>
@@ -556,10 +584,24 @@ object Dedup {
     val shingled = docs.filter(hasShingles)
       .withColumn("gid",
         min(col("doc_id")).over(Window.partitionBy(col("text"))))
-    val members = shingled.select(col("gid"), col("doc_id"))
+    ngramJaccardPairsCollapsed(
+      shingled.select(col("gid"), col("doc_id")),
+      shingled.filter(col("doc_id") === col("gid"))
+        .select(col("doc_id"), col("text")),
+      threshold, cfg, maxDocFreq, mode)
+  }
+
+  /** [[ngramJaccardPairs]] from a pre-built clone collapse:
+    * `members0` = uncapped (gid, doc_id) rows of the shingle-able
+    * sub-corpus, `reps` = (doc_id, text) one row per distinct text
+    * (shared-collapse callers hand in checkpointed tables; the
+    * standalone wrapper above builds its own). */
+  private def ngramJaccardPairsCollapsed(members0: DataFrame, reps: DataFrame,
+                                         threshold: Double, cfg: LshConfig,
+                                         maxDocFreq: Int,
+                                         mode: String): DataFrame = {
+    val members = members0
       .cut() // referenced 4x (intra self-join + expansion)
-    val reps = shingled.filter(col("doc_id") === col("gid"))
-      .select(col("doc_id"), col("text"))
     val hset = reps
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
@@ -1182,23 +1224,52 @@ object Dedup {
     * itself is one equi-join of the tagged pair surfaces on
     * (a_id, b_id) plus a bounded 3×3 rollup, with the union cut()
     * once for the self-join's two sides. */
+  /** The three routes are fed from ONE shared clone-collapse subtree
+    * (r10): one corpus window pass + one checkpointed rep-text table
+    * replace the per-route scan+window+tokenize passes the standalone
+    * route functions each run. Route semantics are EXACT — the
+    * *Collapsed bodies are the same code the standalone wrappers run,
+    * and graft.tools.ABRoutes asserts matrix identity before timing.
+    * Measured same-JVM alternating min-of-3 (ABRoutes): standalone
+    * 10.04 s vs shared 8.35 s at sf0.1 (1.20×), 36.6 vs 33.3 s at
+    * sf10 (1.10× — the ScaleUp corpus is clone-expansion-dominated,
+    * 27 M expanded pairs, so the saved scan/window share shrinks);
+    * matrices identical at every sf. The win is the eliminated
+    * corpus-proportional window and shingle passes. The matrix rollup
+    * stays the union-of-one-row-aggregates form (the tagged-union
+    * self-join emitted ~|pairs|·routes matched rows, 29 s at sf10,
+    * rejected r9). */
   def dedupRouteMatrix(docs: DataFrame,
                        jaccardThreshold: Double = 0.3,
                        cfg: LshConfig = LshConfig()): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // each route's pair surface computed ONCE (cut narrow 2-col
-    // tables), then 3 diagonal counts + 3 pairwise equi-join counts
-    // as a union of one-row aggregates — the tagged-union self-join
-    // form emitted ~|pairs|·routes matched rows and cost 29 s at
-    // sf10; this shape is the routes' own cost + three hash joins
+    val withGid = docs.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val membersAll = withGid.select(col("gid"), col("doc_id")).cut()
+    val repText = withGid.filter(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+      .cut() // ONE text materialization instead of three scan+window passes
+    val hasShingles = size(tokens(col("text"))) >= cfg.shingleSize
+    val repSh = repText.filter(hasShingles)
+    // clone groups are text-pure, so shingle-ability is group-closed:
+    // the shingle-able member set is membersAll restricted to gids
+    // whose rep text shingles
+    val membersSh = membersAll
+      .join(repSh.select(col("doc_id").as("gid")), "gid")
     val routes = Seq(
-      "jaccard" -> ngramJaccardPairs(docs, jaccardThreshold, cfg)
+      "jaccard" -> ngramJaccardPairsCollapsed(membersSh, repSh,
+          jaccardThreshold, cfg, maxDocFreq = 100, mode = "auto")
         .select(col("a_id"), col("b_id")).cut(),
-      "minhash" -> nearDupPairs(docs, cfg)
+      "minhash" -> nearDupPairsCollapsed(membersSh, repSh, cfg)
         .select(col("a_id"), col("b_id")).cut(),
-      "simhash" -> simhashPairs(docs, cfg)
+      "simhash" -> simhashPairsFromSigs(
+          simhashSignaturesCollapsed(membersAll, repText, cfg), cfg)
         .select(col("a_id"), col("b_id")).cut())
+    routeMatrixCells(routes)
+  }
+
+  /** Diagonal counts + pairwise equi-join counts as a union of
+    * one-row aggregates (shared by both matrix variants). */
+  private def routeMatrixCells(routes: Seq[(String, DataFrame)]): DataFrame = {
     val cells = for {
       (na, pa) <- routes
       (nb, pb) <- routes
