@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -1416,6 +1417,95 @@ object Analytics {
           (1000 * CAST(chi2_milli AS HUGEINT))
           // (CAST(n AS HUGEINT) * (least(n_rows, n_cols) - 1))
           END AS BIGINT) AS v2_ppm
-      FROM a"""))
+      FROM a""")),
+
+    // bounded-round k-core peel (Seidman 1983 degeneracy — the
+    // which-nodes-survive-pruning member of the graph family next to
+    // q138 centrality / q142 degree card / q165 triangles): alive_{r+1}
+    // = {v ∈ alive_r : deg within alive_r ≥ 2}, THREE unrolled rounds
+    // over the symmetrized trade graph (the q138 unroll doctrine — a
+    // fixed round count is what chained CTEs replay bit-exactly), each
+    // survivor table cut() per the CC lineage rule, alive counts as
+    // driver scalars over the checkpointed narrow tables (the KMeansOp
+    // contract). SELF-CERTIFYING like q139's `moved`: round 3's
+    // n_removed == 0 certifies the fixpoint — the final row IS the
+    // 25-core, not an approximation (holds at the gate sfs; where it
+    // wouldn't, the card says so honestly in its own rows). k = 25
+    // bites on this graph (median customer degree 33, suppliers
+    // 443-538 at sf0.01 → 322 of 1600 nodes peel); the cascade is
+    // structurally shallow on a bipartite commerce graph — a side's
+    // degrees depend only on the OTHER side, so one removal wave
+    // settles it and the zero-removal tail rounds are the proof. Output:
+    // one row per round with survivor count, removals, and a sum-mod-P
+    // membership checksum — one-row aggregates over cut tables, the
+    // q121 union shape.
+    Q("q189_kcore_peel", (s, d) => {
+      val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("a"),
+          (col("l_suppkey") * 2L + 1L).as("b"))
+        .distinct()
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+        .cut() // referenced by every peel round
+      def card(alive: DataFrame, round: Int, removed: Long): DataFrame =
+        alive.agg(count(lit(1)).as("n_alive"),
+            (sum(col("node") % P) % P).as("alive_checksum"))
+          .select(lit(round.toLong).as("round"), col("n_alive"),
+            lit(removed).as("n_removed"), col("alive_checksum"))
+      var alive = edges.select(col("src").as("node")).distinct().cut()
+      var n = alive.count()
+      var out = card(alive, 0, 0L)
+      for (r <- 1 to 3) {
+        val next = edges
+          .join(alive.select(col("node").as("src")), "src")
+          .join(alive.select(col("node").as("dst")), "dst")
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 25L)
+          .select(col("src").as("node"))
+          .cut() // peel rounds chain; cut bounds the lineage
+        val n2 = next.count()
+        out = out.unionByName(card(next, r, n - n2))
+        alive = next
+        n = n2
+      }
+      out.orderBy(col("round"))
+    }, Some(s"""
+      WITH e0 AS (SELECT DISTINCT o.o_custkey*2 a, l.l_suppkey*2+1 b
+                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      ed AS (SELECT a src, b dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      n0 AS (SELECT DISTINCT src AS node FROM ed),
+      d1 AS (SELECT e.src AS node, count(*) c FROM ed e
+             JOIN n0 x ON e.src = x.node JOIN n0 y ON e.dst = y.node
+             GROUP BY 1),
+      n1 AS (SELECT node FROM d1 WHERE c >= 25),
+      d2 AS (SELECT e.src AS node, count(*) c FROM ed e
+             JOIN n1 x ON e.src = x.node JOIN n1 y ON e.dst = y.node
+             GROUP BY 1),
+      n2 AS (SELECT node FROM d2 WHERE c >= 25),
+      d3 AS (SELECT e.src AS node, count(*) c FROM ed e
+             JOIN n2 x ON e.src = x.node JOIN n2 y ON e.dst = y.node
+             GROUP BY 1),
+      n3 AS (SELECT node FROM d3 WHERE c >= 25),
+      r AS (
+        SELECT 0 AS round, (SELECT count(*) FROM n0) AS n_alive,
+          0 AS n_removed, (SELECT SUM(node % $P) % $P FROM n0) AS cs
+        UNION ALL
+        SELECT 1, (SELECT count(*) FROM n1),
+          (SELECT count(*) FROM n0) - (SELECT count(*) FROM n1),
+          (SELECT SUM(node % $P) % $P FROM n1)
+        UNION ALL
+        SELECT 2, (SELECT count(*) FROM n2),
+          (SELECT count(*) FROM n1) - (SELECT count(*) FROM n2),
+          (SELECT SUM(node % $P) % $P FROM n2)
+        UNION ALL
+        SELECT 3, (SELECT count(*) FROM n3),
+          (SELECT count(*) FROM n2) - (SELECT count(*) FROM n3),
+          (SELECT SUM(node % $P) % $P FROM n3))
+      SELECT CAST(round AS BIGINT) AS round, CAST(n_alive AS BIGINT) AS n_alive,
+        CAST(n_removed AS BIGINT) AS n_removed,
+        CAST(cs AS BIGINT) AS alive_checksum
+      FROM r ORDER BY round"""))
   )
 }

@@ -1099,6 +1099,98 @@ object Similarity {
         CASE WHEN varx * vary = 0 THEN 'degenerate'
              WHEN cov_num > 0 THEN 'agree'
              WHEN cov_num < 0 THEN 'oppose' ELSE 'none' END AS verdict
-      FROM c"""))
+      FROM c""")),
+
+    // label-separation card (Fisher-style class separability over the
+    // embedding space — the before-you-train diagnostic next to q122's
+    // within-label outliers and q113's kNN label noise): per label the
+    // HALF_UP integer centroid (the q77/q122 closed form), then for
+    // every label PAIR the between-centroid L2 vs the two within-label
+    // mean squared distances, entirely rational: separated ⇔
+    // d²(c_a, c_b)·n_a·n_b > w_a·n_b + w_b·n_a (no mean ever divides;
+    // sep_ppm = the same ratio floored through DECIMAL(38,0)/HUGEINT).
+    // |labels|² bounded output (45 pairs), centroids broadcast; on the
+    // isotropic synthetic embeddings labels are UNSEPARATED by
+    // construction — the honest measured verdict, exactly q136's
+    // low-recall stance
+    Q("q193_label_separation", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val dim = 64
+      val iv = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          iscale(col("embedding")).as("v"))
+        .cut() // feeds the centroid aggregate AND the within pass
+      val stats = iv.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1))): _*).as("sums"))
+      val cent = stats.select(col("label"), col("n"),
+        array((0 until dim).map { i =>
+          val x = s"element_at(sums, ${i + 1})"
+          expr(s"CASE WHEN $x >= 0 THEN (2*$x + n) div (2*n) " +
+            s"ELSE -((2*(-($x)) + n) div (2*n)) END")
+        }: _*).as("cv"))
+        .cut() // within join side + both pair sides
+      val within = iv.join(broadcast(cent.select(col("label"), col("cv"))), "label")
+        .select(col("label"),
+          graft.functions.VectorExprs.longSqDist(col("v"), col("cv")).as("d2"))
+        .groupBy(col("label"))
+        .agg(sum(col("d2").cast(dec)).as("w"))
+      val side = cent.join(within, "label")
+      val a = side.select(col("label").as("label_a"), col("n").as("n_a"),
+        col("cv").as("ca"), col("w").as("wa"))
+      val b = side.select(col("label").as("label_b"), col("n").as("n_b"),
+        col("cv").as("cb"), col("w").as("wb"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          graft.functions.VectorExprs.longSqDist(col("ca"), col("cb"))
+            .as("between_d2"),
+          col("wa").cast(LongType).as("within_a"),
+          col("wb").cast(LongType).as("within_b"))
+        .withColumn("sep_ppm", expr(
+          "CAST(CASE WHEN within_a = 0 AND within_b = 0 THEN -1 ELSE " +
+            "(CAST(1000000 AS DECIMAL(38,0)) * between_d2 * n_a * n_b) div " +
+            "(CAST(within_a AS DECIMAL(38,0)) * n_b " +
+            " + CAST(within_b AS DECIMAL(38,0)) * n_a) END AS BIGINT)"))
+        .withColumn("separated", expr(
+          "CAST(between_d2 AS DECIMAL(38,0)) * n_a * n_b > " +
+            "CAST(within_a AS DECIMAL(38,0)) * n_b " +
+            "+ CAST(within_b AS DECIMAL(38,0)) * n_a"))
+        .orderBy(col("label_a"), col("label_b"))
+    }, Some("""
+      WITH iv AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) v
+        FROM embeddings),
+      ex AS (SELECT vec_id, label, g.i i, v[g.i] x
+             FROM iv CROSS JOIN generate_series(1, 64) g(i)),
+      cs AS (SELECT label, i, CAST(count(*) AS BIGINT) n,
+               CAST(SUM(x) AS BIGINT) s
+             FROM ex GROUP BY 1, 2),
+      c2 AS (SELECT label, i, n,
+               CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                    ELSE -((2*(-s) + n) // (2*n)) END c
+             FROM cs),
+      wd AS (SELECT e.label,
+               CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS HUGEINT)) AS HUGEINT) w
+             FROM ex e JOIN c2 c ON c.label = e.label AND c.i = e.i
+             GROUP BY 1),
+      nn AS (SELECT label, MAX(n) n FROM c2 GROUP BY 1),
+      bd AS (SELECT a.label la, b.label lb,
+               CAST(SUM(CAST((a.c - b.c) * (a.c - b.c) AS HUGEINT)) AS BIGINT) d2
+             FROM c2 a JOIN c2 b ON a.i = b.i AND a.label < b.label
+             GROUP BY 1, 2)
+      SELECT bd.la AS label_a, bd.lb AS label_b,
+        x.n AS n_a, y.n AS n_b, bd.d2 AS between_d2,
+        CAST(wa.w AS BIGINT) AS within_a, CAST(wb.w AS BIGINT) AS within_b,
+        CAST(CASE WHEN wa.w = 0 AND wb.w = 0 THEN -1 ELSE
+          (1000000 * CAST(bd.d2 AS HUGEINT) * x.n * y.n)
+          // (wa.w * y.n + wb.w * x.n) END AS BIGINT) AS sep_ppm,
+        CAST(bd.d2 AS HUGEINT) * x.n * y.n > wa.w * y.n + wb.w * x.n
+          AS separated
+      FROM bd JOIN nn x ON x.label = bd.la JOIN nn y ON y.label = bd.lb
+        JOIN wd wa ON wa.label = bd.la JOIN wd wb ON wb.label = bd.lb
+      ORDER BY label_a, label_b"""))
   )
 }

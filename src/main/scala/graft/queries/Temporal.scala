@@ -21,6 +21,9 @@ object Temporal {
   final case class HourCount(event_type: String, hr: Long, cnt: Long)
   final case class EwmaRow(event_type: String, hr: Long, cnt: Long,
                            ewma_milli: Long, spike: Boolean)
+  final case class HoltRow(event_type: String, hr: Long, cnt: Long,
+                           level_milli: Long, trend_milli: Long,
+                           spike: Boolean)
 
   /** Typed row for the q159 CUSUM card (public: encoder codegen). */
   final case class CusumRow(event_type: String, n_hours: Long, total: Long,
@@ -99,6 +102,48 @@ object Temporal {
           val spike = r >= 0L && h.cnt * 10000L > 25L * r
           r = if (r < 0L) x else (3L * x + 7L * r) / 10L
           EwmaRow(k, h.hr, h.cnt, r, spike)
+        }
+      }
+      .toDF()
+  }
+
+  /** Holt's linear method (double exponential smoothing, Holt 1957) —
+    * q141's EWMA with a TREND component, in integer milli-units so the
+    * trajectory is engine-exact: α = 0.3, β = 0.2;
+    *   l' = (3·1000·x + 7·(l + b)) / 10   (TRUNCATING division)
+    *   b' = (2·(l' − l) + 8·b) / 10
+    * seeded l = 1000·x₁, b = 0. The trend term can go NEGATIVE, and
+    * on BIGINT both engines' integer division TRUNCATES toward zero
+    * (DuckDB's // floors only on non-integers; measured -7//10 = 0),
+    * which is exactly Scala Long division — so the fold uses plain
+    * `/` and the recurrence is engine-exact without any shift. A
+    * surge is judged against the PRIOR one-step-ahead forecast
+    * f = l + b by cross-multiplication (the q141 prior-baseline
+    * contract), only when f > 0. Per-type hour-ordered fold — the
+    * q131 bounded-timeline shape (|types| groups, |hours| rows). */
+  def holtHourly(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[HourCount]
+      .groupByKey(_.event_type)
+      .flatMapGroups { (k, it) =>
+        var l = -1L
+        var b = 0L
+        it.toSeq.sortBy(_.hr).iterator.map { h =>
+          if (l < 0L) { l = h.cnt * 1000L; b = 0L; HoltRow(k, h.hr, h.cnt, l, 0L, spike = false) }
+          else {
+            val f = l + b
+            val spike = f > 0L && h.cnt * 10000L > 25L * f
+            val l2 = (3L * h.cnt * 1000L + 7L * f) / 10L
+            b = (2L * (l2 - l) + 8L * b) / 10L
+            l = l2
+            HoltRow(k, h.hr, h.cnt, l, b, spike)
+          }
         }
       }
       .toDF()
@@ -1223,6 +1268,39 @@ object Temporal {
         CAST((1000000 * num) // den AS BIGINT) AS vmr_ppm,
         CASE WHEN num > den THEN 'bursty'
              WHEN num < den THEN 'regular' ELSE 'poisson' END AS verdict
-      FROM r ORDER BY event_type"""))
+      FROM r ORDER BY event_type""")),
+
+    // Holt's linear trend baseline (see [[holtHourly]]) — the
+    // trend-aware sibling of q141: a steadily GROWING series stops
+    // flagging (EWMA lags a ramp and fires forever; Holt's b-term
+    // absorbs it). Oracle = recursive-CTE trajectory replay carrying
+    // (level, trend) — the q141/q77 doctrine with two state columns;
+    // BIGINT `//` truncates toward zero exactly like the fold's Long
+    // division on the possibly-negative trend arithmetic
+    Q("q190_holt_trend", (s, d) => {
+      holtHourly(t(s, d, "events"))
+        .orderBy(col("event_type"), col("hr"))
+    }, Some("""
+      WITH RECURSIVE e AS (SELECT event_type, epoch_ms(ts)//3600000 hr
+                           FROM events),
+      h AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) cnt
+            FROM e GROUP BY 1, 2),
+      o AS (SELECT event_type, hr, cnt,
+              row_number() OVER (PARTITION BY event_type ORDER BY hr) rn
+            FROM h),
+      rec AS (
+        SELECT event_type, hr, cnt, rn, cnt*1000 l, CAST(0 AS BIGINT) b,
+          false AS spike
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.event_type, o.hr, o.cnt, o.rn,
+          (3*o.cnt*1000 + 7*(rec.l + rec.b))//10,
+          (2*((3*o.cnt*1000 + 7*(rec.l + rec.b))//10 - rec.l) + 8*rec.b)//10,
+          rec.l + rec.b > 0 AND o.cnt*10000 > 25*(rec.l + rec.b)
+        FROM rec JOIN o ON o.event_type = rec.event_type
+          AND o.rn = rec.rn + 1)
+      SELECT event_type, hr, cnt, CAST(l AS BIGINT) AS level_milli,
+        CAST(b AS BIGINT) AS trend_milli, spike
+      FROM rec ORDER BY 1, 2"""))
   )
 }

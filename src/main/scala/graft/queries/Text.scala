@@ -740,6 +740,98 @@ object Text {
           AS coverage_ppm
       FROM ks JOIN tot ON true
         JOIN rk ON rk.rank = LEAST(k, GREATEST(v, 1))
-      ORDER BY k"""))
+      ORDER BY k""")),
+
+    // vocabulary-attribution card (which source contributes the NOVEL
+    // vocabulary — the provenance complement of q127's per-source
+    // vocab size): every token type is credited to the source of the
+    // doc where it FIRST occurs (min doc_id — deterministic, ingestion
+    // order), then per source: types present, types first-seen there,
+    // share of the whole vocabulary and of the source's own types as
+    // nonneg floor ratios. Inverted-index shape: one (tok → min
+    // doc_id) groupBy over per-doc-distinct token rows, a vocab-
+    // bounded join back to doc sources, two bounded rollups; total
+    // vocab = one driver scalar (the q134 rule)
+    Q("q191_vocab_attribution", (s, d) => {
+      val docs = t(s, d, "documents")
+      val tv = docs
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+        .cut() // feeds first-seen argmin, presence rollup, vocab scalar
+      val first = tv.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      val nv = math.max(first.count(), 1L)
+      val fs = first
+        .join(docs.select(col("doc_id").as("first_doc"), col("source")),
+          "first_doc")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_first"))
+      val pres = tv.select(col("source"), col("tok")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+      pres.join(fs, Seq("source"), "left")
+        .select(col("source"), col("n_types"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"))
+        .withColumn("vocab_share_ppm",
+          expr(s"(1000000L * n_first) div ${nv}L"))
+        .withColumn("novelty_ppm", expr("(1000000L * n_first) div n_types"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH tv AS (SELECT doc_id, source,
+                    unnest(list_distinct(list_filter(string_split(text,' '),
+                                                     x->x<>''))) tok
+                  FROM documents),
+      fd AS (SELECT tok, MIN(doc_id) first_doc FROM tv GROUP BY 1),
+      v AS (SELECT GREATEST(CAST(count(*) AS BIGINT), 1) nv FROM fd),
+      fs AS (SELECT d.source, CAST(count(*) AS BIGINT) n_first
+             FROM fd JOIN documents d ON fd.first_doc = d.doc_id
+             GROUP BY 1),
+      pres AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) n_types
+               FROM tv GROUP BY 1)
+      SELECT p.source, p.n_types,
+        CAST(COALESCE(fs.n_first, 0) AS BIGINT) AS n_first,
+        CAST((1000000 * COALESCE(fs.n_first, 0)) // v.nv AS BIGINT)
+          AS vocab_share_ppm,
+        CAST((1000000 * COALESCE(fs.n_first, 0)) // p.n_types AS BIGINT)
+          AS novelty_ppm
+      FROM pres p LEFT JOIN fs ON p.source = fs.source, v
+      ORDER BY p.source""")),
+
+    // token-dispersion card (collection frequency vs document
+    // frequency — the repetition/boilerplate indicator: cf ≫ df means
+    // a token concentrates inside few docs, the spam/template smell
+    // q74 commonness can't see because it scores DOCS): per token cf
+    // and df from ONE two-level map-side-combined groupBy chain
+    // ((tok, doc) → tok), df ≥ 3 floor, burst_milli = ⌊1000·cf/df⌋
+    // (≥ 1000 by construction), top-20 via TakeOrderedAndProject +
+    // a 20-row rank window (the q134 shape; certified in PlanSpec's
+    // bounded-window sweep)
+    Q("q192_token_dispersion", (s, d) => {
+      val td = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("tok"))
+        .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+        .filter(col("df") >= 3L)
+        .withColumn("burst_milli", expr("(1000L * cf) div df"))
+      val w = Window.orderBy(col("burst_milli").desc, col("tok").asc)
+      td.orderBy(col("burst_milli").desc, col("tok").asc).limit(20)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .select(col("rank"), col("tok"), col("cf"), col("df"),
+          col("burst_milli"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH ex AS (SELECT doc_id,
+                    unnest(list_filter(string_split(text,' '), x->x<>'')) tok
+                  FROM documents),
+      dc AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) c
+             FROM ex GROUP BY 1, 2),
+      c AS (SELECT tok, CAST(SUM(c) AS BIGINT) cf,
+              CAST(count(*) AS BIGINT) df
+            FROM dc GROUP BY 1 HAVING count(*) >= 3),
+      r AS (SELECT tok, cf, df, (1000 * cf) // df AS burst_milli FROM c)
+      SELECT rank, tok, cf, df, CAST(burst_milli AS BIGINT) AS burst_milli
+      FROM (SELECT tok, cf, df, burst_milli,
+              CAST(row_number() OVER (ORDER BY burst_milli DESC, tok ASC)
+                   AS BIGINT) rank
+            FROM r)
+      WHERE rank <= 20 ORDER BY rank"""))
   )
 }

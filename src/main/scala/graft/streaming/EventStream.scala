@@ -190,6 +190,44 @@ object EventStream {
       }
   }
 
+  /** Holt (level, trend) state per entity: `has` = seeded (public
+    * for encoder codegen — trend can legitimately be any Long, so no
+    * sentinel value encodes "unseeded"). */
+  final case class HoltState(has: Boolean, l: Long, b: Long)
+
+  /** Streaming Holt linear trend — the q190 gate as an ingest of
+    * per-(type, hour) count rows: per event type an O(1) (level,
+    * trend) state folds the gate's exact truncating-division
+    * recurrences (Temporal.holtHourly), each input row emitting its
+    * trajectory verdict exactly once — the union of emissions across
+    * micro-batches equals the batch trajectory row-for-row (the
+    * ewmaStream contract). Ordered-ingest: per-type hours arrive
+    * non-decreasing across batches; in-batch rows sorted first. */
+  def holtStream(hourly: Dataset[graft.queries.Temporal.HourCount])
+      : Dataset[graft.queries.Temporal.HoltRow] = {
+    val spark = hourly.sparkSession
+    import spark.implicits._
+    hourly.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState, graft.queries.Temporal.HoltRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (k, it, state) =>
+        var st = state.getOption.getOrElse(HoltState(has = false, 0L, 0L))
+        val out = it.toSeq.sortBy(_.hr).map { h =>
+          if (!st.has) {
+            st = HoltState(has = true, h.cnt * 1000L, 0L)
+            graft.queries.Temporal.HoltRow(k, h.hr, h.cnt, st.l, 0L, spike = false)
+          } else {
+            val f = st.l + st.b
+            val spike = f > 0L && h.cnt * 10000L > 25L * f
+            val l2 = (3L * h.cnt * 1000L + 7L * f) / 10L
+            st = HoltState(has = true, l2, (2L * (l2 - st.l) + 8L * st.b) / 10L)
+            graft.queries.Temporal.HoltRow(k, h.hr, h.cnt, st.l, st.b, spike)
+          }
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
   /** CUSUM state per entity (public for encoder codegen). */
   final case class CusumState(s: Long, peak: Long, peakHr: Long,
                               flags: Long, firstFlag: Long)

@@ -1278,4 +1278,162 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(r.getAs[String]("verdict") == verdict)
     }
   }
+
+  test("q189: k-core peel replays from a JVM peeling simulation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q189_kcore_peel")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.map(_.getAs[Long]("round")).toList == List(0L, 1L, 2L, 3L))
+    val edges = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("o_custkey * 2 as a", "l_suppkey * 2 + 1 as b")
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val P = 1000000007L
+    var alive: Set[Long] = adj.keySet
+    def check(r: org.apache.spark.sql.Row, removed: Long): Unit = {
+      assert(r.getAs[Long]("n_alive") == alive.size.toLong)
+      assert(r.getAs[Long]("n_removed") == removed)
+      if (alive.nonEmpty)
+        assert(r.getAs[Long]("alive_checksum") ==
+          alive.map(_ % P).sum % P)
+      else assert(r.isNullAt(r.fieldIndex("alive_checksum")))
+    }
+    check(rows(0), 0L)
+    for (round <- 1 to 3) {
+      val next = alive.filter(v => (adj(v) & alive).size >= 25)
+      val removed = (alive.size - next.size).toLong
+      alive = next
+      check(rows(round), removed)
+    }
+    // the self-certification contract: a trailing zero-removal round
+    // proves the fixpoint at this sf
+    assert(rows(3).getAs[Long]("n_removed") == 0L,
+      "peel did not converge within 3 rounds at spec sf")
+  }
+
+  test("q190: Holt trajectory replays from a JVM (level, trend) fold") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q190_holt_trend")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr")) -> r).toMap
+    val hourly = Tables.t(spark, sf, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("event_type", "hr").count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr"),
+        r.getAs[Long]("count")))
+    assert(rows.size == hourly.length)
+    hourly.groupBy(_._1).foreach { case (tpe, hs) =>
+      var l = -1L; var b = 0L
+      hs.sortBy(_._2).foreach { case (_, hr, cnt) =>
+        var spike = false
+        if (l < 0L) { l = cnt * 1000L; b = 0L }
+        else {
+          val f = l + b
+          spike = f > 0L && cnt * 10000L > 25L * f
+          val l2 = (3L * cnt * 1000L + 7L * f) / 10L
+          b = (2L * (l2 - l) + 8L * b) / 10L
+          l = l2
+        }
+        val r = rows((tpe, hr))
+        assert(r.getAs[Long]("cnt") == cnt)
+        assert(r.getAs[Long]("level_milli") == l, s"$tpe $hr level")
+        assert(r.getAs[Long]("trend_milli") == b, s"$tpe $hr trend")
+        assert(r.getAs[Boolean]("spike") == spike, s"$tpe $hr spike")
+      }
+    }
+  }
+
+  test("q191: vocabulary attribution replays from brute first-seen scan") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q191_vocab_attribution")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).distinct))
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    val firstDoc = docs.flatMap(d => d._3.map(_ -> d._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val nv = firstDoc.size.toLong
+    val nFirst = firstDoc.values.map(srcOf)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTypes = docs.flatMap(d => d._3.map(d._2 -> _)).distinct
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(rows.length == nTypes.size)
+    var total = 0L
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_types") == nTypes(src))
+      val nf = nFirst.getOrElse(src, 0L)
+      assert(r.getAs[Long]("n_first") == nf)
+      assert(r.getAs[Long]("vocab_share_ppm") == 1000000L * nf / math.max(nv, 1L))
+      assert(r.getAs[Long]("novelty_ppm") == 1000000L * nf / nTypes(src))
+      total += nf
+    }
+    // every token type is credited exactly once
+    assert(total == nv)
+  }
+
+  test("q192: token dispersion replays from brute cf/df counts") {
+    val rows = SparkEntry.queries("q192_token_dispersion")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty)))
+    val cf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = docs.flatMap(d => d._2.distinct.map(_ -> d._1)).distinct
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val eligible = cf.keys.filter(t => df(t) >= 3L)
+      .map(t => (t, cf(t), df(t), 1000L * cf(t) / df(t)))
+      .toSeq.sortBy { case (t, _, _, bm) => (-bm, t) }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (tok, c, d0, bm) = eligible(i)
+      assert(r.getAs[Long]("rank") == i + 1L)
+      assert(r.getAs[String]("tok") == tok, s"rank ${i + 1}")
+      assert(r.getAs[Long]("cf") == c)
+      assert(r.getAs[Long]("df") == d0)
+      assert(r.getAs[Long]("burst_milli") == bm)
+      assert(bm >= 1000L) // cf >= df by construction
+    }
+  }
+
+  test("q193: label separation replays from a BigInt centroid construction") {
+    val rows = SparkEntry.queries("q193_label_separation")(spark, sf).collect()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("CAST(label AS LONG) label", "embedding").collect()
+      .map(r => (r.getAs[Long]("label"),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray))
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def centroid(vs: Array[Array[Long]]): Array[Long] = {
+      val n = vs.length.toLong
+      (0 until 64).map { i =>
+        val sSum = vs.map(_(i)).sum
+        if (sSum >= 0) (2 * sSum + n) / (2 * n) else -((2 * -sSum + n) / (2 * n))
+      }.toArray
+    }
+    val cents = byLabel.view.mapValues(centroid).toMap
+    def sq(a: Array[Long], b: Array[Long]): BigInt =
+      (0 until 64).map(i => BigInt(a(i) - b(i)).pow(2)).sum
+    val within = byLabel.map { case (l, vs) =>
+      l -> vs.map(v => sq(v, cents(l))).sum }
+    assert(rows.length == byLabel.size * (byLabel.size - 1) / 2)
+    rows.foreach { r =>
+      val (la, lb) = (r.getAs[Long]("label_a"), r.getAs[Long]("label_b"))
+      assert(la < lb)
+      val (na, nb) = (BigInt(byLabel(la).length), BigInt(byLabel(lb).length))
+      assert(BigInt(r.getAs[Long]("n_a")) == na && BigInt(r.getAs[Long]("n_b")) == nb)
+      val bd = sq(cents(la), cents(lb))
+      assert(BigInt(r.getAs[Long]("between_d2")) == bd)
+      assert(BigInt(r.getAs[Long]("within_a")) == within(la))
+      assert(BigInt(r.getAs[Long]("within_b")) == within(lb))
+      val den = within(la) * nb + within(lb) * na
+      val sep =
+        if (den == 0) BigInt(-1) else BigInt(1000000) * bd * na * nb / den
+      assert(BigInt(r.getAs[Long]("sep_ppm")) == sep)
+      assert(r.getAs[Boolean]("separated") == (bd * na * nb > den))
+    }
+  }
 }

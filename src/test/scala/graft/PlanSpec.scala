@@ -86,7 +86,10 @@ class PlanSpec extends AnyFunSuite {
     // q62's stats join became two driver scalars, so it's absent.
     val broadcastCentroidGates = Set(
       "q39_kmeans_assign", "q45_ann_ivf_topk",
-      "q77_kmeans_iterated", "q81_semdedup")
+      "q77_kmeans_iterated", "q81_semdedup",
+      // label-pair join of two |labels|-row (10) centroid tables —
+      // the K-row × K-row tiny-broadcast class
+      "q193_label_separation")
     val expectedNested = broadcastCentroidGates ++ Set(
       "q27_dedup_embedding", "q28_ann_brute_topk",
       "q108_ann_recall", // labeled diagnostic: brute truth ∩ each route
@@ -234,7 +237,8 @@ class PlanSpec extends AnyFunSuite {
       "q180_ks_test" -> "CDF cumulative over the grouped |delay|-domain table",
       "q181_chi2_tokens" -> "20-row rank window after limit(20)",
       "q185_cramers_v" -> "grand-total window over the |prio×status| cell table (≤18 rows)",
-      "q187_vocab_coverage" -> "rank/cumsum over the TakeOrdered top-1000 list")
+      "q187_vocab_coverage" -> "rank/cumsum over the TakeOrdered top-1000 list",
+      "q192_token_dispersion" -> "20-row rank window after limit(20)")
     val uncertified = scala.collection.mutable.ArrayBuffer[String]()
     val unreduced = scala.collection.mutable.ArrayBuffer[String]()
     val live = scala.collection.mutable.Set[String]()

@@ -606,6 +606,33 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Holt trend over hourly count rows emits the q190 trajectory row-for-row") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hourly = graft.Tables.t(spark, sf, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+      .orderBy("hr").collect()
+      .map(r => graft.queries.Temporal.HourCount(r.getString(0), r.getLong(1),
+        r.getLong(2)))
+    val in = MemoryStream[graft.queries.Temporal.HourCount]
+    val q = EventStream.holtStream(in.toDS())
+      .writeStream.format("memory").queryName("holt_stream")
+      .outputMode("update").start()
+    try {
+      hourly.grouped(math.max(1, hourly.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // every input row emits its (level, trend, spike) exactly once →
+      // the union of emissions equals the batch gate trajectory
+      val gate = graft.SparkEntry.queries("q190_holt_trend")(spark, sf)
+      assert(rowsOf(spark.table("holt_stream")) == rowsOf(gate))
+      assert(spark.table("holt_stream").count() == hourly.length)
+    } finally q.stop()
+  }
+
   test("streaming CUSUM (pinned model, ordered ingest) replays the q159 card") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
