@@ -94,6 +94,61 @@ class OutputSpec extends AnyFunSuite {
     assert(y.contains("\"v\":10") && y.contains("\"logs\":1"))
   }
 
+  test("cli: -tmp_save with an empty partial state writes an EMPTY snapshot (no bare header)") {
+    // output_csv attaches the header to the FIRST record (i==0 &&
+    // nfile<=0): zero records -> fully empty file, not a header line
+    val dir = java.nio.file.Files.createTempDirectory("miwcli4").toFile
+    val f1 = new java.io.File(dir, "a.log")
+    val fmtFile = new java.io.File(dir, "fmt.json")
+    def write(f: java.io.File, s: String): Unit = {
+      val w = new java.io.PrintWriter(f); try w.print(s) finally w.close()
+    }
+    write(f1, "# only a comment line\n")
+    write(fmtFile, """{"format_name":"t","delims":",","fields":[
+        {"name":"k","pos":0,"type":"string","key":true},
+        {"name":"v","pos":1,"type":"int","aggregated":true,"aggregation":"sum"}]}""")
+    val out = new java.io.File(dir, "out.csv")
+    MiwCli.execute(spark, Array(
+      "-fnames", f1.getPath,
+      "-format_name", fmtFile.getPath,
+      "-output_format", "csv", "-ofname", out.getPath,
+      "-merge_results", "-tmp_save", "-quiet"))
+    val snaps = dir.listFiles.filter { f =>
+      f.getName.startsWith("out_") && f.getName.endsWith("_.csv")
+    }
+    assert(snaps.nonEmpty)
+    assert(snaps.forall(_.length() == 0L),
+      s"empty partial state produced non-empty snapshot: ${snaps.map(_.length).toSeq}")
+  }
+
+  test("cli: -tmp_save with an unwritable snapshot path logs and continues (reference failure mode)") {
+    // the reference LOG(ERROR)s and keeps going when the snapshot open
+    // fails (mr_job.h:152-156); the final output must still be written
+    val dir = java.nio.file.Files.createTempDirectory("miwcli5").toFile
+    val f1 = new java.io.File(dir, "a.log")
+    val fmtFile = new java.io.File(dir, "fmt.json")
+    def write(f: java.io.File, s: String): Unit = {
+      val w = new java.io.PrintWriter(f); try w.print(s) finally w.close()
+    }
+    write(f1, "x,1\n")
+    write(fmtFile, """{"format_name":"t","delims":",","fields":[
+        {"name":"k","pos":0,"type":"string","key":true},
+        {"name":"v","pos":1,"type":"int","aggregated":true,"aggregation":"sum"}]}""")
+    // dotted DIRECTORY component: the '.'-split name derivation mangles
+    // the target into a nonexistent directory -> the write must fail
+    // without killing the run
+    val sub = new java.io.File(dir, "v1.2"); sub.mkdirs()
+    val out = new java.io.File(sub, "out.csv")
+    MiwCli.execute(spark, Array(
+      "-fnames", f1.getPath,
+      "-format_name", fmtFile.getPath,
+      "-output_format", "csv", "-ofname", out.getPath,
+      "-merge_results", "-tmp_save", "-quiet"))
+    assert(out.exists, "final output missing after snapshot-path failure")
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(lines.exists(l => l.contains("\"x\"") && l.contains("1")))
+  }
+
   test("cli: -tmp_save writes timestamped partial-state CSV snapshots in merge mode") {
     val dir = java.nio.file.Files.createTempDirectory("miwcli3").toFile
     val f1 = new java.io.File(dir, "a.log"); val f2 = new java.io.File(dir, "b.log")
