@@ -1124,6 +1124,18 @@ object Dedup {
 
   private val tkCte =
     "tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk FROM documents)"
+
+  /** Rep-rooted [[tkCte]]: one row per DISTINCT text, doc_id = min of
+    * its clone group — the oracle-side replay of [[cloneGroups]] for
+    * the rep-level (no-expansion) audits q105/q107. The plain tkCte
+    * only equals this when every text is distinct; sf0.1 has 8
+    * exact-clone texts (4992 distinct of 5000), which is exactly
+    * where the unrooted oracle diverged in the r10 sf0.1 full-gate
+    * pass. */
+  private val repTkCte =
+    """reps AS (SELECT min(doc_id) doc_id FROM documents GROUP BY text),
+      tk AS (SELECT d.doc_id, list_filter(string_split(d.text,' '), x->x<>'') tk
+             FROM documents d JOIN reps USING (doc_id))"""
   private val shCte =
     """sh AS (
       SELECT doc_id,
@@ -1426,16 +1438,21 @@ object Dedup {
       SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
 
     // SimHash near-dup pairs: hamming ≤ 3 via 4-block pigeonhole join
-    // (8/8/8/6-bit blocks) — shuffles on block value, never n² pairs
+    // (8/8/8/6-bit blocks) — shuffles on block value, never n² pairs.
+    // The oracle replays the 256 block-bucket cap (QUALIFY row_number
+    // by doc_id): the 6-bit block has only 64 buckets, so at sf0.1 its
+    // biggest bucket holds 414 docs and the cap genuinely fires.
     Q("q26_dedup_simhash_pairs", (s, d) => {
       simhashPairs(t(s, d, "documents"))
         .orderBy(col("a_id"), col("b_id"))
     }, Some(s"""
       WITH $tkCte, $simCte,
       blocks AS (
-        SELECT doc_id, simhash, bi,
-          (simhash >> (bi*8)) & (CASE WHEN bi=3 THEN 63 ELSE 255 END) bv
-        FROM sim, generate_series(0,3) g(bi)),
+        SELECT doc_id, simhash, bi, bv FROM (
+          SELECT doc_id, simhash, bi,
+            (simhash >> (bi*8)) & (CASE WHEN bi=3 THEN 63 ELSE 255 END) bv
+          FROM sim, generate_series(0,3) g(bi))
+        QUALIFY row_number() OVER (PARTITION BY bi, bv ORDER BY doc_id) <= 256),
       cand AS (
         SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.simhash ah, b.simhash bh
         FROM blocks a JOIN blocks b ON a.bi=b.bi AND a.bv=b.bv AND a.doc_id<b.doc_id)
@@ -1924,11 +1941,13 @@ object Dedup {
       minhashCalibration(t(s, d, "documents"))
         .orderBy(col("a_id"), col("b_id"))
     }, Some(s"""
-      WITH $tkCte, $shCte, $mhCte,
+      WITH $repTkCte, $shCte, $mhCte,
       bands AS (
-        SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
-        FROM mh, generate_series(0,${BANDS - 1}) g(b)
-        WHERE len(shingles) > 0),
+        SELECT doc_id, b, sig FROM (
+          SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+          FROM mh, generate_series(0,${BANDS - 1}) g(b)
+          WHERE len(shingles) > 0)
+        QUALIFY row_number() OVER (PARTITION BY b, sig ORDER BY doc_id) <= 256),
       cand AS (
         SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
         FROM bands a JOIN bands b ON a.b=b.b AND a.sig=b.sig AND a.doc_id<b.doc_id)
@@ -1973,11 +1992,13 @@ object Dedup {
       dedupThresholdSweep(t(s, d, "documents"))
         .orderBy(col("threshold"))
     }, Some(s"""
-      WITH $tkCte, $shCte, $mhCte,
+      WITH $repTkCte, $shCte, $mhCte,
       bands AS (
-        SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
-        FROM mh, generate_series(0,${BANDS - 1}) g(b)
-        WHERE len(shingles) > 0),
+        SELECT doc_id, b, sig FROM (
+          SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+          FROM mh, generate_series(0,${BANDS - 1}) g(b)
+          WHERE len(shingles) > 0)
+        QUALIFY row_number() OVER (PARTITION BY b, sig ORDER BY doc_id) <= 256),
       cand AS (
         SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
         FROM bands a JOIN bands b ON a.b=b.b AND a.sig=b.sig AND a.doc_id<b.doc_id),
@@ -2113,9 +2134,11 @@ object Dedup {
         WHERE jaccard >= 0.5),
       $simCte,
       blocks AS (
-        SELECT doc_id, simhash, bi,
-          (simhash >> (bi*8)) & (CASE WHEN bi=3 THEN 63 ELSE 255 END) bv
-        FROM sim, generate_series(0,3) g(bi)),
+        SELECT doc_id, simhash, bi, bv FROM (
+          SELECT doc_id, simhash, bi,
+            (simhash >> (bi*8)) & (CASE WHEN bi=3 THEN 63 ELSE 255 END) bv
+          FROM sim, generate_series(0,3) g(bi))
+        QUALIFY row_number() OVER (PARTITION BY bi, bv ORDER BY doc_id) <= 256),
       scand AS (
         SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.simhash ah, b.simhash bh
         FROM blocks a JOIN blocks b ON a.bi=b.bi AND a.bv=b.bv AND a.doc_id<b.doc_id),
