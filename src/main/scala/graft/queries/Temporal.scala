@@ -1301,6 +1301,90 @@ object Temporal {
           AND o.rn = rec.rn + 1)
       SELECT event_type, hr, cnt, CAST(l AS BIGINT) AS level_milli,
         CAST(b AS BIGINT) AS trend_milli, spike
-      FROM rec ORDER BY 1, 2"""))
+      FROM rec ORDER BY 1, 2""")),
+
+    // Markov next-event HELD-OUT accuracy — the model-eval composition
+    // of q148's transition matrix with q164's user-keyed folds: 5
+    // hash-assigned user folds; for each fold the model trains on the
+    // OTHER four (train = corpus counts − fold counts, so one
+    // (fold, from, to) groupBy plus its (from, to) rollup covers
+    // every leave-one-out model — no per-fold passes), predicts the
+    // argmax next type (count desc, type asc — q113's struct-min
+    // tie-break), and is scored on the held-out fold's own
+    // transitions. All integers; acc as a floor ratio. Scale shape:
+    // transitions from q148's bounded per-user lag windows, cut()
+    // once (narrow 3 columns) because they feed both the counts and
+    // the evaluation join; the per-fold grid is a Generate over the
+    // |types|²-bounded total table, never a cross join
+    Q("q196_markov_holdout", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val trf = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"),
+          (hmod(concat(lit("mfold:"), col("user_id").cast("string"))) % 5L)
+            .as("fold"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .select(col("fold"), col("from_type"), col("event_type").as("to_type"))
+        .cut() // feeds the fold counts AND the evaluation join
+      val c = trf.groupBy(col("fold"), col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("from_type"), col("to_type"))
+        .agg(sum(col("n")).as("nt"))
+      val g = tot
+        .withColumn("fold",
+          explode(array((0 until 5).map(i => lit(i.toLong)): _*)))
+        .join(c, Seq("fold", "from_type", "to_type"), "left")
+        .withColumn("train", col("nt") - coalesce(col("n"), lit(0L)))
+      val pred = g.filter(col("train") > 0L)
+        .groupBy(col("fold"), col("from_type"))
+        .agg(min(struct((-col("train")).as("neg"), col("to_type").as("p")))
+          .as("m"))
+        .select(col("fold"), col("from_type"), col("m.p").as("pred"))
+      trf.join(pred, Seq("fold", "from_type"), "left")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("to_type") === col("pred"), 1L).otherwise(0L))
+            .as("n_hits"))
+        .withColumn("acc_ppm", expr("(1000000L * n_hits) div n_test"))
+        .orderBy(col("fold"))
+    }, Some(s"""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts)//1000 sec, event_type,
+                   ${sql.hmod("'mfold:'||CAST(user_id AS VARCHAR)")} % 5
+                     AS fold
+                 FROM events),
+      tr AS (SELECT fold,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY sec, event_id) from_type,
+               event_type to_type
+             FROM e),
+      trf AS (SELECT fold, from_type, to_type FROM tr
+              WHERE from_type IS NOT NULL),
+      c AS (SELECT fold, from_type, to_type, CAST(count(*) AS BIGINT) n
+            FROM trf GROUP BY 1, 2, 3),
+      tot AS (SELECT from_type, to_type, CAST(SUM(n) AS BIGINT) nt
+              FROM c GROUP BY 1, 2),
+      folds AS (SELECT CAST(unnest([0,1,2,3,4]) AS BIGINT) AS fold),
+      g AS (SELECT folds.fold, t.from_type, t.to_type,
+              t.nt - COALESCE(c.n, 0) AS train
+            FROM tot t CROSS JOIN folds
+            LEFT JOIN c ON c.fold = folds.fold
+              AND c.from_type = t.from_type AND c.to_type = t.to_type),
+      pred AS (SELECT fold, from_type, to_type AS pred FROM (
+                 SELECT fold, from_type, to_type,
+                   row_number() OVER (PARTITION BY fold, from_type
+                     ORDER BY train DESC, to_type ASC) rn
+                 FROM g WHERE train > 0)
+               WHERE rn = 1)
+      SELECT trf.fold AS fold, CAST(count(*) AS BIGINT) AS n_test,
+        CAST(SUM(CASE WHEN trf.to_type = p.pred THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+        CAST((1000000 * SUM(CASE WHEN trf.to_type = p.pred THEN 1 ELSE 0 END))
+             // count(*) AS BIGINT) AS acc_ppm
+      FROM trf LEFT JOIN pred p ON trf.fold = p.fold
+        AND trf.from_type = p.from_type
+      GROUP BY 1 ORDER BY fold"""))
   )
 }

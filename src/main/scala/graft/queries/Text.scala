@@ -832,6 +832,121 @@ object Text {
               CAST(row_number() OVER (ORDER BY burst_milli DESC, tok ASC)
                    AS BIGINT) rank
             FROM r)
-      WHERE rank <= 20 ORDER BY rank"""))
+      WHERE rank <= 20 ORDER BY rank""")),
+
+    // Heaps'-law vocabulary-growth card (Heaps 1978: V(n) ≈ K·n^β —
+    // the tokenizer-budget planning curve q187 sizes statically): at
+    // fixed doc-count checkpoints, the running vocabulary size and
+    // token total over the first k docs in doc_id (ingestion) order.
+    // The exponent is a plot, not a gate — the card reports the exact
+    // (tokens_total, vocab_types) pairs plus the type/token floor
+    // ratio. Scale shape: checkpoint thresholds come off ONE
+    // TakeOrdered limit(5000) pass (a fixed constant — driver holds
+    // ≤ 5000 ids, the KMeansOp scalar contract); V(k)/T(k) are then
+    // conditional sums in a SINGLE aggregate over the union of the
+    // first-occurrence table (q191's inverted index) and per-doc
+    // token counts — no window, no join, one shuffle
+    Q("q194_heaps_curve", (s, d) => {
+      val docs = t(s, d, "documents")
+      val maxK = 5000
+      val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
+        .limit(maxK).collect().map(_.getLong(0))
+      val ks = Seq(10, 50, 100, 250, 500, 1000, 2500, 5000)
+        .filter(_ <= ids.length)
+      if (ks.isEmpty) {
+        import s.implicits._
+        Seq.empty[(Long, Long, Long, Long, Long)]
+          .toDF("k", "threshold_doc", "vocab_types", "tokens_total", "ttr_ppm")
+      } else {
+        val tagged = docs
+          .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("id"))
+          .select(col("id"), lit(1L).as("v"), lit("v").as("kind"))
+          .unionByName(docs.select(col("doc_id").as("id"),
+            size(tokens(col("text"))).cast(LongType).as("v"), lit("t").as("kind")))
+        val sums = ks.flatMap { k =>
+          val thr = ids(k - 1)
+          Seq(
+            sum(when(col("kind") === "v" && col("id") <= thr, col("v"))
+              .otherwise(0L)).as(s"v$k"),
+            sum(when(col("kind") === "t" && col("id") <= thr, col("v"))
+              .otherwise(0L)).as(s"t$k"))
+        }
+        val stackArgs = ks
+          .map(k => s"${k}L, ${ids(k - 1)}L, v$k, t$k").mkString(", ")
+        tagged.agg(sums.head, sums.tail: _*)
+          .selectExpr(s"stack(${ks.length}, $stackArgs) " +
+            "AS (k, threshold_doc, vocab_types, tokens_total)")
+          .withColumn("ttr_ppm", expr(
+            "CASE WHEN tokens_total = 0L THEN -1L " +
+              "ELSE (1000000L * vocab_types) div tokens_total END"))
+          .orderBy(col("k"))
+      }
+    }, Some("""
+      WITH ids AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) rn
+                   FROM documents),
+      ks AS (SELECT CAST(unnest([10,50,100,250,500,1000,2500,5000]) AS BIGINT)
+               AS k),
+      th AS (SELECT k, doc_id thr FROM ks JOIN ids ON ids.rn = k),
+      tk AS (SELECT doc_id,
+               CAST(len(list_filter(string_split(text,' '), x->x<>''))
+                    AS BIGINT) ntok
+             FROM documents),
+      fd AS (SELECT tok, MIN(doc_id) fdoc FROM (
+               SELECT doc_id,
+                 unnest(list_distinct(list_filter(string_split(text,' '),
+                                                  x->x<>''))) tok
+               FROM documents) GROUP BY 1)
+      SELECT k, CAST(thr AS BIGINT) AS threshold_doc,
+        (SELECT CAST(count(*) AS BIGINT) FROM fd WHERE fdoc <= thr)
+          AS vocab_types,
+        (SELECT CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM tk
+         WHERE doc_id <= thr) AS tokens_total,
+        CAST(CASE WHEN (SELECT COALESCE(SUM(ntok), 0) FROM tk
+                        WHERE doc_id <= thr) = 0 THEN -1
+             ELSE (1000000 * (SELECT count(*) FROM fd WHERE fdoc <= thr))
+                  // (SELECT SUM(ntok) FROM tk WHERE doc_id <= thr) END
+             AS BIGINT) AS ttr_ppm
+      FROM th ORDER BY k""")),
+
+    // cross-source n-gram novelty (the training-mix diversity card:
+    // how much of a source's 3-gram type inventory appears NOWHERE
+    // else — boilerplate-heavy or mirrored sources score low, genuinely
+    // novel sources high; the type-level complement of q168's
+    // frequency drift and q115's near-dup leakage): per source the
+    // distinct shingle-type count, the count exclusive to it, and the
+    // exclusivity floor ratio. Inverted-index shape (the q75 pattern —
+    // never a window over the shingle key): distinct (source, shingle)
+    // pairs → per-shingle source count → equi-join back → per-source
+    // rollup; cut() because the pair table feeds both sides
+    Q("q195_source_ngram_novelty", (s, d) => {
+      val sv = t(s, d, "documents")
+        .select(col("source"),
+          explode(shingles(tokens(col("text")), 3, distinct = true)).as("sh"))
+        .distinct().cut() // feeds the per-shingle counts AND the rollup join
+      val c = sv.groupBy(col("sh")).agg(count(lit(1)).as("ns"))
+      sv.join(c, "sh")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("ns") === 1L, 1L).otherwise(0L)).as("n_exclusive"))
+        .withColumn("novelty_ppm",
+          expr("(1000000L * n_exclusive) div n_types"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH sv AS (SELECT DISTINCT source,
+                    unnest(CASE WHEN len(tk)>=3
+                           THEN list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                                               for i in generate_series(1,len(tk)-2)])
+                           ELSE [] END) sh
+                  FROM (SELECT source,
+                          list_filter(string_split(text,' '), x->x<>'') tk
+                        FROM documents)),
+      c AS (SELECT sh, CAST(count(*) AS BIGINT) ns FROM sv GROUP BY 1)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_exclusive,
+        CAST((1000000 * SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END)) // count(*)
+             AS BIGINT) AS novelty_ppm
+      FROM sv JOIN c USING (sh) GROUP BY source ORDER BY source"""))
   )
 }

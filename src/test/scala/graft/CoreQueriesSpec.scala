@@ -1436,4 +1436,90 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("separated") == (bd * na * nb > den))
     }
   }
+
+  test("q194: Heaps curve replays from a brute prefix scan") {
+    val rows = SparkEntry.queries("q194_heaps_curve")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty)))
+    val ids = docs.map(_._1).sorted
+    val firstDoc = docs.flatMap(d => d._2.distinct.map(_ -> d._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val ks = Seq(10, 50, 100, 250, 500, 1000, 2500, 5000)
+      .filter(_ <= ids.length)
+    assert(rows.length == ks.length)
+    rows.zip(ks).foreach { case (r, k) =>
+      val thr = ids(k - 1)
+      val v = firstDoc.values.count(_ <= thr).toLong
+      val t = docs.filter(_._1 <= thr).map(_._2.length.toLong).sum
+      assert(r.getAs[Long]("k") == k.toLong)
+      assert(r.getAs[Long]("threshold_doc") == thr)
+      assert(r.getAs[Long]("vocab_types") == v, s"k=$k vocab")
+      assert(r.getAs[Long]("tokens_total") == t, s"k=$k tokens")
+      assert(r.getAs[Long]("ttr_ppm") ==
+        (if (t == 0L) -1L else 1000000L * v / t))
+      // vocabulary growth is monotone in k (the curve IS a curve)
+    }
+    val vs = rows.map(_.getAs[Long]("vocab_types"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q195: source n-gram novelty replays from brute shingle sets") {
+    val rows = SparkEntry.queries("q195_source_ngram_novelty")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty)))
+    val sv = docs.flatMap { case (src, tk) =>
+      tk.sliding(3).filter(_.length == 3).map(w => src -> w.mkString(" "))
+    }.distinct
+    val nSources = sv.groupBy(_._2).view.mapValues(_.length).toMap
+    val bySrc = sv.groupBy(_._1)
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val types = bySrc(src).map(_._2)
+      val excl = types.count(nSources(_) == 1).toLong
+      assert(r.getAs[Long]("n_types") == types.length.toLong)
+      assert(r.getAs[Long]("n_exclusive") == excl)
+      assert(r.getAs[Long]("novelty_ppm") == 1000000L * excl / types.length)
+    }
+  }
+
+  test("q196: Markov held-out accuracy replays from a JVM fold/argmax simulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols.hmodJvm
+    val rows = SparkEntry.queries("q196_markov_holdout")(spark, sf).collect()
+      .map(r => r.getAs[Long]("fold") -> r).toMap
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("sec"), r.getAs[String]("event_type")))
+    val trf = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val fold = hmodJvm(s"mfold:$u") % 5L
+      val ordered = es.sortBy(e => (e._3, e._2)).map(_._4)
+      ordered.zip(ordered.tail).map { case (f, t) => (fold, f, t) }
+    }
+    val c = trf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = trf.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val folds = trf.map(_._1).distinct
+    assert(rows.size == folds.size)
+    folds.foreach { fold =>
+      val pred = tot.keys.map(_._1).toSeq.distinct.flatMap { from =>
+        val cands = tot.keys.filter(_._1 == from).toSeq
+          .map { k => (k._2, tot(k) - c.getOrElse((fold, k._1, k._2), 0L)) }
+          .filter(_._2 > 0L)
+        if (cands.isEmpty) None
+        else Some(from -> cands.minBy { case (to, n) => (-n, to) }._1)
+      }.toMap
+      val test = trf.filter(_._1 == fold)
+      val hits = test.count { case (_, f, t) => pred.get(f).contains(t) }.toLong
+      val r = rows(fold)
+      assert(r.getAs[Long]("n_test") == test.size.toLong)
+      assert(r.getAs[Long]("n_hits") == hits)
+      assert(r.getAs[Long]("acc_ppm") == 1000000L * hits / test.size)
+    }
+  }
 }
