@@ -2208,7 +2208,51 @@ object Dedup {
       FROM n a JOIN n c ON a.nm < c.nm
         AND abs(len(a.nm) - len(c.nm)) <= 3
       WHERE levenshtein(a.nm, c.nm) <= 3
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2""")),
+
+    // exact-clone provenance card — the corpus exact-dup rate every
+    // dedup report opens with (and the front-line health check on the
+    // clone-collapse machinery every dedup operator here rides): one
+    // groupBy(text) pass — the exact-dedup operator itself, the
+    // C4/RefinedWeb stage-order rule of [[deduplicate]] — rolled up to
+    // one row: doc/text counts, clone-group count and mass, max group
+    // size, how many groups CROSS sources (the leakage signal: a clone
+    // group inside one source is mirroring, across sources is
+    // contamination), and the exact-dup rate as a floor ratio. At
+    // sf0.01 every text is distinct (all-zero clone columns — the
+    // honest q136-style verdict); sf0.1's 8 clone texts light it up
+    Q("q198_clone_card", (s, d) => {
+      val g = t(s, d, "documents")
+        .groupBy(col("text"))
+        .agg(count(lit(1)).as("gsz"),
+          countDistinct(col("source")).as("nsrc"))
+      g.agg(
+        sum(col("gsz")).as("n_docs"),
+        count(lit(1)).as("n_texts"),
+        sum(when(col("gsz") > 1L, 1L).otherwise(0L)).as("n_clone_groups"),
+        sum(when(col("gsz") > 1L, col("gsz")).otherwise(0L))
+          .as("n_clone_docs"),
+        max(col("gsz")).as("max_group_size"),
+        sum(when(col("gsz") > 1L && col("nsrc") > 1L, 1L).otherwise(0L))
+          .as("n_cross_source_groups"))
+        .withColumn("exact_dup_ppm",
+          expr("(1000000L * (n_docs - n_texts)) div n_docs"))
+    }, Some("""
+      WITH g AS (SELECT text, CAST(count(*) AS BIGINT) gsz,
+                   CAST(count(DISTINCT source) AS BIGINT) nsrc
+                 FROM documents GROUP BY 1)
+      SELECT CAST(SUM(gsz) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_texts,
+        CAST(SUM(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clone_groups,
+        CAST(SUM(CASE WHEN gsz > 1 THEN gsz ELSE 0 END) AS BIGINT)
+          AS n_clone_docs,
+        CAST(MAX(gsz) AS BIGINT) AS max_group_size,
+        CAST(SUM(CASE WHEN gsz > 1 AND nsrc > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cross_source_groups,
+        CAST((1000000 * (SUM(gsz) - count(*))) // SUM(gsz) AS BIGINT)
+          AS exact_dup_ppm
+      FROM g"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -1030,29 +1030,39 @@ object Similarity {
       }
       val ja = midranks(a, "sa", "ra2").select(col("doc_id"), col("ra2"))
       val jb = midranks(b, "sb", "rb2").select(col("doc_id"), col("rb2"))
-      ja.join(jb, "doc_id")
+      // Six driver scalars (the q134/q137 rule), then O(1) BigInt for
+      // the final ρ² — the n⁴-sized var products overflow ANY fixed
+      // width at 100× (measured at sf10: varx·vary hit 4.3e44 against
+      // DECIMAL(38,0)'s 38 digits, r12 bench re-capture), so the
+      // distributed part stops at the DECIMAL(38,0) moment sums
+      // (exact to ~3e12 docs) and the unbounded cov magnitude never
+      // becomes a column — the output carries its SIGN plus the
+      // bounded ρ²_ppm
+      val m = ja.join(jb, "doc_id")
         .agg(count(lit(1)).as("n"),
-          sum(col("ra2")).as("sx"), sum(col("rb2")).as("sy"),
+          sum(col("ra2").cast(dec)).as("sx"),
+          sum(col("rb2").cast(dec)).as("sy"),
           sum(col("ra2").cast(dec) * col("rb2").cast(dec)).as("sxy"),
           sum(col("ra2").cast(dec) * col("ra2").cast(dec)).as("sxx"),
           sum(col("rb2").cast(dec) * col("rb2").cast(dec)).as("syy"))
-        .withColumn("cov_num", expr(
-          "CAST(CAST(n AS DECIMAL(38,0)) * sxy - " +
-            "CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))"))
-        .withColumn("varx", expr(
-          "CAST(CAST(n AS DECIMAL(38,0)) * sxx - " +
-            "CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))"))
-        .withColumn("vary", expr(
-          "CAST(CAST(n AS DECIMAL(38,0)) * syy - " +
-            "CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))"))
-        .select(col("n"),
-          col("cov_num").cast(LongType).as("cov_num"),
-          expr("CAST(CASE WHEN varx * vary = 0 THEN -1 ELSE " +
-            "(CAST(1000000 AS DECIMAL(38,0)) * cov_num * cov_num) div " +
-            "(varx * vary) END AS BIGINT)").as("rho2_ppm"),
-          expr("CASE WHEN varx * vary = 0 THEN 'degenerate' " +
-            "WHEN cov_num > 0 THEN 'agree' " +
-            "WHEN cov_num < 0 THEN 'oppose' ELSE 'none' END").as("verdict"))
+        .head()
+      val n = m.getLong(0)
+      def bi(i: Int): BigInt = BigInt(m.getDecimal(i).toBigInteger)
+      val (sx, sy, sxy, sxx, syy) = (bi(1), bi(2), bi(3), bi(4), bi(5))
+      val cov = BigInt(n) * sxy - sx * sy
+      val varx = BigInt(n) * sxx - sx * sx
+      val vary = BigInt(n) * syy - sy * sy
+      val vv = varx * vary
+      val rho2 = if (vv == 0) -1L
+        else (BigInt(1000000) * cov * cov / vv).toLong // ≤ 10⁶ by Cauchy–Schwarz
+      val verdict =
+        if (vv == 0) "degenerate"
+        else if (cov > 0) "agree"
+        else if (cov < 0) "oppose"
+        else "none"
+      import s.implicits._
+      Seq((n, cov.signum.toLong, rho2, verdict))
+        .toDF("n", "cov_sign", "rho2_ppm", "verdict")
     }, Some(s"""
       WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
                   FROM documents),
@@ -1092,7 +1102,9 @@ object Similarity {
               n*sxx - CAST(sx AS HUGEINT)*sx varx,
               n*syy - CAST(sy AS HUGEINT)*sy vary
             FROM m)
-      SELECT n, CAST(cov_num AS BIGINT) AS cov_num,
+      SELECT n,
+        CAST(CASE WHEN cov_num > 0 THEN 1 WHEN cov_num < 0 THEN -1
+             ELSE 0 END AS BIGINT) AS cov_sign,
         CAST(CASE WHEN varx * vary = 0 THEN -1
              ELSE (1000000 * cov_num * cov_num) // (varx * vary)
              END AS BIGINT) AS rho2_ppm,

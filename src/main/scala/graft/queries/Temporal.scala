@@ -1385,6 +1385,159 @@ object Temporal {
              // count(*) AS BIGINT) AS acc_ppm
       FROM trf LEFT JOIN pred p ON trf.fold = p.fold
         AND trf.from_type = p.from_type
-      GROUP BY 1 ORDER BY fold"""))
+      GROUP BY 1 ORDER BY fold""")),
+
+    // top session journey prefixes — the "common user paths" card
+    // (q186's sessionization composed with q161's sequence counting):
+    // each session's first up-to-3 event types as a '>'-joined path,
+    // counted, top-10. Within-session order is (sec, event_id) — the
+    // q148 unique tie-break — while session MEMBERSHIP only needs sec
+    // (gap 0 never opens a boundary, q186's argument). The first-3
+    // pivot is conditional max aggregation (never a per-session
+    // collect/sort lambda); concat_ws drops the NULLs of short
+    // sessions identically on both engines. Top-10 via
+    // TakeOrderedAndProject + a 10-row rank window (the q134 shape,
+    // certified in PlanSpec's bounded-window sweep)
+    Q("q197_session_paths", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .withColumn("nb",
+          when(col("gap").isNull || col("gap") > 1800L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("nb")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("sid"))
+            .orderBy(col("sec"), col("event_id"))))
+      val paths = sess.filter(col("rn") <= 3L)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(
+          max(when(col("rn") === 1L, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2L, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3L, col("event_type"))).as("e3"))
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      val wr = Window.orderBy(col("n_sessions").desc, col("path").asc)
+      paths.orderBy(col("n_sessions").desc, col("path").asc).limit(10)
+        .withColumn("rank", row_number().over(wr).cast(LongType))
+        .select(col("rank"), col("path"), col("n_sessions"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts)//1000 sec, event_type
+                 FROM events),
+      g AS (SELECT user_id, event_id, sec, event_type,
+              sec - lag(sec) OVER (PARTITION BY user_id
+                ORDER BY sec, event_id) gap
+            FROM e),
+      sd AS (SELECT user_id, event_id, sec, event_type,
+               SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+             FROM g),
+      rn AS (SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                 ORDER BY sec, event_id) rn
+             FROM sd),
+      p AS (SELECT concat_ws('>',
+               MAX(CASE WHEN rn = 1 THEN event_type END),
+               MAX(CASE WHEN rn = 2 THEN event_type END),
+               MAX(CASE WHEN rn = 3 THEN event_type END)) path
+            FROM rn WHERE rn <= 3 GROUP BY user_id, sid),
+      c AS (SELECT path, CAST(count(*) AS BIGINT) n_sessions
+            FROM p GROUP BY 1)
+      SELECT rank, path, n_sessions FROM (
+        SELECT path, n_sessions,
+          CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+               AS BIGINT) rank
+        FROM c)
+      WHERE rank <= 10 ORDER BY rank""")),
+
+    // inter-event gap spectrum (what timescales a type operates on —
+    // the distribution q132's CV² and q188's VMR summarize to one
+    // number): consecutive same-user gaps labeled by the LATER
+    // event's type, bucketed by ⌊log2(gap+1)⌋ computed EXACTLY as
+    // length(bin(gap+1)) − 1 — the binary-representation integer
+    // identity of the q183/q172 doctrine, never a transcendental log.
+    // Bounded |types| × ~27 output; gaps from the q148 (sec,
+    // event_id)-ordered per-user lag windows
+    Q("q199_gap_spectrum", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .withColumn("gap_bucket",
+          (length(bin(col("gap") + 1L)) - 1).cast(LongType))
+        .groupBy(col("event_type"), col("gap_bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+        .orderBy(col("event_type"), col("gap_bucket"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts)//1000 sec, event_type
+                 FROM events),
+      g AS (SELECT event_type,
+              sec - lag(sec) OVER (PARTITION BY user_id
+                ORDER BY sec, event_id) gap
+            FROM e),
+      b AS (SELECT event_type, gap,
+              CAST(length(bin(gap + 1)) - 1 AS BIGINT) gap_bucket
+            FROM g WHERE gap IS NOT NULL)
+      SELECT event_type, gap_bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+        CAST(MIN(gap) AS BIGINT) AS min_gap,
+        CAST(MAX(gap) AS BIGINT) AS max_gap
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // event-type co-usage matrix (which features share an audience —
+    // the audience-overlap complement of q148's sequential coupling):
+    // per unordered type pair the distinct-user intersection and the
+    // exact Jaccard of the two user sets as a floor ratio. Shapes:
+    // ONE distinct (user, type) table cut() (feeds the pair join and
+    // the per-type totals); pairs from a user-keyed self-join where
+    // each user carries ≤ |types| rows, so the join output is
+    // Θ(users · |types|²) with |types| a small constant — never an
+    // unbounded pair explosion; the totals join onto the ≤ C(5,2)-row
+    // matrix broadcasts
+    Q("q200_type_user_overlap", (s, d) => {
+      val ut = t(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .cut() // feeds both pair-join sides and the per-type totals
+      val tots = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+      val pairs = ut.as("a")
+        .join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(tots.select(col("event_type").as("type_a"), col("nu").as("n_a")),
+          "type_a")
+        .join(tots.select(col("event_type").as("type_b"), col("nu").as("n_b")),
+          "type_b")
+        .withColumn("jaccard_ppm",
+          expr("(1000000L * n_both) div (n_a + n_b - n_both)"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"), col("jaccard_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    }, Some("""
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      tots AS (SELECT event_type, CAST(count(*) AS BIGINT) nu
+               FROM ut GROUP BY 1),
+      p AS (SELECT a.event_type type_a, b.event_type type_b,
+              CAST(count(*) AS BIGINT) n_both
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+              AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+      SELECT type_a, type_b, ta.nu AS n_a, tb.nu AS n_b, n_both,
+        CAST((1000000 * n_both) // (ta.nu + tb.nu - n_both) AS BIGINT)
+          AS jaccard_ppm
+      FROM p JOIN tots ta ON p.type_a = ta.event_type
+        JOIN tots tb ON p.type_b = tb.event_type
+      ORDER BY type_a, type_b"""))
   )
 }

@@ -356,6 +356,27 @@ object EventStream {
       }
   }
 
+  /** One scored transition — [[predictionStream]]'s unit. */
+  final case class PredRow(from_type: String, to_type: String, hit: Boolean)
+
+  /** Streaming next-event prediction scoring — q196's evaluation side
+    * as an ingest under the PINNED-MODEL contract (the q171/q120
+    * pattern: the model trains batch-side and ships as a broadcast-
+    * small constant, ≤ |types| entries): each arriving event emits its
+    * (from, to) transition via [[transitionStream]]'s O(1) per-user
+    * state, scored hit/miss against the pinned argmax map — a ZERO-
+    * state stateless map on top (the classifierScoreStream shape).
+    * The consumer's (hits, total) rollup over a fold's users equals
+    * the q196 gate row for that fold (PipelineStreamSpec pins it). */
+  def predictionStream(events: Dataset[TypedEvent],
+                       model: Map[String, String]): Dataset[PredRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    transitionStream(events).map(tr =>
+      PredRow(tr.from_type, tr.to_type,
+        model.get(tr.from_type).contains(tr.to_type)))
+  }
+
   /** q131's row, emitted per user per micro-batch (update semantics). */
   final case class BurstRow(user_id: Long, n_events: Long, peak_burst: Long,
                             is_burst: Boolean)

@@ -1059,7 +1059,7 @@ class CoreQueriesSpec extends AnyFunSuite {
     val varx = n * xs.map(x => x * x).sum - xs.sum.pow(2)
     val vary = n * ys.map(y => y * y).sum - ys.sum.pow(2)
     assert(BigInt(card.getAs[Long]("n")) == n)
-    assert(BigInt(card.getAs[Long]("cov_num")) == cov)
+    assert(card.getAs[Long]("cov_sign") == cov.signum.toLong)
     if (varx * vary == 0) assert(card.getAs[Long]("rho2_ppm") == -1L)
     else {
       assert(BigInt(card.getAs[Long]("rho2_ppm")) ==
@@ -1520,6 +1520,108 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_test") == test.size.toLong)
       assert(r.getAs[Long]("n_hits") == hits)
       assert(r.getAs[Long]("acc_ppm") == 1000000L * hits / test.size)
+    }
+  }
+
+  private def eventSeqs(): Map[Long, Seq[(Long, Long, String)]] = {
+    import org.apache.spark.sql.functions._
+    Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("sec"), r.getAs[String]("event_type")))
+      .groupBy(_._1).view
+      .mapValues(_.toSeq.sortBy(e => (e._3, e._2)).map(e => (e._3, e._2, e._4)))
+      .toMap
+  }
+
+  test("q197: top session paths replay from a JVM sessionize fold") {
+    val rows = SparkEntry.queries("q197_session_paths")(spark, sf).collect()
+    val paths = eventSeqs().values.flatMap { es =>
+      // split into sessions at gaps > 1800 s, take each session's
+      // first up-to-3 types
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      es.foreach { case (sec, _, tpe) =>
+        if (prev != Long.MinValue && sec - prev > 1800L)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += tpe
+        prev = sec
+      }
+      sessions.map(_.take(3).mkString(">"))
+    }
+    val counts = paths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(rows.length == top.length)
+    rows.zip(top).zipWithIndex.foreach { case ((r, (p, n)), i) =>
+      assert(r.getAs[Long]("rank") == i + 1L)
+      assert(r.getAs[String]("path") == p, s"rank ${i + 1}")
+      assert(r.getAs[Long]("n_sessions") == n)
+    }
+  }
+
+  test("q198: exact-clone card replays from a brute text groupBy") {
+    val rows = SparkEntry.queries("q198_clone_card")(spark, sf).collect()
+    assert(rows.length == 1)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("text", "source").collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[String]("source")))
+    val g = docs.groupBy(_._1).view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._2).distinct.length.toLong))
+      .toMap
+    val r = rows(0)
+    val nDocs = docs.length.toLong
+    val clones = g.values.filter(_._1 > 1L)
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    assert(r.getAs[Long]("n_texts") == g.size.toLong)
+    assert(r.getAs[Long]("n_clone_groups") == clones.size.toLong)
+    assert(r.getAs[Long]("n_clone_docs") == clones.map(_._1).sum)
+    assert(r.getAs[Long]("max_group_size") == g.values.map(_._1).max)
+    assert(r.getAs[Long]("n_cross_source_groups") ==
+      clones.count(_._2 > 1L).toLong)
+    assert(r.getAs[Long]("exact_dup_ppm") ==
+      1000000L * (nDocs - g.size) / nDocs)
+  }
+
+  test("q199: gap spectrum replays from a brute lag fold (bit-length buckets)") {
+    val rows = SparkEntry.queries("q199_gap_spectrum")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("gap_bucket")) -> r)
+      .toMap
+    val gaps = eventSeqs().values.flatMap { es =>
+      es.zip(es.tail).map { case ((s0, _, _), (s1, _, tpe)) => (tpe, s1 - s0) }
+    }.toSeq
+    val byBucket = gaps.groupBy { case (tpe, gap) =>
+      (tpe, (63 - java.lang.Long.numberOfLeadingZeros(gap + 1L)).toLong)
+    }
+    assert(rows.size == byBucket.size)
+    byBucket.foreach { case (k, gs) =>
+      val r = rows(k)
+      assert(r.getAs[Long]("n_gaps") == gs.size.toLong)
+      assert(r.getAs[Long]("min_gap") == gs.map(_._2).min)
+      assert(r.getAs[Long]("max_gap") == gs.map(_._2).max)
+    }
+  }
+
+  test("q200: type user-overlap replays from brute user sets") {
+    val rows = SparkEntry.queries("q200_type_user_overlap")(spark, sf).collect()
+    val ut = eventSeqs().toSeq.flatMap { case (u, es) =>
+      es.map(e => (e._3, u)).distinct
+    }.distinct
+    val sets = ut.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expected = for {
+      a <- types; b <- types if a < b
+      inter = (sets(a) & sets(b)).size.toLong if inter > 0L
+    } yield (a, b, inter)
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (a, b, inter)) =>
+      assert(r.getAs[String]("type_a") == a && r.getAs[String]("type_b") == b)
+      val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      assert(r.getAs[Long]("n_both") == inter)
+      assert(r.getAs[Long]("jaccard_ppm") ==
+        1000000L * inter / (na + nb - inter))
     }
   }
 }

@@ -197,9 +197,14 @@ class PlanSpec extends AnyFunSuite {
     // input grows with score-key cardinality (toward O(docs) on a real
     // corpus); boundedCumBelow splits it so the only unpartitioned
     // window runs over the __bin table (key-range/binWidth rows) and
-    // the per-key cumulative is PARTITIONED by bin
+    // the per-key cumulative is PARTITIONED by bin.
+    // q179 left this list in r12: its identical midrank machinery now
+    // executes BEFORE the driver-scalar collect (the BigInt overflow
+    // fix — n⁴-sized var products burst DECIMAL(38,0) at sf10), so its
+    // returned plan is the 1-row local card; the boundedCumBelow shape
+    // it rides is still pinned here through q155
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    for (q <- Seq("q155_classifier_eval", "q179_rank_correlation")) {
+    for (q <- Seq("q155_classifier_eval")) {
       val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
       val unpart = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
       assert(unpart.nonEmpty, s"$q lost its bin-level cumulative window")
@@ -233,12 +238,12 @@ class PlanSpec extends AnyFunSuite {
       "q162_rank_fusion" -> "RRF fuses two TOP-100 lists (≤200 rows)",
       "q171_profile_outliers" -> "top-20 deviation selection window",
       "q178_rank_sum_test" -> "cumulative over the grouped |delay|-domain table",
-      "q179_rank_correlation" -> "boundedCumBelow __bin tables (≤101 rows each)",
       "q180_ks_test" -> "CDF cumulative over the grouped |delay|-domain table",
       "q181_chi2_tokens" -> "20-row rank window after limit(20)",
       "q185_cramers_v" -> "grand-total window over the |prio×status| cell table (≤18 rows)",
       "q187_vocab_coverage" -> "rank/cumsum over the TakeOrdered top-1000 list",
-      "q192_token_dispersion" -> "20-row rank window after limit(20)")
+      "q192_token_dispersion" -> "20-row rank window after limit(20)",
+      "q197_session_paths" -> "10-row rank window after limit(10)")
     val uncertified = scala.collection.mutable.ArrayBuffer[String]()
     val unreduced = scala.collection.mutable.ArrayBuffer[String]()
     val live = scala.collection.mutable.Set[String]()

@@ -749,6 +749,53 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming prediction scoring under the pinned fold-0 model equals the q196 gate row") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.ExactCols.hmodJvm
+    val all = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_timestamp(ts) as sec",
+        "event_type")
+      .orderBy("sec", "event_id").collect()
+      .map(r => EventStream.TypedEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+    // pinned model = q196's fold-0 training side, replayed batch-side:
+    // full-corpus transition counts minus fold-0 counts, argmax with
+    // the (count desc, type asc) tie-break
+    def transitions(evs: Seq[EventStream.TypedEvent]): Seq[(String, String)] =
+      evs.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+        val o = es.sortBy(e => (e.sec, e.event_id)).map(_.event_type)
+        o.zip(o.tail)
+      }
+    val fold0 = all.filter(e => hmodJvm(s"mfold:${e.user_id}") % 5L == 0L).toSeq
+    val cAll = transitions(all.toSeq).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val c0 = transitions(fold0).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val model = cAll.keys.map(_._1).toSeq.distinct.flatMap { from =>
+      val cands = cAll.keys.filter(_._1 == from).toSeq
+        .map(k => (k._2, cAll(k) - c0.getOrElse(k, 0L))).filter(_._2 > 0L)
+      if (cands.isEmpty) None
+      else Some(from -> cands.minBy { case (t, n) => (-n, t) }._1)
+    }.toMap
+    val in = MemoryStream[EventStream.TypedEvent]
+    val q = EventStream.predictionStream(in.toDS(), model)
+      .writeStream.format("memory").queryName("pred_stream")
+      .outputMode("append").start()
+    try {
+      fold0.grouped(math.max(1, fold0.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val rows = spark.table("pred_stream").collect()
+      val hits = rows.count(_.getAs[Boolean]("hit")).toLong
+      val gate = graft.SparkEntry.queries("q196_markov_holdout")(spark, sf)
+        .collect().find(_.getAs[Long]("fold") == 0L).get
+      assert(rows.length.toLong == gate.getAs[Long]("n_test"))
+      assert(hits == gate.getAs[Long]("n_hits"))
+    } finally q.stop()
+  }
+
   test("streaming burst peaks (ordered ingest) equal the q131 gate rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
