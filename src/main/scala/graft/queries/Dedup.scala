@@ -2252,7 +2252,100 @@ object Dedup {
              AS BIGINT) AS n_cross_source_groups,
         CAST((1000000 * (SUM(gsz) - count(*))) // SUM(gsz) AS BIGINT)
           AS exact_dup_ppm
-      FROM g"""))
+      FROM g""")),
+
+    // SimHash bit-bias audit — the hash-quality diagnostic next to
+    // q105's estimator calibration: a healthy SimHash sets every bit
+    // on ~half the corpus; a biased bit shrinks the effective
+    // signature and inflates block-bucket collisions (the q26 cap
+    // pressure). Per bit the set count and |2·n_set − n|/n deviation
+    // as a floor ratio. ONE aggregate over the signature table (30
+    // conditional sums, the q194 stack() reshape — no explode shuffle)
+    Q("q201_simhash_bit_bias", (s, d) => {
+      val sim = simhashSignatures(t(s, d, "documents"))
+      val sums = (0 until SIMBITS).map(k =>
+        sum(shiftright(col("simhash"), k).bitwiseAND(lit(1L))).as(s"b$k")) :+
+        count(lit(1)).as("n_docs")
+      val stackArgs = (0 until SIMBITS).map(k => s"${k}L, b$k").mkString(", ")
+      sim.agg(sums.head, sums.tail: _*)
+        .selectExpr(s"stack($SIMBITS, $stackArgs) AS (bit, n_set)", "n_docs")
+        .withColumn("dev_ppm",
+          expr("(1000000L * abs(2L * n_set - n_docs)) div n_docs"))
+        .orderBy(col("bit"))
+    }, Some(s"""
+      WITH $tkCte, $simCte,
+      nn AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM sim),
+      bits AS (SELECT b, CAST(SUM((simhash >> b) & 1) AS BIGINT) n_set
+               FROM sim, generate_series(0,${SIMBITS - 1}) g(b) GROUP BY 1)
+      SELECT b AS bit, n_set, n_docs,
+        CAST((1000000 * abs(2*n_set - n_docs)) // n_docs AS BIGINT) AS dev_ppm
+      FROM bits, nn ORDER BY bit""")),
+
+    // per-source dedup impact — the corpus-report row next to q115's
+    // pair matrix and q198's exact-clone card: how much of each source
+    // the END-TO-END near-dedup pipeline (q78's deduplicate front
+    // door) actually removes. Sources whose removal rate spikes are
+    // the mirrored/boilerplate feeds a mixing recipe should discount
+    // BEFORE q85 computes shares. Shape: the already-audited
+    // deduplicate stages + two |sources|-bounded rollups
+    Q("q202_dedup_impact_by_source", (s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = deduplicate(docs)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .withColumn("removed_ppm",
+          expr("(1000000L * (n_docs - n_kept)) div n_docs"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      $ccCtes,
+      srcsurv AS (SELECT d.doc_id, d.source
+                  FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+                  WHERE COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) = d.doc_id),
+      atot AS (SELECT source, CAST(count(*) AS BIGINT) n_docs
+               FROM documents GROUP BY 1),
+      ksrc AS (SELECT source, CAST(count(*) AS BIGINT) n_kept
+               FROM srcsurv GROUP BY 1)
+      SELECT atot.source, n_docs,
+        CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        CAST((1000000 * (n_docs - COALESCE(n_kept, 0))) // n_docs AS BIGINT)
+          AS removed_ppm
+      FROM atot LEFT JOIN ksrc USING (source) ORDER BY atot.source""")),
+
+    // near-dup rate by document length — the interaction card (what
+    // GETS duplicated: boilerplate tends to live at specific length
+    // scales): docs bucketed by ⌊log2(n_chars)⌋ (the q183 bit-length
+    // identity), per bucket the share sitting in a multi-member
+    // near-dup cluster. Composition of q56's clustering with one
+    // size rollup and a bounded ≤64-bucket aggregate
+    Q("q203_dup_rate_by_length", (s, d) => {
+      val docs = t(s, d, "documents")
+      val cl = clusters(docs).select(col("doc_id"), col("cluster_id"))
+      val sz = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+      val flag = cl.join(sz, "cluster_id")
+        .select(col("doc_id"), (col("csz") > 1L).cast(LongType).as("is_dup"))
+      docs.select(col("doc_id"),
+          (length(bin(col("n_chars"))) - 1).cast(LongType).as("len_bucket"))
+        .join(flag, "doc_id")
+        .groupBy(col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"))
+        .withColumn("dup_ppm", expr("(1000000L * n_dup) div n_docs"))
+        .orderBy(col("len_bucket"))
+    }, Some(s"""
+      $ccCtes,
+      lab2 AS (SELECT d.doc_id,
+                 CAST(length(bin(d.n_chars)) - 1 AS BIGINT) len_bucket,
+                 COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) cid
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+      szs AS (SELECT cid, count(*) csz FROM lab2 GROUP BY 1)
+      SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        CAST((1000000 * SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END)) // count(*)
+             AS BIGINT) AS dup_ppm
+      FROM lab2 JOIN szs USING (cid)
+      GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

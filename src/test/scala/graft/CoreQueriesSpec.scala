@@ -1624,4 +1624,64 @@ class CoreQueriesSpec extends AnyFunSuite {
         1000000L * inter / (na + nb - inter))
     }
   }
+
+  test("q201: simhash bit bias replays from the gated signature surface") {
+    val rows = SparkEntry.queries("q201_simhash_bit_bias")(spark, sf).collect()
+    // signatures are themselves oracle-gated (q25); the card must be
+    // their exact per-bit popcount
+    val sigs = graft.queries.Dedup
+      .simhashSignatures(spark.read.parquet(s"$sf/documents.parquet"))
+      .collect().map(_.getAs[Long]("simhash"))
+    assert(rows.length == 30)
+    rows.zipWithIndex.foreach { case (r, k) =>
+      val set = sigs.count(s => ((s >> k) & 1L) == 1L).toLong
+      assert(r.getAs[Long]("bit") == k.toLong)
+      assert(r.getAs[Long]("n_set") == set)
+      assert(r.getAs[Long]("n_docs") == sigs.length.toLong)
+      assert(r.getAs[Long]("dev_ppm") ==
+        1000000L * math.abs(2L * set - sigs.length) / sigs.length)
+    }
+  }
+
+  test("q202: dedup impact per source is closed over the q78 survivor set") {
+    val rows = SparkEntry.queries("q202_dedup_impact_by_source")(spark, sf).collect()
+    val perSrc = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val survivors = SparkEntry.queries("q78_dedup_survivors")(spark, sf).count()
+    assert(rows.length == perSrc.size)
+    var keptTotal = 0L
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (n, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(n == perSrc(src))
+      assert(k >= 0L && k <= n)
+      assert(r.getAs[Long]("removed_ppm") == 1000000L * (n - k) / n)
+      keptTotal += k
+    }
+    // every survivor is attributed to exactly one source
+    assert(keptTotal == survivors)
+  }
+
+  test("q203: dup rate by length is closed over the q56 cluster sizes") {
+    val rows = SparkEntry.queries("q203_dup_rate_by_length")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val cl = SparkEntry.queries("q56_dup_clusters")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val csz = cl.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def bucket(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val byBucket = cl.groupBy { case (d, _) => bucket(docs(d)) }
+    assert(rows.length == byBucket.size)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("len_bucket")
+      val members = byBucket(b)
+      val dup = members.count { case (_, c) => csz(c) > 1L }.toLong
+      assert(r.getAs[Long]("n_docs") == members.length.toLong)
+      assert(r.getAs[Long]("n_dup") == dup)
+      assert(r.getAs[Long]("dup_ppm") == 1000000L * dup / members.length)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.size.toLong)
+  }
 }
