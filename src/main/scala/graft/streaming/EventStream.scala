@@ -356,6 +356,33 @@ object EventStream {
       }
   }
 
+  /** One inter-event gap, labeled by the LATER event's type —
+    * [[gapStream]]'s unit (q199's row before bucketing). */
+  final case class GapRow(event_type: String, gap: Long)
+
+  /** Streaming inter-event gaps — the q199 gap spectrum as an ingest:
+    * the same O(1) per-user (sec, event_id, type) state as
+    * [[transitionStream]], each arriving event emitting its gap to
+    * the previous same-user event exactly once; the spectrum (count /
+    * min / max per (type, ⌊log2(gap+1)⌋) bucket) is the consumer's
+    * rollup, ≡ the batch lag-window rows under ordered ingest. */
+  def gapStream(events: Dataset[TypedEvent]): Dataset[GapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastType, GapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, evs, state) =>
+        var last = state.getOption.orNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[GapRow]
+        for (e <- evs.toSeq.sortBy(x => (x.sec, x.event_id))) {
+          if (last != null) out += GapRow(e.event_type, e.sec - last.sec)
+          last = LastType(e.sec, e.event_id, e.event_type)
+        }
+        if (last != null) state.update(last)
+        out.iterator
+      }
+  }
+
   /** One scored transition — [[predictionStream]]'s unit. */
   final case class PredRow(from_type: String, to_type: String, hit: Boolean)
 

@@ -796,6 +796,39 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming gaps (ordered ingest) roll up to the q199 spectrum") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_timestamp(ts) as sec",
+        "event_type")
+      .orderBy("sec", "event_id").collect()
+      .map(r => EventStream.TypedEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+    val in = MemoryStream[EventStream.TypedEvent]
+    val q = EventStream.gapStream(in.toDS())
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("gap_stream").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("gap")))
+        .groupBy { case (t, g) =>
+          (t, (63 - java.lang.Long.numberOfLeadingZeros(g + 1L)).toLong) }
+        .map { case (k, gs) =>
+          k -> (gs.length.toLong, gs.map(_._2).min, gs.map(_._2).max) }
+      val gate = graft.SparkEntry.queries("q199_gap_spectrum")(spark, sf)
+        .collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("gap_bucket")) ->
+          ((r.getAs[Long]("n_gaps"), r.getAs[Long]("min_gap"),
+            r.getAs[Long]("max_gap")))).toMap
+      assert(got == gate)
+    } finally q.stop()
+  }
+
   test("streaming burst peaks (ordered ingest) equal the q131 gate rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
