@@ -1538,6 +1538,39 @@ object Temporal {
           AS jaccard_ppm
       FROM p JOIN tots ta ON p.type_a = ta.event_type
         JOIN tots tb ON p.type_b = tb.event_type
-      ORDER BY type_a, type_b"""))
+      ORDER BY type_a, type_b""")),
+
+    // weekly activity heatmap (the classic ops card: day-of-week ×
+    // hour-of-day event counts with deviation from the uniform
+    // expectation). Day-of-week and hour come from PURE epoch
+    // arithmetic — dow = (⌊sec/86400⌋ + 4) % 7 (1970-01-01 was a
+    // Thursday), hour = (sec mod 86400) / 3600 — never a calendar
+    // function (Spark dayofweek is 1-based Sunday, DuckDB 0-based:
+    // the calendar APIs disagree across engines; integers don't).
+    // Deviation vs uniform by cross-multiplication: dev_milli =
+    // ⌊1000·|168·cnt − total|/total⌋, total = one driver scalar (the
+    // q134 rule). Bounded ≤168-row output, one map-side-combined
+    // groupBy
+    Q("q204_weekly_heatmap", (s, d) => {
+      val ev = t(s, d, "events")
+        .select(unix_timestamp(col("ts")).as("sec"))
+        .selectExpr("(sec div 86400 + 4L) % 7L AS dow",
+          "(sec % 86400) div 3600 AS hour")
+      val total = math.max(ev.count(), 1L)
+      ev.groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("dev_milli", expr(
+          s"(1000L * abs(168L * n_events - ${total}L)) div ${total}L"))
+        .orderBy(col("dow"), col("hour"))
+    }, Some("""
+      WITH e AS (SELECT epoch_ms(ts)//1000 sec FROM events),
+      c AS (SELECT (sec//86400 + 4) % 7 AS dow,
+              (sec % 86400)//3600 AS hour FROM e),
+      tot AS (SELECT GREATEST(CAST(count(*) AS BIGINT), 1) t FROM c)
+      SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST((1000 * abs(168 * count(*) - tot.t)) // tot.t AS BIGINT)
+          AS dev_milli
+      FROM c, tot GROUP BY dow, hour, tot.t ORDER BY dow, hour"""))
   )
 }

@@ -947,6 +947,43 @@ object Text {
           AS n_exclusive,
         CAST((1000000 * SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END)) // count(*)
              AS BIGINT) AS novelty_ppm
-      FROM sv JOIN c USING (sh) GROUP BY source ORDER BY source"""))
+      FROM sv JOIN c USING (sh) GROUP BY source ORDER BY source""")),
+
+    // bytes-per-token card per source — the tokenizer cost metric
+    // every training-budget estimate runs on (chars per whitespace
+    // token ≈ the compression a subword tokenizer must beat; q110's
+    // ⌊√tokens⌋ mixing weights and q187's coverage curve both assume
+    // it's known): Σ token chars computed WITHOUT an explode —
+    // Σ len(token) over split-on-space with empties dropped is
+    // exactly length(replace(text, ' ', '')), an identity on both
+    // engines — so the whole card is one scan-stage projection plus
+    // a |sources|-bounded groupBy; ratio as a milli floor
+    Q("q205_bytes_per_token", (s, d) => {
+      t(s, d, "documents")
+        .select(col("source"),
+          expr("CAST(length(replace(text, ' ', '')) AS LONG)")
+            .as("tok_chars"),
+          size(tokens(col("text"))).cast(LongType).as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_chars")).as("token_chars"),
+          sum(col("ntok")).as("n_tokens"))
+        .withColumn("bytes_per_token_milli", expr(
+          "CASE WHEN n_tokens = 0L THEN -1L " +
+            "ELSE (1000L * token_chars) div n_tokens END"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH c AS (SELECT source,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT) tok_chars,
+                   CAST(len(list_filter(string_split(text,' '), x->x<>''))
+                        AS BIGINT) ntok
+                 FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(tok_chars) AS BIGINT) AS token_chars,
+        CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        CAST(CASE WHEN SUM(ntok) = 0 THEN -1
+             ELSE (1000 * SUM(tok_chars)) // SUM(ntok) END AS BIGINT)
+          AS bytes_per_token_milli
+      FROM c GROUP BY source ORDER BY source"""))
   )
 }

@@ -1684,4 +1684,46 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.size.toLong)
   }
+
+  test("q204: weekly heatmap replays from epoch arithmetic") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q204_weekly_heatmap")(spark, sf).collect()
+    val secs = Tables.t(spark, sf, "events")
+      .select(unix_timestamp(col("ts")).as("sec")).collect()
+      .map(_.getAs[Long]("sec"))
+    val cells = secs.map(s => ((s / 86400L + 4L) % 7L, (s % 86400L) / 3600L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = math.max(secs.length.toLong, 1L)
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("dow"), r.getAs[Long]("hour"))
+      assert(r.getAs[Long]("n_events") == cells(k))
+      assert(r.getAs[Long]("dev_milli") ==
+        1000L * math.abs(168L * cells(k) - total) / total)
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum == secs.length.toLong)
+  }
+
+  test("q205: bytes-per-token replays from a brute char scan") {
+    val rows = SparkEntry.queries("q205_bytes_per_token")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ts = bySrc(src).map(_._2)
+      val chars = ts.map(_.replace(" ", "").length.toLong).sum
+      val ntok = ts.map(_.split(" ").count(_.nonEmpty).toLong).sum
+      assert(r.getAs[Long]("n_docs") == ts.length.toLong)
+      assert(r.getAs[Long]("token_chars") == chars)
+      assert(r.getAs[Long]("n_tokens") == ntok)
+      assert(r.getAs[Long]("bytes_per_token_milli") ==
+        (if (ntok == 0L) -1L else 1000L * chars / ntok))
+      // a whitespace token has at least one char: ratio ≥ 1000 when
+      // any tokens exist
+      if (ntok > 0L) assert(r.getAs[Long]("bytes_per_token_milli") >= 1000L)
+    }
+  }
 }
