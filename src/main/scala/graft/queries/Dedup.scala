@@ -2345,7 +2345,53 @@ object Dedup {
         CAST((1000000 * SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END)) // count(*)
              AS BIGINT) AS dup_ppm
       FROM lab2 JOIN szs USING (cid)
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // most-duplicated documents — the worst-offenders report every
+    // dedup run ends with (WHICH texts are template spam): per doc its
+    // near-dup pair degree on q24's audited pair surface, top-10 by
+    // (degree desc, doc_id asc) with provenance labels. Degree via
+    // explode+groupBy (never a window over doc_id); top-10 =
+    // TakeOrderedAndProject + a 10-row rank window (the q134 shape,
+    // certified in PlanSpec's bounded-window sweep); the label join
+    // happens AFTER the limit, on ≤10 rows
+    Q("q206_top_duplicated_docs", (s, d) => {
+      val docs = t(s, d, "documents")
+      val deg = nearDupPairs(docs)
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pairs"))
+      val w = Window.orderBy(col("n_pairs").desc, col("doc_id").asc)
+      deg.orderBy(col("n_pairs").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .join(docs.select(col("doc_id"), col("source"), col("lang")),
+          "doc_id")
+        .select(col("rank"), col("doc_id"), col("n_pairs"),
+          col("source"), col("lang"))
+        .orderBy(col("rank"))
+    }, Some(s"""
+      WITH $tkCte, $shCte, $mhCte,
+      bands AS (
+        SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+        FROM mh, generate_series(0,${BANDS - 1}) g(b)
+        WHERE len(shingles) > 0),
+      cand AS (
+        SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        FROM bands a JOIN bands b ON a.b=b.b AND a.sig=b.sig AND a.doc_id<b.doc_id),
+      p AS (SELECT a_id, b_id FROM (
+              SELECT a_id, b_id,
+                len(list_intersect(x.shingles,y.shingles))::DOUBLE /
+                  len(list_distinct(x.shingles||y.shingles)) jaccard
+              FROM cand JOIN sh x ON a_id=x.doc_id JOIN sh y ON b_id=y.doc_id)
+            WHERE jaccard >= 0.5),
+      dg AS (SELECT dd doc_id, CAST(count(*) AS BIGINT) n_pairs
+             FROM (SELECT unnest([a_id, b_id]) dd FROM p) GROUP BY 1)
+      SELECT rank, doc_id, n_pairs, d.source, d.lang FROM (
+        SELECT doc_id, n_pairs,
+          CAST(row_number() OVER (ORDER BY n_pairs DESC, doc_id ASC)
+               AS BIGINT) rank
+        FROM dg) r
+      JOIN documents d USING (doc_id)
+      WHERE rank <= 10 ORDER BY rank"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -1571,6 +1571,58 @@ object Temporal {
         CAST(count(*) AS BIGINT) AS n_events,
         CAST((1000 * abs(168 * count(*) - tot.t)) // tot.t AS BIGINT)
           AS dev_milli
-      FROM c, tot GROUP BY dow, hour, tot.t ORDER BY dow, hour"""))
+      FROM c, tot GROUP BY dow, hour, tot.t ORDER BY dow, hour""")),
+
+    // return-time spectrum (how long users stay away between sessions
+    // — the continuous complement of q130's day-grid retention
+    // cohorts): q186's sessionization rolled to per-session
+    // (start, fin), the gap from each session's start to the previous
+    // session's end per user (> 1800 s by construction), bucketed by
+    // the q183 bit-length log2 identity. Per-user bounded windows
+    // only; ≤ ~17-row output. `fin`, not `end` — END is a reserved
+    // word in DuckDB
+    Q("q207_return_time_spectrum", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      val sess = t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .withColumn("nb",
+          when(col("gap").isNull || col("gap") > 1800L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("nb")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("sec")).as("st"), max(col("sec")).as("fin"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("sid"))
+      sess
+        .withColumn("prev_fin", lag(col("fin"), 1).over(w2))
+        .filter(col("prev_fin").isNotNull)
+        .select((col("st") - col("prev_fin")).as("rt"))
+        .withColumn("rt_bucket",
+          (length(bin(col("rt") + 1L)) - 1).cast(LongType))
+        .groupBy(col("rt_bucket"))
+        .agg(count(lit(1)).as("n_returns"),
+          min(col("rt")).as("min_rt"), max(col("rt")).as("max_rt"))
+        .orderBy(col("rt_bucket"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ms(ts)//1000 sec FROM events),
+      g AS (SELECT user_id, sec,
+              sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) gap
+            FROM e),
+      sd AS (SELECT user_id, sec,
+               SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+             FROM g),
+      ss AS (SELECT user_id, sid, MIN(sec) st, MAX(sec) fin
+             FROM sd GROUP BY 1, 2),
+      rr AS (SELECT user_id,
+               st - lag(fin) OVER (PARTITION BY user_id ORDER BY sid) rt
+             FROM ss),
+      b AS (SELECT rt, CAST(length(bin(rt + 1)) - 1 AS BIGINT) rt_bucket
+            FROM rr WHERE rt IS NOT NULL)
+      SELECT rt_bucket, CAST(count(*) AS BIGINT) AS n_returns,
+        CAST(MIN(rt) AS BIGINT) AS min_rt,
+        CAST(MAX(rt) AS BIGINT) AS max_rt
+      FROM b GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1726,4 +1726,52 @@ class CoreQueriesSpec extends AnyFunSuite {
       if (ntok > 0L) assert(r.getAs[Long]("bytes_per_token_milli") >= 1000L)
     }
   }
+
+  test("q206: top duplicated docs replay from the q24-gated pair surface") {
+    val rows = SparkEntry.queries("q206_top_duplicated_docs")(spark, sf).collect()
+    val pairs = SparkEntry.queries("q24_dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val lab = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[String]("lang")))).toMap
+    val top = deg.toSeq.sortBy { case (d, n) => (-n, d) }.take(10)
+    assert(rows.length == top.length)
+    rows.zip(top).zipWithIndex.foreach { case ((r, (d, n)), i) =>
+      assert(r.getAs[Long]("rank") == i + 1L)
+      assert(r.getAs[Long]("doc_id") == d)
+      assert(r.getAs[Long]("n_pairs") == n)
+      assert((r.getAs[String]("source"), r.getAs[String]("lang")) == lab(d))
+    }
+  }
+
+  test("q207: return-time spectrum replays from a JVM sessionize fold") {
+    val rows = SparkEntry.queries("q207_return_time_spectrum")(spark, sf).collect()
+      .map(r => r.getAs[Long]("rt_bucket") -> r).toMap
+    val gaps = eventSeqs().values.flatMap { es =>
+      // session (start, end) runs split at gaps > 1800 s
+      val secs = es.map(_._1)
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var st = secs.head; var fin = secs.head
+      secs.tail.foreach { s =>
+        if (s - fin > 1800L) { sessions += ((st, fin)); st = s }
+        fin = s
+      }
+      sessions += ((st, fin))
+      sessions.toSeq.zip(sessions.toSeq.tail)
+        .map { case ((_, pf), (s2, _)) => s2 - pf }
+    }.toSeq
+    val byBucket = gaps
+      .groupBy(g => (63 - java.lang.Long.numberOfLeadingZeros(g + 1L)).toLong)
+    assert(rows.size == byBucket.size)
+    byBucket.foreach { case (b, gs) =>
+      val r = rows(b)
+      assert(r.getAs[Long]("n_returns") == gs.size.toLong)
+      assert(r.getAs[Long]("min_rt") == gs.min)
+      assert(r.getAs[Long]("max_rt") == gs.max)
+      assert(gs.min > 1800L) // return gaps exceed the session gap
+    }
+  }
 }

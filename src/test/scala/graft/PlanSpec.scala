@@ -243,7 +243,8 @@ class PlanSpec extends AnyFunSuite {
       "q185_cramers_v" -> "grand-total window over the |prio×status| cell table (≤18 rows)",
       "q187_vocab_coverage" -> "rank/cumsum over the TakeOrdered top-1000 list",
       "q192_token_dispersion" -> "20-row rank window after limit(20)",
-      "q197_session_paths" -> "10-row rank window after limit(10)")
+      "q197_session_paths" -> "10-row rank window after limit(10)",
+      "q206_top_duplicated_docs" -> "10-row rank window after limit(10)")
     val uncertified = scala.collection.mutable.ArrayBuffer[String]()
     val unreduced = scala.collection.mutable.ArrayBuffer[String]()
     val live = scala.collection.mutable.Set[String]()
