@@ -124,22 +124,46 @@ object Bench {
         Thread.sleep(math.min(2000L, (prevSec * 20).toLong))
       } else Thread.sleep(100)
     }
-    // (name, minIsolated, maxIsolated, session, shufWriteB, shufReadB,
-    //  spillB, failedPasses)
-    val results = selected.map { case (name, fn) =>
+    // Session pass over every query first (byte metrics ride this
+    // pass — bytes are a plan property, identical across passes).
+    val session = selected.map { case (name, fn) =>
       val (w0, r0, s0) = metricsSnapshot()
       val t0 = System.nanoTime()
-      val okSession = run(fn, name)
-      val tSession = if (okSession) (System.nanoTime() - t0) / 1e9 else -1.0
+      val ok = run(fn, name)
+      val tSession = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       val (w1, r1, s1) = metricsSnapshot()
+      (name, fn, ok, tSession, w1 - w0, r1 - r0, s1 - s0)
+    }
+    // Isolated passes run ROUND-ROBIN (r11 judge ask #2): pass 1 of
+    // EVERY query, then pass 2 — the r10 protocol ran a query's
+    // isolated passes back-to-back, so one multi-minute host-noise
+    // window swallowed both and min-of-2 reported the noise as the
+    // query's cost (q83 2.5→10.4 s, q125 2.5→8.4 s, q88 0.6→3.0 s at
+    // sf0.1 with byte-identical shuffles and untouched code). With a
+    // query's passes separated by the whole surface (~minutes), a
+    // window long enough to hit both is a sustained host shift — which
+    // the anchors classify — not noise.
+    val isoTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+    if (!sessionOnly) {
+      // GC-debt barrier scales with the query that JUST ran (the one
+      // whose shuffle/accumulator debris needs collecting), seeded
+      // with the final session query's time
+      var prev = math.max(session.lastOption.map(_._4).getOrElse(0.0), 0.0)
+      for (_ <- 1 to passes; (name, fn, okSession, _, _, _, _) <- session) {
+        barrier(prev)
+        val t1 = System.nanoTime()
+        val ok = okSession && run(fn, name)
+        val t = if (ok) (System.nanoTime() - t1) / 1e9 else -1.0
+        prev = math.max(t, 0.0)
+        isoTimes(name) = t :: isoTimes.getOrElse(name, Nil)
+      }
+    }
+    // (name, minIsolated, maxIsolated, session, shufWriteB, shufReadB,
+    //  spillB, failedPasses)
+    val results = session.map { case (name, _, _, tSession, wb, rb, sb) =>
       val iso =
         if (sessionOnly) Seq(tSession)
-        else (1 to passes).map { _ =>
-          barrier(math.max(tSession, 0.0))
-          val t1 = System.nanoTime()
-          val ok = okSession && run(fn, name)
-          if (ok) (System.nanoTime() - t1) / 1e9 else -1.0
-        }
+        else isoTimes.getOrElse(name, Nil).reverse
       val good = iso.filter(_ >= 0)
       val tMin = if (good.nonEmpty) good.min else -1.0
       val tMax = if (good.nonEmpty) good.max else -1.0
@@ -148,7 +172,7 @@ object Bench {
       val badPasses = iso.count(_ < 0)
       if (badPasses > 0 && good.nonEmpty)
         System.err.println(s"[bench] $name: $badPasses/${iso.size} passes failed (reported min is from surviving passes)")
-      (name, tMin, tMax, tSession, w1 - w0, r1 - r0, s1 - s0, badPasses)
+      (name, tMin, tMax, tSession, wb, rb, sb, badPasses)
     }
     // millisecond precision keeps the one-line JSON compact — round
     // 3's driver capture truncated the tail of the full-width floats
@@ -182,15 +206,23 @@ object Bench {
     // baseline shifts between rounds (CLAUDE.md r10 note), so raw
     // cross-round deltas are unreadable; the ratio to a frozen anchor
     // query separates plan regressions from host drift mechanically.
-    val anchor = results.find(_._1 == "q01_agg_basic").map(_._2).filter(_ > 0)
-    val anchorPart = anchor match {
-      case Some(a) =>
-        val m = results.map(r => "\"" + r._1 + "\":" +
-          (if (r._2 < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, r._2 / a)))
-          .mkString("{", ",", "}")
-        s""","anchor":"q01_agg_basic","anchor_sec":${ms(a)},"queries_anchor_ratio":$m"""
-      case None => ""
-    }
+    // Two anchors (r11): q01 is scan/shuffle-bound, q23 is
+    // CPU-kernel-bound (md5 minhash over every shingle). r10 showed
+    // q01 holding flat (1.229 vs 1.228 s) while kernel-bound queries
+    // doubled — a scan anchor alone cannot classify a host shift that
+    // hits only the CPU side. A mover is host drift iff its ratio to
+    // the MATCHING anchor held; a plan regression moves the ratio.
+    def anchorJson(aq: String, key: String): String =
+      results.find(_._1 == aq).map(_._2).filter(_ > 0) match {
+        case Some(a) =>
+          val m = results.map(r => "\"" + r._1 + "\":" +
+            (if (r._2 < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, r._2 / a)))
+            .mkString("{", ",", "}")
+          s""","$key":"$aq","${key}_sec":${ms(a)},"queries_${key}_ratio":$m"""
+        case None => ""
+      }
+    val anchorPart = anchorJson("q01_agg_basic", "anchor") +
+      anchorJson("q23_minhash_sig", "anchor2")
     val json = s"""{"metric":"total","value":${ms(total(_._2))},"unit":"sec","queries":${qmap(_._2)},"failed":$failedJson,"flaky_passes":$flakyJson,"mode":"$mode"$sessionPart$bytesPart$anchorPart,"sf":"$sfDir"}"""
     // Full-width detail (full query names, per-pass worst, session map,
     // byte counters) goes to bench_full.json — it is ~15 KB and the

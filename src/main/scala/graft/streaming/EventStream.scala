@@ -383,6 +383,63 @@ object EventStream {
       }
   }
 
+  /** One dow×hour heatmap cell — [[heatmapCellStream]]'s unit. */
+  final case class HeatCell(dow: Long, hour: Long)
+
+  /** Streaming weekly-heatmap cells — the q204 card as an ingest: dow
+    * and hour are PURE epoch arithmetic on each event's second
+    * ((⌊sec/86400⌋+4) mod 7 / (sec mod 86400)/3600 — the gate's
+    * calendar-free formulas), so the stream is a ZERO-state stateless
+    * map (the classifierScoreStream shape); the ≤168-cell rollup with
+    * the uniform-deviation column is the consumer's aggregate and
+    * equals the q204 gate rows over the full stream
+    * (PipelineStreamSpec pins it). */
+  def heatmapCellStream(events: Dataset[UserSec]): Dataset[HeatCell] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // plain Scala / and % mirror Spark SQL's truncating div/% exactly
+    // (epoch seconds are positive, so floor vs trunc never diverges)
+    events.map(e =>
+      HeatCell((e.sec / 86400L + 4L) % 7L, (e.sec % 86400L) / 3600L))
+  }
+
+  /** One inter-session return time — [[returnTimeStream]]'s unit. */
+  final case class ReturnRow(user_id: Long, rt: Long)
+
+  /** Per-user last-event-second state for [[returnTimeStream]] —
+    * explicit `has` flag (the HoltState lesson: never a sentinel
+    * value that real data can reach). */
+  final case class LastSec(has: Boolean, sec: Long)
+
+  /** Streaming return times — the q207 spectrum as an ingest: O(1)
+    * per-user state (the last event second). An arriving event whose
+    * gap to it exceeds the 1800 s session threshold IS a session
+    * boundary: the previous event is the prior session's `fin`, this
+    * event the new session's `st`, so the return time st − prev_fin
+    * is exactly the observed gap — each boundary emits once,
+    * append-legal. The ⌊log2(rt+1)⌋ bucket rollup (count/min/max) is
+    * the consumer's aggregate ≡ the q207 gate rows under per-user
+    * ordered ingest (equal-second ties can never straddle a boundary:
+    * their gap is 0). */
+  def returnTimeStream(events: Dataset[UserSec], gapSec: Long = 1800L)
+      : Dataset[ReturnRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSec, ReturnRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+        var st = state.getOption.getOrElse(LastSec(has = false, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[ReturnRow]
+        for (e <- evs.toSeq.sortBy(_.sec)) {
+          if (st.has && e.sec - st.sec > gapSec)
+            out += ReturnRow(uid, e.sec - st.sec)
+          st = LastSec(has = true, e.sec)
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
   /** One scored transition — [[predictionStream]]'s unit. */
   final case class PredRow(from_type: String, to_type: String, hit: Boolean)
 

@@ -9,7 +9,7 @@ import graft.queries.Dedup
 
 /** Same-JVM A/B of q123's dedup-route matrix: three standalone routes
   * (each re-running its own corpus clone-collapse window +
-  * tokenize/shingle pass) vs [[Dedup.dedupRouteMatrixShared]] (one
+  * tokenize/shingle pass) vs [[Dedup.dedupRouteMatrix]] (one
   * window pass + one checkpointed rep-text table feeding all three).
   * Alternating passes in ONE JVM, min-of-passes per arm (the r6
   * doctrine — host noise windows make cross-run timing worthless).

@@ -794,9 +794,10 @@ class CoreQueriesSpec extends AnyFunSuite {
     val varx = m * xs.map(x => x * x).sum - xs.sum * xs.sum
     val vary = m * ys.map(y => y * y).sum - ys.sum * ys.sum
     assert(BigInt(card.getAs[Long]("m_dir")) == m)
-    assert(BigInt(card.getAs[Long]("cov_num")) == cov)
-    assert(BigInt(card.getAs[Long]("varx")) == varx)
-    assert(BigInt(card.getAs[Long]("vary")) == vary)
+    assert(BigInt(card.getAs[Long]("sx")) == xs.sum)
+    // r11: raw cov/varx/vary left the schema (n⁴-sized magnitudes —
+    // the q179 overflow rule); the card carries sign + bounded ρ²
+    assert(card.getAs[Long]("cov_sign") == cov.signum.toLong)
     if (varx * vary == 0) {
       assert(card.getAs[Long]("r2_ppm") == -1L)
       assert(card.getAs[String]("verdict") == "degenerate")
@@ -1326,10 +1327,10 @@ class CoreQueriesSpec extends AnyFunSuite {
         r.getAs[Long]("count")))
     assert(rows.size == hourly.length)
     hourly.groupBy(_._1).foreach { case (tpe, hs) =>
-      var l = -1L; var b = 0L
+      var seeded = false; var l = 0L; var b = 0L
       hs.sortBy(_._2).foreach { case (_, hr, cnt) =>
         var spike = false
-        if (l < 0L) { l = cnt * 1000L; b = 0L }
+        if (!seeded) { seeded = true; l = cnt * 1000L; b = 0L }
         else {
           val f = l + b
           spike = f > 0L && cnt * 10000L > 25L * f

@@ -829,6 +829,66 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heatmap cells roll up to the q204 card rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_timestamp(ts) as sec")
+      .orderBy("sec").collect()
+      .map(r => EventStream.UserSec(r.getLong(0), r.getLong(1)))
+    val in = MemoryStream[EventStream.UserSec]
+    val q = EventStream.heatmapCellStream(in.toDS())
+      .writeStream.format("memory").queryName("heat_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val cells = spark.table("heat_stream").collect()
+        .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour")))
+      val total = math.max(cells.length.toLong, 1L)
+      val got = cells.groupBy(identity).map { case (k, cs) =>
+        val n = cs.length.toLong
+        k -> (n, (1000L * math.abs(168L * n - total)) / total)
+      }
+      val gate = graft.SparkEntry.queries("q204_weekly_heatmap")(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("dev_milli")))).toMap
+      assert(got == gate)
+    } finally q.stop()
+  }
+
+  test("streaming return times (ordered ingest) roll up to the q207 spectrum") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_timestamp(ts) as sec")
+      .orderBy("sec").collect()
+      .map(r => EventStream.UserSec(r.getLong(0), r.getLong(1)))
+    val in = MemoryStream[EventStream.UserSec]
+    val q = EventStream.returnTimeStream(in.toDS())
+      .writeStream.format("memory").queryName("rt_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("rt_stream").collect()
+        .map(_.getAs[Long]("rt"))
+        .groupBy(rt => (63 - java.lang.Long.numberOfLeadingZeros(rt + 1L)).toLong)
+        .map { case (b, rs) => b -> (rs.length.toLong, rs.min, rs.max) }
+      val gate = graft.SparkEntry.queries("q207_return_time_spectrum")(spark, sf)
+        .collect()
+        .map(r => r.getAs[Long]("rt_bucket") ->
+          ((r.getAs[Long]("n_returns"), r.getAs[Long]("min_rt"),
+            r.getAs[Long]("max_rt")))).toMap
+      assert(got == gate)
+    } finally q.stop()
+  }
+
   test("streaming burst peaks (ordered ingest) equal the q131 gate rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
