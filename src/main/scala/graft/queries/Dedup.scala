@@ -2400,7 +2400,99 @@ object Dedup {
                AS BIGINT) rank
         FROM dg) r
       JOIN documents d USING (doc_id)
-      WHERE rank <= 10 ORDER BY rank"""))
+      WHERE rank <= 10 ORDER BY rank""")),
+
+    // duplicate-cluster source purity (is template spam living INSIDE
+    // sources or leaking ACROSS them — the cluster-level complement
+    // of q115's pair-level matrix, and the answer decides whether
+    // dedup can shard by source at scale): for each multi-doc q56
+    // cluster, the count of distinct sources it spans; card = one
+    // row per span with cluster/doc counts and a membership checksum.
+    // Cluster labels from the audited CC route; the rollups are
+    // |clusters|-bounded groupBys
+    Q("q210_cluster_source_purity", (s, d) => {
+      val docs = t(s, d, "documents")
+      val lab = clusters(docs).select(col("doc_id"), col("cluster_id"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val per = lab.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("source")).as("n_sources"),
+          (sum(hmod(col("doc_id").cast("string"))) % P).as("ck"))
+        .filter(col("sz") > 1L)
+      per.groupBy(col("n_sources"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+          (sum(col("ck")) % P).as("member_checksum"))
+        .orderBy(col("n_sources"))
+    }, Some(s"""
+      $ccCtes,
+      lab AS (SELECT d.doc_id, d.source,
+                CAST(COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) AS BIGINT)
+                  cluster_id
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+      per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) sz,
+                CAST(count(DISTINCT source) AS BIGINT) n_sources,
+                CAST(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}) % $P
+                     AS BIGINT) ck
+              FROM lab GROUP BY 1)
+      SELECT n_sources, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(sz) AS BIGINT) AS n_docs,
+        CAST(SUM(ck) % $P AS BIGINT) AS member_checksum
+      FROM per WHERE sz > 1 GROUP BY 1 ORDER BY 1""")),
+
+    // background-pair jaccard calibration (what similarity do RANDOM
+    // doc pairs have — the null distribution q105's LSH-candidate
+    // calibration must beat; without it a threshold sweep can't tell
+    // signal from base rate): a DETERMINISTIC hash-derived sample —
+    // docs land in 256 hash buckets, each bucket contributes its two
+    // lowest doc ids as one pair (the capBuckets machinery with
+    // cap = 2, so the sample is reproducible across engines,
+    // partitionings, AND scale factors — never rand()). Exact
+    // shingle jaccard on the ≤256 sampled pairs, histogrammed in
+    // fixed 100k-ppm bins. Work: one scan + a 256-bucket window +
+    // a ≤512-row join back to shingles
+    Q("q211_background_jaccard", (s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = docs
+        .select(col("doc_id"),
+          shingles(tokens(col("text")), 3, distinct = true).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .cut() // feeds the bucket sample and both pair sides
+      val two = capBuckets(
+        sh.select(col("doc_id"),
+          (hmod(concat(lit("bg:"), col("doc_id").cast("string"))) % 256L)
+            .as("bk")),
+        Seq("bk"), "doc_id", 2)
+      val pairs = two.groupBy(col("bk"))
+        .agg(min(col("doc_id")).as("a_id"), max(col("doc_id")).as("b_id"),
+          count(lit(1)).as("nb"))
+        .filter(col("nb") === 2L)
+      pairs
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("ash")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("bsh")), "b_id")
+        .withColumn("j_ppm", expr(
+          "(1000000L * CAST(size(array_intersect(ash, bsh)) AS LONG)) div " +
+            "CAST(size(array_union(ash, bsh)) AS LONG)"))
+        .withColumn("bin", expr("least(j_ppm div 100000L, 9L)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"), max(col("j_ppm")).as("max_j_ppm"))
+        .orderBy(col("bin"))
+    }, Some(s"""
+      WITH $tkCte, $shCte,
+      nz AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      bk AS (SELECT doc_id, bk FROM (
+               SELECT doc_id,
+                 ${sql.hmod("'bg:'||CAST(doc_id AS VARCHAR)")} % 256 bk
+               FROM nz)
+             QUALIFY row_number() OVER (PARTITION BY bk ORDER BY doc_id) <= 2),
+      pr AS (SELECT bk, MIN(doc_id) a_id, MAX(doc_id) b_id
+             FROM bk GROUP BY 1 HAVING count(*) = 2),
+      j AS (SELECT (1000000 * len(list_intersect(x.shingles, y.shingles)))
+                     // len(list_distinct(x.shingles||y.shingles)) j_ppm
+            FROM pr JOIN nz x ON a_id = x.doc_id JOIN nz y ON b_id = y.doc_id)
+      SELECT CAST(LEAST(j_ppm // 100000, 9) AS BIGINT) AS bin,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(MAX(j_ppm) AS BIGINT) AS max_j_ppm
+      FROM j GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

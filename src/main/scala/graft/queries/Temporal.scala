@@ -1634,6 +1634,117 @@ object Temporal {
       SELECT rt_bucket, CAST(count(*) AS BIGINT) AS n_returns,
         CAST(MIN(rt) AS BIGINT) AS min_rt,
         CAST(MAX(rt) AS BIGINT) AS max_rt
+      FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // lag-1 autocorrelation of hourly counts per event type (is load
+    // persistent hour-over-hour or mean-reverting — the serial-
+    // dependence card next to q190's trend and q141's smoothing):
+    // Pearson over consecutive OBSERVED-hour pairs (x_t, x_{t+1}),
+    // carry-the-square per the q179/q169 AUDIT RULE applied at birth:
+    // the per-type DECIMAL(38,0) moment sums are the distributed
+    // part (lead windows over per-type bounded timelines), the
+    // ≤|types| moment rows collect to the driver (q134 rule), the
+    // n⁴-sized var products multiply in BigInt, and the card emits
+    // cov_sign + bounded rho2_ppm — never a raw magnitude column
+    Q("q209_hourly_autocorr", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val m = t(s, d, "events")
+        .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("nxt", lead(col("cnt"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("np"),
+          sum(col("cnt")).as("sx"), sum(col("nxt")).as("sy"),
+          sum(col("cnt").cast(dec) * col("nxt").cast(dec)).as("sxy"),
+          sum(col("cnt").cast(dec) * col("cnt").cast(dec)).as("sxx"),
+          sum(col("nxt").cast(dec) * col("nxt").cast(dec)).as("syy"))
+        .collect()
+      val out = m.map { r =>
+        val np = r.getLong(1)
+        def bi(i: Int): BigInt = BigInt(r.getDecimal(i).toBigInteger)
+        val (sx, sy) = (r.getLong(2), r.getLong(3))
+        val cov = BigInt(np) * bi(4) - BigInt(sx) * sy
+        val varx = BigInt(np) * bi(5) - BigInt(sx) * sx
+        val vary = BigInt(np) * bi(6) - BigInt(sy) * sy
+        val vv = varx * vary
+        val rho2 = if (vv == 0) -1L
+          else (BigInt(1000000) * cov * cov / vv).toLong
+        val verdict =
+          if (vv == 0) "degenerate"
+          else if (cov > 0) "persistent"
+          else if (cov < 0) "alternating"
+          else "none"
+        (r.getString(0), np, cov.signum.toLong, rho2, verdict)
+      }.sortBy(_._1).toSeq
+      import s.implicits._
+      out.toDF("event_type", "n_pairs", "cov_sign", "rho2_ppm", "verdict")
+    }, Some("""
+      WITH h AS (SELECT event_type, epoch_ms(ts)//1000//3600 AS hr,
+               CAST(count(*) AS BIGINT) cnt
+             FROM events GROUP BY 1, 2),
+      p AS (SELECT event_type, cnt,
+              lead(cnt) OVER (PARTITION BY event_type ORDER BY hr) nxt
+            FROM h),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) np,
+              CAST(SUM(cnt) AS BIGINT) sx, CAST(SUM(nxt) AS BIGINT) sy,
+              SUM(CAST(cnt AS HUGEINT) * nxt) sxy,
+              SUM(CAST(cnt AS HUGEINT) * cnt) sxx,
+              SUM(CAST(nxt AS HUGEINT) * nxt) syy
+            FROM p WHERE nxt IS NOT NULL GROUP BY 1),
+      c AS (SELECT event_type, np,
+              np*sxy - CAST(sx AS HUGEINT)*sy cov,
+              np*sxx - CAST(sx AS HUGEINT)*sx varx,
+              np*syy - CAST(sy AS HUGEINT)*sy vary
+            FROM m)
+      SELECT event_type, np AS n_pairs,
+        CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+             AS BIGINT) AS cov_sign,
+        CAST(CASE WHEN varx * vary = 0 THEN -1
+             ELSE (1000000 * cov * cov) // (varx * vary) END AS BIGINT)
+          AS rho2_ppm,
+        CASE WHEN varx * vary = 0 THEN 'degenerate'
+             WHEN cov > 0 THEN 'persistent'
+             WHEN cov < 0 THEN 'alternating'
+             ELSE 'none' END AS verdict
+      FROM c ORDER BY event_type""")),
+
+    // order-interval spectrum (how long between a customer's
+    // consecutive orders — the q207 return-time shape moved to the
+    // ORDERS table, where it reads as purchase cadence): per customer
+    // the day gaps between consecutive orders, ordered by
+    // (o_orderdate, o_orderkey) — the deterministic tie-break rule,
+    // same-day orders gap 0 — log2-bucketed by the bit-length
+    // identity. Per-customer bounded lag windows only; ≤ ~12-row
+    // output
+    Q("q212_order_interval_spectrum", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("gap",
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).cast(LongType))
+        .filter(col("gap").isNotNull)
+        .withColumn("gap_bucket",
+          (length(bin(col("gap") + 1L)) - 1).cast(LongType))
+        .groupBy(col("gap_bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+        .orderBy(col("gap_bucket"))
+    }, Some("""
+      WITH g AS (SELECT o_custkey,
+              CAST(date_diff('day', lag(o_orderdate) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT) gap
+            FROM orders),
+      b AS (SELECT gap, CAST(length(bin(gap + 1)) - 1 AS BIGINT) gap_bucket
+            FROM g WHERE gap IS NOT NULL)
+      SELECT gap_bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+        CAST(MIN(gap) AS BIGINT) AS min_gap,
+        CAST(MAX(gap) AS BIGINT) AS max_gap
       FROM b GROUP BY 1 ORDER BY 1"""))
   )
 }

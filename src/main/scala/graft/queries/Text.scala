@@ -984,6 +984,65 @@ object Text {
         CAST(CASE WHEN SUM(ntok) = 0 THEN -1
              ELSE (1000 * SUM(tok_chars)) // SUM(ntok) END AS BIGINT)
           AS bytes_per_token_milli
-      FROM c GROUP BY source ORDER BY source"""))
+      FROM c GROUP BY source ORDER BY source""")),
+
+    // doc-length Gini concentration per source (is a source's token
+    // budget spread evenly or dominated by a few giant documents —
+    // the inequality card next to q174 HHI and q152 Pareto, at DOC
+    // granularity): population Gini via the mean-absolute-difference
+    // identity G = D/(n·S), D = Σ over unordered pairs |len_i−len_j|,
+    // computed WITHOUT pairs — sort-free grouped form: per distinct
+    // (source, len) cell with count c, docs-below cb and mass-below
+    // sb (cumulative windows over the CELL table, partitioned by
+    // source), the cell contributes c·(cb·len − sb) to D. Everything
+    // integer; products ≤ n²·maxlen ≈ 10²⁸ at 10¹² docs → inside
+    // DECIMAL(38,0) (documented bound, the q179 audit rule — and the
+    // OUTPUT is the bounded gini_ppm ≤ 10⁶, never a raw magnitude).
+    // The windows partition by source and run over distinct-length
+    // cells (≤ |len domain| rows per source), never the corpus
+    Q("q208_length_gini", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val cells = t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars").cast(LongType).as("len"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("xs", col("len") * col("c"))
+      val below = Window.partitionBy(col("source")).orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells
+        .withColumn("cb", coalesce(sum(col("c")).over(below), lit(0L)))
+        .withColumn("sb", coalesce(sum(col("xs")).over(below), lit(0L)))
+        .withColumn("dpart",
+          col("c").cast(dec) *
+            (col("cb").cast(dec) * col("len").cast(dec) - col("sb").cast(dec)))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"), sum(col("xs")).as("sum_chars"),
+          sum(col("dpart")).as("dd"))
+        .withColumn("gini_ppm", expr(
+          "CASE WHEN sum_chars = 0L THEN -1L ELSE " +
+            "(CAST(1000000 AS DECIMAL(38,0)) * dd) div " +
+            "(CAST(n_docs AS DECIMAL(38,0)) * sum_chars) END"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("gini_ppm"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH cells0 AS (SELECT source, CAST(n_chars AS BIGINT) len,
+               CAST(count(*) AS BIGINT) c
+             FROM documents GROUP BY 1, 2),
+      cells AS (SELECT source, len, c, len * c xs FROM cells0),
+      w AS (SELECT source, len, c, xs,
+              COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY len
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cb,
+              COALESCE(SUM(xs) OVER (PARTITION BY source ORDER BY len
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) sb
+            FROM cells),
+      a AS (SELECT source, CAST(SUM(c) AS BIGINT) n_docs,
+              CAST(SUM(xs) AS BIGINT) sum_chars,
+              SUM(CAST(c AS HUGEINT) * (CAST(cb AS HUGEINT)*len - sb)) dd
+            FROM w GROUP BY 1)
+      SELECT source, n_docs, sum_chars,
+        CAST(CASE WHEN sum_chars = 0 THEN -1
+             ELSE (1000000 * dd) // (CAST(n_docs AS HUGEINT) * sum_chars)
+             END AS BIGINT) AS gini_ppm
+      FROM a ORDER BY source"""))
   )
 }

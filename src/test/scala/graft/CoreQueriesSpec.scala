@@ -1775,4 +1775,131 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(gs.min > 1800L) // return gaps exceed the session gap
     }
   }
+
+  test("q208: length gini replays from the brute pairwise mean difference") {
+    val rows = SparkEntry.queries("q208_length_gini")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "CAST(n_chars AS LONG) AS len").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("len")))
+      .groupBy(_._1)
+    assert(rows.keySet == docs.keySet)
+    docs.foreach { case (src, ds) =>
+      val lens = ds.map(_._2)
+      val n = BigInt(lens.length)
+      val s1 = BigInt(lens.sum)
+      // brute D = Σ over unordered pairs |len_i − len_j|
+      val dd = (for (i <- lens.indices; j <- i + 1 until lens.length)
+        yield BigInt((lens(i) - lens(j)).abs)).sum
+      val r = rows(src)
+      assert(r.getAs[Long]("n_docs") == n.toLong)
+      assert(r.getAs[Long]("sum_chars") == s1.toLong)
+      val want = if (s1 == 0) -1L else (BigInt(1000000) * dd / (n * s1)).toLong
+      assert(r.getAs[Long]("gini_ppm") == want, s"source $src")
+      assert(r.getAs[Long]("gini_ppm") < 1000000L)
+    }
+  }
+
+  test("q209: hourly autocorrelation replays from a BigInt moment fold") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q209_hourly_autocorr")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val hourly = Tables.t(spark, sf, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("event_type", "hr").count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr"),
+        r.getAs[Long]("count")))
+      .groupBy(_._1)
+    assert(rows.keySet == hourly.keySet)
+    hourly.foreach { case (tpe, hs) =>
+      val cs = hs.sortBy(_._2).map(c => BigInt(c._3))
+      val pairs = cs.zip(cs.tail)
+      val np = BigInt(pairs.length)
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val cov = np * pairs.map(p => p._1 * p._2).sum - sx * sy
+      val varx = np * pairs.map(p => p._1 * p._1).sum - sx * sx
+      val vary = np * pairs.map(p => p._2 * p._2).sum - sy * sy
+      val r = rows(tpe)
+      assert(r.getAs[Long]("n_pairs") == np.toLong)
+      assert(r.getAs[Long]("cov_sign") == cov.signum.toLong)
+      if (varx * vary == 0)
+        assert(r.getAs[Long]("rho2_ppm") == -1L &&
+          r.getAs[String]("verdict") == "degenerate")
+      else {
+        assert(BigInt(r.getAs[Long]("rho2_ppm")) ==
+          BigInt(1000000) * cov * cov / (varx * vary))
+        assert(r.getAs[Long]("rho2_ppm") <= 1000000L)
+      }
+    }
+  }
+
+  test("q210: cluster purity card closes over the q56 cluster labels") {
+    import graft.functions.ExactCols.{hmodJvm, P}
+    val rows = SparkEntry.queries("q210_cluster_source_purity")(spark, sf)
+      .collect().map(r => r.getAs[Long]("n_sources") -> r).toMap
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toMap
+    val clusters = SparkEntry.queries("q56_dup_clusters")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .groupBy(_._2).filter(_._2.length > 1)
+    val bySpan = clusters.values.groupBy(_.map(m => srcOf(m._1)).distinct.length.toLong)
+    assert(rows.keySet == bySpan.keySet)
+    bySpan.foreach { case (span, cls) =>
+      val r = rows(span)
+      assert(r.getAs[Long]("n_clusters") == cls.size.toLong)
+      assert(r.getAs[Long]("n_docs") == cls.map(_.length).sum.toLong)
+      val ck = cls.map(_.map(m => hmodJvm(m._1.toString)).sum % P).sum % P
+      assert(r.getAs[Long]("member_checksum") == ck)
+    }
+  }
+
+  test("q211: background pairs replay from the hash-bucket sample") {
+    import graft.functions.ExactCols.{hmodJvm, P}
+    val rows = SparkEntry.queries("q211_background_jaccard")(spark, sf)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").split(" ", -1).filter(_.nonEmpty)
+        (r.getAs[Long]("doc_id"),
+          toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+      }
+      .filter(_._2.nonEmpty)
+    val pairs = sh.groupBy { case (id, _) => hmodJvm("bg:" + id) % 256L }
+      .values.filter(_.length >= 2)
+      .map { g =>
+        val two = g.sortBy(_._1).take(2)
+        val (a, b) = (two(0)._2, two(1)._2)
+        1000000L * a.intersect(b).size / a.union(b).size
+      }
+    val byBin = pairs.groupBy(j => math.min(j / 100000L, 9L))
+    assert(rows.keySet == byBin.keySet)
+    byBin.foreach { case (bin, js) =>
+      assert(rows(bin).getAs[Long]("n_pairs") == js.size.toLong)
+      assert(rows(bin).getAs[Long]("max_j_ppm") == js.max)
+    }
+  }
+
+  test("q212: order-interval spectrum replays from a per-customer fold") {
+    val rows = SparkEntry.queries("q212_order_interval_spectrum")(spark, sf)
+      .collect().map(r => r.getAs[Long]("gap_bucket") -> r).toMap
+    val gaps = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(o_orderdate AS DATE) AS dt").collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay))
+      .groupBy(_._1).values.flatMap { os =>
+        val sorted = os.sortBy(o => (o._3, o._2)).map(_._3)
+        sorted.zip(sorted.tail).map { case (a, b) => b - a }
+      }.toSeq
+    val byBucket = gaps
+      .groupBy(g => (63 - java.lang.Long.numberOfLeadingZeros(g + 1L)).toLong)
+    assert(rows.keySet == byBucket.keySet)
+    byBucket.foreach { case (b, gs) =>
+      assert(rows(b).getAs[Long]("n_gaps") == gs.size.toLong)
+      assert(rows(b).getAs[Long]("min_gap") == gs.min)
+      assert(rows(b).getAs[Long]("max_gap") == gs.max)
+    }
+  }
 }
