@@ -409,6 +409,135 @@ object Core {
                                   ORDER BY sum_value DESC, user_id ASC) AS rn
         FROM (SELECT event_type, user_id, ${sqlDsum("value")} AS sum_value
               FROM events GROUP BY 1, 2))
-      WHERE rn <= 3 ORDER BY event_type, rn"""))
+      WHERE rn <= 3 ORDER BY event_type, rn""")),
+
+    // join-key skew audit (the operational card behind every AQE/
+    // salting decision in this repo: how hot is the hottest join key,
+    // in multiples of the mean): per l_orderkey lineitem counts —
+    // ONE shuffle, then the narrow (key, cnt) table is cut() and
+    // feeds (a) one driver-scalar aggregate for total rows + distinct
+    // keys (the q134 rule — a corpus grand-total window here would be
+    // the unpartitioned-window scale killer PlanSpec rejects) and
+    // (b) the TakeOrdered top-20 with a 20-row rank window.
+    // share_ppm = key's corpus share; skew_milli = ⌊1000·cnt·nkeys/
+    // total⌋ = multiples of the mean key load (products ≤ cnt·nkeys ≤
+    // total·nkeys ~ 10¹²·10¹¹ → DECIMAL(38,0))
+    Q("q213_key_skew", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Checkpoints._
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        .cut() // feeds the scalar pass and the top-k pass
+      val tot = counts.agg(sum(col("cnt")).as("t"), count(lit(1)).as("k"))
+        .head()
+      val (total, nkeys) = (math.max(tot.getLong(0), 1L), tot.getLong(1))
+      val w = Window.orderBy(col("cnt").desc, col("l_orderkey").asc)
+      counts.orderBy(col("cnt").desc, col("l_orderkey").asc).limit(20)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .withColumn("share_ppm", expr(s"(1000000L * cnt) div ${total}L"))
+        .withColumn("skew_milli", expr(
+          s"CAST((CAST(1000 AS DECIMAL(38,0)) * cnt * ${nkeys}L) div " +
+            s"CAST(${total} AS DECIMAL(38,0)) AS BIGINT)"))
+        .select(col("rank"), col("l_orderkey"), col("cnt"),
+          col("share_ppm"), col("skew_milli"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) cnt
+                 FROM lineitem GROUP BY 1),
+      t AS (SELECT GREATEST(CAST(SUM(cnt) AS BIGINT), 1) total,
+              CAST(count(*) AS BIGINT) nkeys FROM c),
+      r AS (SELECT l_orderkey, cnt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, l_orderkey ASC)
+                   AS BIGINT) rank
+            FROM c)
+      SELECT rank, l_orderkey, cnt,
+        CAST((1000000 * cnt) // total AS BIGINT) AS share_ppm,
+        CAST((1000 * CAST(cnt AS HUGEINT) * nkeys) // total AS BIGINT)
+          AS skew_milli
+      FROM r, t WHERE rank <= 20 ORDER BY rank""")),
+
+    // referential-integrity audit (the data-quality gate every
+    // ingest runs before joins are trusted — orphan children make
+    // inner joins silently DROP rows at scale): per FK edge the child
+    // row count and the orphan count. The three lineitem edges ride
+    // ONE scan (chained left joins + null-flag sums — never three
+    // anti-join passes); orders→customer is its own pass; card =
+    // UNION of labeled one-row aggregates (the q121 shape)
+    Q("q214_fk_integrity", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val liFlags = li
+        .join(t(s, d, "orders").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(t(s, d, "part").select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(t(s, d, "supplier").select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orph_o"),
+          sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("orph_p"),
+          sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("orph_s"))
+      val liCard = liFlags.select(expr(
+        "stack(3, 'lineitem->orders', n_child, orph_o, " +
+          "'lineitem->part', n_child, orph_p, " +
+          "'lineitem->supplier', n_child, orph_s) AS (edge, n_child, n_orphans)"))
+      val oCard = t(s, d, "orders").select(col("o_custkey"))
+        .join(t(s, d, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit("orders->customer").as("edge"), col("n_child"),
+          col("n_orphans"))
+      liCard.unionByName(oCard).orderBy(col("edge"))
+    }, Some("""
+      WITH lif AS (SELECT
+              CAST(count(*) AS BIGINT) n_child,
+              CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) orph_o,
+              CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) orph_p,
+              CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) orph_s
+            FROM lineitem l
+              LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+              LEFT JOIN part p ON l.l_partkey = p.p_partkey
+              LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      oc AS (SELECT CAST(count(*) AS BIGINT) n_child,
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) n_orphans
+             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+      SELECT * FROM (
+        SELECT 'lineitem->orders' AS edge, n_child, orph_o AS n_orphans FROM lif
+        UNION ALL SELECT 'lineitem->part', n_child, orph_p FROM lif
+        UNION ALL SELECT 'lineitem->supplier', n_child, orph_s FROM lif
+        UNION ALL SELECT 'orders->customer', n_child, n_orphans FROM oc)
+      ORDER BY edge""")),
+
+    // one-row table-profile card for events (the schema/stats summary
+    // a profiler emits before planning: row count, distinct entities,
+    // time span, raw value range — min/max of a DOUBLE column are
+    // exact passthroughs of stored values, no arithmetic ever touches
+    // them). One scan, one multi-distinct aggregate
+    Q("q215_events_profile", (s, d) => {
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_timestamp(col("ts")).as("sec"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          (max(expr("sec div 86400")) - min(expr("sec div 86400")) + 1L)
+            .as("span_days"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, value,
+                   epoch_ms(ts)//1000 sec FROM events)
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        CAST(MAX(sec // 86400) - MIN(sec // 86400) + 1 AS BIGINT)
+          AS span_days,
+        MIN(value) AS min_value, MAX(value) AS max_value
+      FROM e"""))
   )
 }

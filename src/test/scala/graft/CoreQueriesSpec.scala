@@ -1881,6 +1881,63 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q213: key-skew audit replays from brute per-key counts") {
+    val rows = SparkEntry.queries("q213_key_skew")(spark, sf).collect()
+    val counts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey").collect().map(_.getAs[Long]("l_orderkey"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = math.max(counts.values.sum, 1L)
+    val nkeys = counts.size.toLong
+    val top = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(20)
+    assert(rows.length == math.min(20, nkeys).toInt)
+    rows.zip(top).zipWithIndex.foreach { case ((r, (k, c)), i) =>
+      assert(r.getAs[Long]("rank") == i + 1L)
+      assert(r.getAs[Long]("l_orderkey") == k)
+      assert(r.getAs[Long]("cnt") == c)
+      assert(r.getAs[Long]("share_ppm") == 1000000L * c / total)
+      assert(BigInt(r.getAs[Long]("skew_milli")) ==
+        BigInt(1000) * c * nkeys / total)
+    }
+  }
+
+  test("q214: FK integrity card replays from brute key-set containment") {
+    def keys(tbl: String, c: String): Set[Long] =
+      spark.read.parquet(s"$sf/$tbl.parquet").selectExpr(c).collect()
+        .map(_.getLong(0)).toSet
+    def child(tbl: String, c: String): Seq[Long] =
+      spark.read.parquet(s"$sf/$tbl.parquet").selectExpr(c).collect()
+        .map(_.getLong(0)).toSeq
+    val rows = SparkEntry.queries("q214_fk_integrity")(spark, sf).collect()
+      .map(r => r.getAs[String]("edge") ->
+        ((r.getAs[Long]("n_child"), r.getAs[Long]("n_orphans")))).toMap
+    val edges = Seq(
+      ("lineitem->orders", child("lineitem", "l_orderkey"), keys("orders", "o_orderkey")),
+      ("lineitem->part", child("lineitem", "l_partkey"), keys("part", "p_partkey")),
+      ("lineitem->supplier", child("lineitem", "l_suppkey"), keys("supplier", "s_suppkey")),
+      ("orders->customer", child("orders", "o_custkey"), keys("customer", "c_custkey")))
+    assert(rows.keySet == edges.map(_._1).toSet)
+    for ((e, ch, par) <- edges) {
+      assert(rows(e)._1 == ch.size.toLong, e)
+      assert(rows(e)._2 == ch.count(k => !par.contains(k)).toLong, e)
+    }
+  }
+
+  test("q215: events profile replays from a brute scan") {
+    val r = SparkEntry.queries("q215_events_profile")(spark, sf).collect().head
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "value",
+        "unix_timestamp(ts) as sec").collect()
+    assert(r.getAs[Long]("n_events") == ev.length.toLong)
+    assert(r.getAs[Long]("n_users") ==
+      ev.map(_.getAs[Long]("user_id")).distinct.length.toLong)
+    assert(r.getAs[Long]("n_types") ==
+      ev.map(_.getAs[String]("event_type")).distinct.length.toLong)
+    val days = ev.map(_.getAs[Long]("sec") / 86400L)
+    assert(r.getAs[Long]("span_days") == days.max - days.min + 1L)
+    assert(r.getAs[Double]("min_value") == ev.map(_.getAs[Double]("value")).min)
+    assert(r.getAs[Double]("max_value") == ev.map(_.getAs[Double]("value")).max)
+  }
+
   test("q212: order-interval spectrum replays from a per-customer fold") {
     val rows = SparkEntry.queries("q212_order_interval_spectrum")(spark, sf)
       .collect().map(r => r.getAs[Long]("gap_bucket") -> r).toMap

@@ -269,6 +269,7 @@ class PlanSpec extends AnyFunSuite {
       "q192_token_dispersion" -> "20-row rank window after limit(20)",
       "q197_session_paths" -> "10-row rank window after limit(10)",
       "q204_weekly_heatmap" -> "grand-total window over the ≤168-cell dow×hour aggregate",
+      "q213_key_skew" -> "20-row rank window after limit(20)",
       "q206_top_duplicated_docs" -> "10-row rank window after limit(10)")
     val uncertified = scala.collection.mutable.ArrayBuffer[String]()
     val unreduced = scala.collection.mutable.ArrayBuffer[String]()
