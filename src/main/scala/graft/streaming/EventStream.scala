@@ -420,7 +420,14 @@ object EventStream {
     * append-legal. The ⌊log2(rt+1)⌋ bucket rollup (count/min/max) is
     * the consumer's aggregate ≡ the q207 gate rows under per-user
     * ordered ingest (equal-second ties can never straddle a boundary:
-    * their gap is 0). */
+    * their gap is 0).
+    *
+    * `gapSec` is the emission threshold (emit when gap > gapSec):
+    * 1800 = the q207 session boundary; −1 emits EVERY consecutive
+    * gap, which on a keyed (customer, epoch-day) ingest makes the
+    * SAME state machine the q212 order-interval stream (equal-day
+    * ties emit gap 0 in any arrival order, so day-ordered ingest
+    * suffices — PipelineStreamSpec pins both rollups). */
   def returnTimeStream(events: Dataset[UserSec], gapSec: Long = 1800L)
       : Dataset[ReturnRow] = {
     val spark = events.sparkSession

@@ -889,6 +889,39 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming order gaps (threshold -1) roll up to the q212 spectrum") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // orders as a keyed CDC ingest: (custkey, epoch day); within-day
+    // arrival order is irrelevant (ties emit gap 0 either way)
+    val os = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) dt", "o_orderkey")
+      .orderBy("dt", "o_orderkey").collect()
+      .map(r => EventStream.UserSec(r.getLong(0),
+        r.getAs[java.sql.Timestamp]("dt").toLocalDateTime.toLocalDate.toEpochDay))
+    val in = MemoryStream[EventStream.UserSec]
+    val q = EventStream.returnTimeStream(in.toDS(), gapSec = -1L)
+      .writeStream.format("memory").queryName("ogap_stream")
+      .outputMode("append").start()
+    try {
+      os.grouped(math.max(1, os.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("ogap_stream").collect()
+        .map(_.getAs[Long]("rt"))
+        .groupBy(g => (63 - java.lang.Long.numberOfLeadingZeros(g + 1L)).toLong)
+        .map { case (b, gs) => b -> (gs.length.toLong, gs.min, gs.max) }
+      val gate = graft.SparkEntry.queries("q212_order_interval_spectrum")(spark, sf)
+        .collect()
+        .map(r => r.getAs[Long]("gap_bucket") ->
+          ((r.getAs[Long]("n_gaps"), r.getAs[Long]("min_gap"),
+            r.getAs[Long]("max_gap")))).toMap
+      assert(got == gate)
+    } finally q.stop()
+  }
+
   test("streaming burst peaks (ordered ingest) equal the q131 gate rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
