@@ -76,25 +76,25 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
       .filterNot { case (n, _) => skip.exists(_.exists(n.startsWith)) }
-    // Default protocol (round-comparable): each query runs first
-    // back-to-back (the session number, which doubles as the warm
+    // Default protocol (round-comparable): each query runs first in
+    // session order (the session number, which doubles as the warm
     // pass: plan compile + codegen + JIT), then SPARK_GRAFT_PASSES
-    // (default 2) isolated passes, each behind a GC barrier; the
-    // headline `queries`/`value` are the per-query MIN of the
-    // isolated passes. Rationale: session-mode timings absorb GC debt
-    // and JIT state from predecessor queries (q56/q59 moved ±30-80%
-    // in r4 with byte-identical code), and the host itself has
-    // documented ~10× slow windows (same q56 binary: 58 s vs 201 s
-    // isolated; a one-pass isolated number nearly caused a wrong
-    // revert of the better q86 plan in r6). min-of-N is the standard
+    // (default 2) isolated passes — passes−1 ADJACENT to its session
+    // pass plus ONE final round-robin rescue pass (see the schedule
+    // comment below); the headline `queries`/`value` are the
+    // per-query MIN of the isolated passes. Rationale: session-mode
+    // timings absorb GC debt and JIT state from predecessor queries
+    // (q56/q59 moved ±30-80% in r4 with byte-identical code), and the
+    // host itself has documented ~10× slow windows (same q56 binary:
+    // 58 s vs 201 s isolated). min-of-N is the standard
     // noise-rejection estimator for a deterministic workload under
     // external interference: interference only ever ADDS time, so the
     // minimum is the best available estimate of the true cost. The
     // session map/total and the per-pass worst (`queries_max`) ride
     // alongside so the noise itself stays observable.
     // SPARK_GRAFT_ISOLATED=0 opts back into the single-pass
-    // session-only protocol (fastest wall time, for quick local loops);
-    // SPARK_GRAFT_PASSES=1 reproduces the r6 single-isolated protocol.
+    // session-only protocol (fastest wall time, for quick local
+    // loops); SPARK_GRAFT_PASSES=1 keeps only the round-robin pass.
     val sessionOnly = sys.env.get("SPARK_GRAFT_ISOLATED")
       .exists(v => v == "0" || v.equalsIgnoreCase("false"))
     // tolerate malformed SPARK_GRAFT_PASSES like the other env knobs —
@@ -124,32 +124,46 @@ object Bench {
         Thread.sleep(math.min(2000L, (prevSec * 20).toLong))
       } else Thread.sleep(100)
     }
-    // Session pass over every query first (byte metrics ride this
-    // pass — bytes are a plan property, identical across passes).
+    // HYBRID pass schedule (r11, measured): the r10 protocol ran a
+    // query's isolated passes back-to-back — warm (generated-code
+    // cache hit, r10-comparable) but blind to multi-minute host-noise
+    // windows, which swallowed both passes and made min-of-2 report
+    // the noise (q83 2.5→10.4 s, q125 2.5→8.4 s at sf0.1, bytes
+    // identical). A pure round-robin schedule (pass 1 of every query,
+    // then pass 2) fixes the blind spot but was measured to inflate
+    // small queries ~1.4× fleet-median while their SESSION passes
+    // held flat: with 200+ plans cycling between a query's passes,
+    // Spark's bounded codegen-compile cache evicts its classes and
+    // every pass pays recompile — a protocol artifact, not plan cost.
+    // So: session pass (warm-up + byte metrics), then passes−1
+    // ADJACENT isolated passes (warm, comparable to r10), then ONE
+    // final ROUND-ROBIN pass across all queries as the noise-window
+    // rescue — min over all isolated passes. A window that hits the
+    // adjacent passes cannot also hit the distant rescue pass unless
+    // the shift is sustained, which the anchors + BenchDiff classify.
     val session = selected.map { case (name, fn) =>
       val (w0, r0, s0) = metricsSnapshot()
       val t0 = System.nanoTime()
       val ok = run(fn, name)
       val tSession = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       val (w1, r1, s1) = metricsSnapshot()
-      (name, fn, ok, tSession, w1 - w0, r1 - r0, s1 - s0)
+      val adjacent =
+        if (sessionOnly) Nil
+        else (1 until passes).map { _ =>
+          barrier(math.max(tSession, 0.0))
+          val t1 = System.nanoTime()
+          val okA = ok && run(fn, name)
+          if (okA) (System.nanoTime() - t1) / 1e9 else -1.0
+        }.toList
+      (name, fn, ok, tSession, w1 - w0, r1 - r0, s1 - s0, adjacent)
     }
-    // Isolated passes run ROUND-ROBIN (r11 judge ask #2): pass 1 of
-    // EVERY query, then pass 2 — the r10 protocol ran a query's
-    // isolated passes back-to-back, so one multi-minute host-noise
-    // window swallowed both and min-of-2 reported the noise as the
-    // query's cost (q83 2.5→10.4 s, q125 2.5→8.4 s, q88 0.6→3.0 s at
-    // sf0.1 with byte-identical shuffles and untouched code). With a
-    // query's passes separated by the whole surface (~minutes), a
-    // window long enough to hit both is a sustained host shift — which
-    // the anchors classify — not noise.
     val isoTimes = scala.collection.mutable.Map.empty[String, List[Double]]
     if (!sessionOnly) {
       // GC-debt barrier scales with the query that JUST ran (the one
       // whose shuffle/accumulator debris needs collecting), seeded
       // with the final session query's time
       var prev = math.max(session.lastOption.map(_._4).getOrElse(0.0), 0.0)
-      for (_ <- 1 to passes; (name, fn, okSession, _, _, _, _) <- session) {
+      for ((name, fn, okSession, _, _, _, _, _) <- session) {
         barrier(prev)
         val t1 = System.nanoTime()
         val ok = okSession && run(fn, name)
@@ -160,10 +174,10 @@ object Bench {
     }
     // (name, minIsolated, maxIsolated, session, shufWriteB, shufReadB,
     //  spillB, failedPasses)
-    val results = session.map { case (name, _, _, tSession, wb, rb, sb) =>
+    val results = session.map { case (name, _, _, tSession, wb, rb, sb, adj) =>
       val iso =
         if (sessionOnly) Seq(tSession)
-        else isoTimes.getOrElse(name, Nil).reverse
+        else adj ++ isoTimes.getOrElse(name, Nil).reverse
       val good = iso.filter(_ >= 0)
       val tMin = if (good.nonEmpty) good.min else -1.0
       val tMax = if (good.nonEmpty) good.max else -1.0

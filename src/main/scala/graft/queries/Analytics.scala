@@ -1376,57 +1376,20 @@ object Analytics {
     // rollups of the |r×c| cell table; N³-sized products ride
     // DECIMAL(38,0)/HUGEINT
     Q("q185_cramers_v", (s, d) => {
-      val cells = t(s, d, "orders")
-        .groupBy(col("o_orderpriority").as("prio"),
-          col("o_orderstatus").as("status"))
-        .agg(count(lit(1)).as("o"))
-        .cut() // feeds the marginals and the per-cell contributions
-      val rm = cells.groupBy(col("prio")).agg(sum(col("o")).as("r"))
-      val cm = cells.groupBy(col("status")).agg(sum(col("o")).as("c"))
-      val all = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val contrib = cells.join(rm, "prio").join(cm, "status")
-        .withColumn("n", sum(col("o")).over(all))
-        .withColumn("part", expr(
-          "(CAST(1000 AS DECIMAL(38,0)) * (n*o - r*c) * (n*o - r*c)) " +
-            "div (CAST(n AS DECIMAL(38,0)) * r * c)").cast(LongType))
-      contrib.agg(
-          countDistinct(col("prio")).as("n_rows"),
-          countDistinct(col("status")).as("n_cols"),
-          max(col("n")).as("n"),
-          sum(col("part")).as("chi2_milli"))
-        .withColumn("df", (col("n_rows") - 1L) * (col("n_cols") - 1L))
-        .withColumn("v2_ppm", expr(
-          "CAST(CASE WHEN least(n_rows, n_cols) <= 1 OR n = 0 THEN -1 ELSE " +
-            "(CAST(1000 AS DECIMAL(38,0)) * chi2_milli) " +
-            "div (CAST(n AS DECIMAL(38,0)) * (least(n_rows, n_cols) - 1)) " +
-            "END AS BIGINT)"))
-        .select(col("n_rows"), col("n_cols"), col("n"), col("df"),
-          col("chi2_milli"), col("v2_ppm"))
-    }, Some("""
-      WITH cells AS (SELECT o_orderpriority prio, o_orderstatus status,
-               CAST(count(*) AS BIGINT) o
-             FROM orders GROUP BY 1, 2),
-      rm AS (SELECT prio, CAST(SUM(o) AS BIGINT) r FROM cells GROUP BY 1),
-      cm AS (SELECT status, CAST(SUM(o) AS BIGINT) c FROM cells GROUP BY 1),
-      w AS (SELECT cells.*, r, c, SUM(o) OVER () n
-            FROM cells JOIN rm USING (prio) JOIN cm USING (status)),
-      contrib AS (SELECT *,
-              CAST((1000 * CAST(n*o - r*c AS HUGEINT) * (n*o - r*c))
-                   // (CAST(n AS HUGEINT) * r * c) AS BIGINT) part
-            FROM w),
-      a AS (SELECT CAST(count(DISTINCT prio) AS BIGINT) n_rows,
-              CAST(count(DISTINCT status) AS BIGINT) n_cols,
-              CAST(MAX(n) AS BIGINT) n,
-              CAST(SUM(part) AS BIGINT) chi2_milli
-            FROM contrib)
-      SELECT n_rows, n_cols, n, (n_rows - 1) * (n_cols - 1) AS df,
-        chi2_milli,
-        CAST(CASE WHEN least(n_rows, n_cols) <= 1 OR n = 0 THEN -1 ELSE
-          (1000 * CAST(chi2_milli AS HUGEINT))
-          // (CAST(n AS HUGEINT) * (least(n_rows, n_cols) - 1))
-          END AS BIGINT) AS v2_ppm
-      FROM a""")),
+      cramersV(t(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("status")))
+    }, Some(cramersVSql("SELECT o_orderpriority prio, o_orderstatus status FROM orders"))),
+
+    // the SAME effect-size machinery on the documents provenance
+    // contingency (source × lang — does language depend on source, the
+    // corpus-mix question behind q127's per-source vocab and q163's
+    // drift): one reusable exact pipeline (cramersV) instantiated on a
+    // second table, the 20×5 cell domain replacing orders' 5×3
+    Q("q216_source_lang_v", (s, d) => {
+      cramersV(t(s, d, "documents")
+        .select(col("source").as("prio"), col("lang").as("status")))
+    }, Some(cramersVSql("SELECT source prio, lang status FROM documents"))),
 
     // bounded-round k-core peel (Seidman 1983 degeneracy — the
     // which-nodes-survive-pruning member of the graph family next to
@@ -1517,4 +1480,67 @@ object Analytics {
         CAST(cs AS BIGINT) AS alive_checksum
       FROM r ORDER BY round"""))
   )
+
+  /** Shared Cramér's V pipeline (q185/q216): input = a 2-column
+    * (prio, status) projection; cells/marginals are bounded rollups,
+    * per-cell chi-square contributions ⌊1000·(N·O−r·c)²/(N·r·c)⌋
+    * floored IDENTICALLY on both engines then summed (the
+    * defined-statistic rule), V² carried as v2_ppm (the q169
+    * carry-the-square doctrine). N³-sized products on DECIMAL(38,0);
+    * the grand-total window runs over the |r×c| cell table only
+    * (PlanSpec-certified bounded shape). */
+  private def cramersV(pairs: DataFrame): DataFrame = {
+    val cells = pairs
+      .groupBy(col("prio"), col("status"))
+      .agg(count(lit(1)).as("o"))
+      .cut() // feeds the marginals and the per-cell contributions
+    val rm = cells.groupBy(col("prio")).agg(sum(col("o")).as("r"))
+    val cm = cells.groupBy(col("status")).agg(sum(col("o")).as("c"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val contrib = cells.join(rm, "prio").join(cm, "status")
+      .withColumn("n", sum(col("o")).over(all))
+      .withColumn("part", expr(
+        "(CAST(1000 AS DECIMAL(38,0)) * (n*o - r*c) * (n*o - r*c)) " +
+          "div (CAST(n AS DECIMAL(38,0)) * r * c)").cast(LongType))
+    contrib.agg(
+        countDistinct(col("prio")).as("n_rows"),
+        countDistinct(col("status")).as("n_cols"),
+        max(col("n")).as("n"),
+        sum(col("part")).as("chi2_milli"))
+      .withColumn("df", (col("n_rows") - 1L) * (col("n_cols") - 1L))
+      .withColumn("v2_ppm", expr(
+        "CAST(CASE WHEN least(n_rows, n_cols) <= 1 OR n = 0 THEN -1 ELSE " +
+          "(CAST(1000 AS DECIMAL(38,0)) * chi2_milli) " +
+          "div (CAST(n AS DECIMAL(38,0)) * (least(n_rows, n_cols) - 1)) " +
+          "END AS BIGINT)"))
+      .select(col("n_rows"), col("n_cols"), col("n"), col("df"),
+        col("chi2_milli"), col("v2_ppm"))
+  }
+
+  /** Oracle template for [[cramersV]]: `pairSelect` must yield
+    * (prio, status). */
+  private def cramersVSql(pairSelect: String): String = s"""
+      WITH cells AS (SELECT prio, status, CAST(count(*) AS BIGINT) o
+             FROM ($pairSelect) GROUP BY 1, 2),
+      rm AS (SELECT prio, CAST(SUM(o) AS BIGINT) r FROM cells GROUP BY 1),
+      cm AS (SELECT status, CAST(SUM(o) AS BIGINT) c FROM cells GROUP BY 1),
+      w AS (SELECT cells.*, r, c, SUM(o) OVER () n
+            FROM cells JOIN rm USING (prio) JOIN cm USING (status)),
+      contrib AS (SELECT *,
+              CAST((1000 * CAST(n*o - r*c AS HUGEINT) * (n*o - r*c))
+                   // (CAST(n AS HUGEINT) * r * c) AS BIGINT) part
+            FROM w),
+      a AS (SELECT CAST(count(DISTINCT prio) AS BIGINT) n_rows,
+              CAST(count(DISTINCT status) AS BIGINT) n_cols,
+              CAST(MAX(n) AS BIGINT) n,
+              CAST(SUM(part) AS BIGINT) chi2_milli
+            FROM contrib)
+      SELECT n_rows, n_cols, n, (n_rows - 1) * (n_cols - 1) AS df,
+        chi2_milli,
+        CAST(CASE WHEN least(n_rows, n_cols) <= 1 OR n = 0 THEN -1 ELSE
+          (1000 * CAST(chi2_milli AS HUGEINT))
+          // (CAST(n AS HUGEINT) * (least(n_rows, n_cols) - 1))
+          END AS BIGINT) AS v2_ppm
+      FROM a"""
 }

@@ -56,6 +56,13 @@ object BenchDiff {
     require(anchors.nonEmpty, "no shared positive anchor query in both captures")
     val common = (qo.keySet & qn.keySet).toSeq.sorted
       .filter(q => qo(q) > 0 && qn(q) > 0)
+    // third normalizer: the FLEET MEDIAN ratio. A sustained host shift
+    // moves the whole surface together (r11 observed a broad ~1.8×
+    // CPU-side shift that q01 did not carry and q23 carried only
+    // partially); a genuine plan regression moves ONE query against
+    // the fleet. The median is robust to the movers themselves.
+    val ratios = common.map(q => qn(q) / qo(q)).sorted
+    val fleet = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
 
     def bytesMoved(q: String): Boolean = {
       def moved(a: Map[String, Double], b: Map[String, Double]): Boolean =
@@ -78,18 +85,19 @@ object BenchDiff {
         val shifts = anchors.map { a =>
           val s = (qn(q) / qn(a)) / (qo(q) / qo(a))
           math.max(s, 1.0 / s) // symmetric distance from 1
-        }
+        } :+ math.max(dx / fleet, fleet / dx) // fleet-median normalizer
         val best = shifts.min
         val bm = bytesMoved(q)
         val label =
           if (bm) "PLAN-CHANGE (shuffle bytes moved)"
           else if (best <= 1.3) "host-window (anchor-ratio held, bytes identical)"
-          else "UNEXPLAINED (ratio moved on all anchors, bytes identical — check plan/compute)"
+          else "UNEXPLAINED (moved vs both anchors AND the fleet median, bytes identical — check plan/compute)"
         Some(Row(q, qo(q), qn(q), dx, best, bm, label))
       }
     }.sortBy(-_.dx)
 
-    println(s"anchors: ${anchors.map(a => f"$a old=${qo(a)}%.3f new=${qn(a)}%.3f x=${qn(a) / qo(a)}%.2f").mkString("; ")}")
+    println(s"anchors: ${anchors.map(a => f"$a old=${qo(a)}%.3f new=${qn(a)}%.3f x=${qn(a) / qo(a)}%.2f").mkString("; ")}" +
+      f"; fleet-median x=$fleet%.2f")
     println(s"common queries: ${common.size}; movers beyond ${thr}x: ${rows.size}")
     if (rows.nonEmpty) {
       println(f"${"query"}%-34s ${"old_s"}%8s ${"new_s"}%8s ${"x"}%6s ${"a-shift"}%8s  label")

@@ -1205,6 +1205,32 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(BigInt(card.getAs[Long]("v2_ppm")) == v2)
   }
 
+  test("q216: source-lang V replays from the brute contingency table") {
+    import org.apache.spark.sql.functions._
+    val card = SparkEntry.queries("q216_source_lang_v")(spark, sf).collect().head
+    val cells = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source"), col("lang")).count()
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), BigInt(r.getAs[Long]("count"))))
+      .toMap
+    val n = cells.values.sum
+    val rm = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cm = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val chi2Milli = cells.map { case ((p, st), o) =>
+      val r = rm(p); val c = cm(st)
+      BigInt(1000) * (n * o - r * c).pow(2) / (n * r * c)
+    }.sum
+    assert(BigInt(card.getAs[Long]("n")) == n)
+    assert(card.getAs[Long]("n_rows") == rm.size.toLong)
+    assert(card.getAs[Long]("n_cols") == cm.size.toLong)
+    assert(BigInt(card.getAs[Long]("chi2_milli")) == chi2Milli)
+    val k = math.min(rm.size, cm.size)
+    val v2 =
+      if (k <= 1 || n == 0) BigInt(-1)
+      else BigInt(1000) * chi2Milli / (n * (k - 1))
+    assert(BigInt(card.getAs[Long]("v2_ppm")) == v2)
+  }
+
   test("q186: session stats replay from a JVM fold over user timelines") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q186_sessions")(spark, sf).collect()

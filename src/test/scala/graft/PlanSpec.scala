@@ -270,6 +270,7 @@ class PlanSpec extends AnyFunSuite {
       "q197_session_paths" -> "10-row rank window after limit(10)",
       "q204_weekly_heatmap" -> "grand-total window over the ≤168-cell dow×hour aggregate",
       "q213_key_skew" -> "20-row rank window after limit(20)",
+      "q216_source_lang_v" -> "grand-total window over the |source×lang| cell table (≤100 rows)",
       "q206_top_duplicated_docs" -> "10-row rank window after limit(10)")
     val uncertified = scala.collection.mutable.ArrayBuffer[String]()
     val unreduced = scala.collection.mutable.ArrayBuffer[String]()
