@@ -232,9 +232,9 @@ object Apps {
     Q("q81_semdedup", (s, d) => {
       // front door ([[Dedup.semdedupPrune]]) with the oracle-replayed
       // parameters: k fixed at 4 to match the recursive-CTE k-means
-      // trajectory below (q77's exact fit); the cluster cap is a no-op
-      // at 500 vectors (max cluster ≪ 4096) so the oracle needs no cap
-      // term — the same contract as q24's bucket cap
+      // trajectory below (q77's exact fit); the 4096 cluster cap is
+      // replayed in the oracle (QUALIFY keep-lowest vec_id per cid,
+      // r11 — the cappedPairCtes doctrine, exact at any sf)
       val pr = Dedup.semdedupPrune(t(s, d, "embeddings"),
         threshold = 0.35, k = 4, maxIter = 3)
       pr.groupBy(col("cid"))
@@ -258,9 +258,11 @@ object Apps {
             FROM iv, fin f) d0) d1
         WHERE rn = 1),
       wv AS (
-        SELECT a.vec_id, a.cid, iv.v,
-               sqrt(CAST(list_sum([x*x for x in iv.v]) AS DOUBLE)) nrm
-        FROM asgv a JOIN iv USING (vec_id)),
+        SELECT vec_id, cid, v, nrm FROM (
+          SELECT a.vec_id, a.cid, iv.v,
+                 sqrt(CAST(list_sum([x*x for x in iv.v]) AS DOUBLE)) nrm
+          FROM asgv a JOIN iv USING (vec_id))
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY vec_id) <= 4096),
       pr AS (
         SELECT DISTINCT x.cid, y.vec_id b_id
         FROM wv x JOIN wv y ON x.cid = y.cid AND x.vec_id < y.vec_id

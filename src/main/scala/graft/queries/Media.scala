@@ -312,13 +312,20 @@ object Media {
     // grayscale images rendered as REAL P6 bytes, decoded back by the
     // byte-level parser, aHashed from the decoded raster, paired via
     // the 4-block pigeonhole — the oracle replays the pixels straight
-    // from the shingles, so the gate certifies the codec round trip
+    // from the shingles (collapsed + both 256-caps as QUALIFY, the
+    // cappedPairCtes doctrine), so the gate certifies the codec round
+    // trip AND the cap semantics at any sf
     Q("q117_image_phash_pairs", (s, d) => {
       imageNearDupPairs(t(s, d, "documents"))
         .orderBy(col("a_id"), col("b_id"))
     }, Some(s"""
-      WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
-                  FROM documents),
+      WITH grp AS (SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY text) gid
+             FROM documents),
+      mem AS (SELECT gid, doc_id FROM grp
+              QUALIFY row_number() OVER (PARTITION BY gid ORDER BY doc_id) <= 256),
+      tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+             FROM grp WHERE doc_id = gid),
       sh AS (SELECT doc_id, list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]
                                            for i in generate_series(1,len(tk)-2)])
                shingles
@@ -337,15 +344,28 @@ object Media {
                  CAST(SUM(CASE WHEN 63*f.p > t.sp THEN (1::BIGINT << f.k)
                           ELSE 0 END) AS BIGINT) ah
                FROM fl f JOIN tot t USING (doc_id) GROUP BY 1),
-      blocks AS (SELECT doc_id, ah, bi,
-                   CASE WHEN bi = 3 THEN (ah >> 48) & 32767
-                        ELSE (ah >> (bi*16)) & 65535 END bv
-                 FROM bits, generate_series(0,3) g(bi)),
-      cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.ah ax, b.ah bx
+      blocks AS (SELECT doc_id, ah, bi, bv FROM (
+                   SELECT doc_id, ah, bi,
+                     CASE WHEN bi = 3 THEN (ah >> 48) & 32767
+                          ELSE (ah >> (bi*16)) & 65535 END bv
+                   FROM bits, generate_series(0,3) g(bi))
+                 QUALIFY row_number() OVER (PARTITION BY bi, bv
+                                            ORDER BY doc_id) <= 256),
+      rp AS (SELECT a_id, b_id, hamming FROM (
+               SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
+                 CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) hamming
                FROM blocks a JOIN blocks b
                  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
-      SELECT a_id, b_id, CAST(bit_count(xor(ax, bx)) AS BIGINT) AS hamming
-      FROM cand WHERE bit_count(xor(ax, bx)) <= 3 ORDER BY a_id, b_id""")),
+             WHERE hamming <= 3),
+      pairs AS (
+        SELECT least(ma.doc_id, mb.doc_id) a_id,
+               greatest(ma.doc_id, mb.doc_id) b_id, rp.hamming
+        FROM rp JOIN mem ma ON rp.a_id = ma.gid
+                JOIN mem mb ON rp.b_id = mb.gid
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
+        FROM mem a JOIN mem b ON a.gid = b.gid AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, hamming FROM pairs ORDER BY a_id, b_id""")),
 
     // WAV round-trip audit: token sequence → PCM16 → real RIFF/WAVE
     // encode → chunk-walking decode → exact integer stats of the
