@@ -104,6 +104,28 @@ class CappedOracleSpec extends AnyFunSuite {
     assert(got.forall { case (a, b, j) => a < 256 && b < 256 && j == 1.0 })
   }
 
+  test("image route: both caps fire and bound the pair surface") {
+    // the q117 oracle's cap replay, evidenced on the Spark side where
+    // the caps genuinely fire. 300 exact clones → ONE clone group →
+    // member cap keeps the 256 lowest ids, intra = C(256,2) at
+    // hamming 0 (no rep pair: a single rep). 300 whitespace variants
+    // (distinct texts, identical tokens ⇒ identical aHash) → every
+    // block bucket holds 300 reps → block cap keeps the 256 lowest,
+    // rp = C(256,2) at hamming 0, each gid a singleton.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def pairs(rows: Seq[(Long, String)]): Set[(Long, Long, Long)] = {
+      import spark.implicits._
+      graft.queries.Media.imageNearDupPairs(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val clones = pairs((0L until 300L).map(i => (i, base)))
+    assert(clones.size == 256 * 255 / 2)
+    assert(clones.forall { case (a, b, h) => a < 256 && b < 256 && h == 0L })
+    val variants = pairs((0L until 300L).map(i => (i, base + " " * (i.toInt + 1))))
+    assert(variants.size == 256 * 255 / 2)
+    assert(variants.forall { case (a, b, h) => a < 256 && b < 256 && h == 0L })
+  }
+
   test("cross expansion through clone groups matches the replay") {
     // two DISTINCT-text clone groups with identical token streams
     // (trailing space) — guaranteed band collision, so the rep-pair →
