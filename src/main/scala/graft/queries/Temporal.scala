@@ -1636,6 +1636,86 @@ object Temporal {
         CAST(MAX(rt) AS BIGINT) AS max_rt
       FROM b GROUP BY 1 ORDER BY 1""")),
 
+    // delta-encoding efficiency card (the storage question behind
+    // every 100 TB event table: how many bits do timestamps cost
+    // raw vs delta-encoded per user timeline — the decision input
+    // for sort-within-partition + parquet DELTA_BINARY_PACKED):
+    // bits(v) = length(bin(v)) — exact on both engines, bin(0)='0'
+    // is 1 bit — summed over raw seconds vs per-user consecutive
+    // gaps (first event stores its absolute value). One lag window
+    // over per-user bounded timelines + one aggregate
+    Q("q217_delta_encoding", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("prev", lag(col("sec"), 1).over(w))
+        .withColumn("raw_bits", length(bin(col("sec"))).cast(LongType))
+        .withColumn("delta_bits",
+          length(bin(coalesce(col("sec") - col("prev"), col("sec"))))
+            .cast(LongType))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("raw_bits")).as("raw_bits"),
+          sum(col("delta_bits")).as("delta_bits"))
+        .withColumn("savings_ppm", expr(
+          "CASE WHEN raw_bits = 0L THEN -1L " +
+            "ELSE (1000000L * (raw_bits - delta_bits)) div raw_bits END"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts)//1000 sec
+                 FROM events),
+      g AS (SELECT sec,
+              sec - lag(sec) OVER (PARTITION BY user_id
+                ORDER BY sec, event_id) gap
+            FROM e),
+      b AS (SELECT CAST(length(bin(sec)) AS BIGINT) raw_bits,
+              CAST(length(bin(COALESCE(gap, sec))) AS BIGINT) delta_bits
+            FROM g),
+      a AS (SELECT CAST(count(*) AS BIGINT) n_events,
+              CAST(SUM(raw_bits) AS BIGINT) raw_bits,
+              CAST(SUM(delta_bits) AS BIGINT) delta_bits
+            FROM b)
+      SELECT n_events, raw_bits, delta_bits,
+        CAST(CASE WHEN raw_bits = 0 THEN -1
+             ELSE (1000000 * (raw_bits - delta_bits)) // raw_bits
+             END AS BIGINT) AS savings_ppm
+      FROM a""")),
+
+    // sessions-per-user spectrum (how many separate visits users
+    // make — the engagement-frequency histogram next to q186's
+    // per-session stats and q207's between-session gaps): per-user
+    // session count from the q186/q207 gap>1800 chain, log2-bucketed
+    // by the bit-length identity with min/max per bucket
+    Q("q218_sessions_per_user", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .withColumn("nb",
+          when(col("gap").isNull || col("gap") > 1800L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("nb")).as("c"))
+        .withColumn("c_bucket",
+          (length(bin(col("c"))) - 1).cast(LongType))
+        .groupBy(col("c_bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("c")).as("min_sessions"), max(col("c")).as("max_sessions"))
+        .orderBy(col("c_bucket"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ms(ts)//1000 sec FROM events),
+      g AS (SELECT user_id,
+              sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) gap
+            FROM e),
+      c AS (SELECT user_id,
+              CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                   AS BIGINT) c
+            FROM g GROUP BY 1)
+      SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS c_bucket,
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(MIN(c) AS BIGINT) AS min_sessions,
+        CAST(MAX(c) AS BIGINT) AS max_sessions
+      FROM c GROUP BY 1 ORDER BY 1""")),
+
     // lag-1 autocorrelation of hourly counts per event type (is load
     // persistent hour-over-hour or mean-reverting — the serial-
     // dependence card next to q190's trend and q141's smoothing):

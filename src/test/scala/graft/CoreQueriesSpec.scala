@@ -1964,6 +1964,46 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("max_value") == ev.map(_.getAs[Double]("value")).max)
   }
 
+  test("q217: delta-encoding card replays from a per-user bit fold") {
+    val r = SparkEntry.queries("q217_delta_encoding")(spark, sf).collect().head
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_timestamp(ts) as sec")
+      .collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("event_id"),
+        x.getAs[Long]("sec")))
+    def bits(v: Long): Long = java.lang.Long.toBinaryString(v).length.toLong
+    val raw = ev.map(e => bits(e._3)).sum
+    val delta = ev.groupBy(_._1).values.map { es =>
+      val secs = es.sortBy(e => (e._3, e._2)).map(_._3)
+      bits(secs.head) + secs.zip(secs.tail).map { case (a, b) => bits(b - a) }.sum
+    }.sum
+    assert(r.getAs[Long]("n_events") == ev.length.toLong)
+    assert(r.getAs[Long]("raw_bits") == raw)
+    assert(r.getAs[Long]("delta_bits") == delta)
+    assert(r.getAs[Long]("savings_ppm") == 1000000L * (raw - delta) / raw)
+    assert(r.getAs[Long]("savings_ppm") > 0L) // deltas beat absolutes
+  }
+
+  test("q218: sessions-per-user spectrum replays from the gap fold") {
+    val rows = SparkEntry.queries("q218_sessions_per_user")(spark, sf)
+      .collect().map(r => r.getAs[Long]("c_bucket") -> r).toMap
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_timestamp(ts) as sec").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sec")))
+    val counts = ev.groupBy(_._1).values.map { es =>
+      val secs = es.map(_._2).sorted
+      1L + secs.zip(secs.tail).count { case (a, b) => b - a > 1800L }
+    }.toSeq
+    val byBucket = counts
+      .groupBy(c => (java.lang.Long.toBinaryString(c).length - 1).toLong)
+    assert(rows.keySet == byBucket.keySet)
+    byBucket.foreach { case (b, cs) =>
+      assert(rows(b).getAs[Long]("n_users") == cs.size.toLong)
+      assert(rows(b).getAs[Long]("min_sessions") == cs.min)
+      assert(rows(b).getAs[Long]("max_sessions") == cs.max)
+    }
+  }
+
   test("q212: order-interval spectrum replays from a per-customer fold") {
     val rows = SparkEntry.queries("q212_order_interval_spectrum")(spark, sf)
       .collect().map(r => r.getAs[Long]("gap_bucket") -> r).toMap
