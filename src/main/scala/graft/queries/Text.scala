@@ -986,6 +986,66 @@ object Text {
           AS bytes_per_token_milli
       FROM c GROUP BY source ORDER BY source""")),
 
+    // character-class profile per language (the byte-level quality
+    // signal under q31's token-level scoring: digit-heavy text is
+    // tables/logs, space-light text is code/minified — both are
+    // filter inputs a corpus audit wants per language). Counts are
+    // exact string identities on both engines: digits =
+    // length(regexp_replace(text,'[^0-9]','')), spaces =
+    // length(text) − length(replace(text,' ','')) (the q205
+    // replace identity), alnum via the codegen kernel. Pure
+    // scan-stage projections + one |langs|-bounded groupBy
+    Q("q219_char_profile", (s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"),
+          length(col("text")).cast(LongType).as("nch"),
+          graft.functions.TextExprs.alnumCount(col("text")).as("nalnum"),
+          length(regexp_replace(col("text"), "[0-9]", "")).cast(LongType)
+            .as("nondigit"),
+          length(regexp_replace(col("text"), " ", "")).cast(LongType)
+            .as("nonspace"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nch")).as("n_chars"),
+          sum(col("nalnum")).as("n_alnum"),
+          sum(col("nch") - col("nondigit")).as("n_digits"),
+          sum(col("nch") - col("nonspace")).as("n_spaces"))
+        .withColumn("alnum_milli", expr(
+          "CASE WHEN n_chars = 0L THEN -1L " +
+            "ELSE (1000L * n_alnum) div n_chars END"))
+        .withColumn("digit_milli", expr(
+          "CASE WHEN n_chars = 0L THEN -1L " +
+            "ELSE (1000L * n_digits) div n_chars END"))
+        .withColumn("space_milli", expr(
+          "CASE WHEN n_chars = 0L THEN -1L " +
+            "ELSE (1000L * n_spaces) div n_chars END"))
+        .orderBy(col("lang"))
+    }, Some("""
+      WITH c AS (SELECT lang,
+               CAST(length(text) AS BIGINT) nch,
+               CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                    AS BIGINT) nalnum,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS BIGINT) ndig,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                    AS BIGINT) nsp
+             FROM documents),
+      a AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+              CAST(SUM(nch) AS BIGINT) n_chars,
+              CAST(SUM(nalnum) AS BIGINT) n_alnum,
+              CAST(SUM(ndig) AS BIGINT) n_digits,
+              CAST(SUM(nsp) AS BIGINT) n_spaces
+            FROM c GROUP BY 1)
+      SELECT lang, n_docs, n_chars, n_alnum, n_digits, n_spaces,
+        CAST(CASE WHEN n_chars = 0 THEN -1
+             ELSE (1000 * n_alnum) // n_chars END AS BIGINT) AS alnum_milli,
+        CAST(CASE WHEN n_chars = 0 THEN -1
+             ELSE (1000 * n_digits) // n_chars END AS BIGINT) AS digit_milli,
+        CAST(CASE WHEN n_chars = 0 THEN -1
+             ELSE (1000 * n_spaces) // n_chars END AS BIGINT) AS space_milli
+      FROM a ORDER BY lang""")),
+
     // doc-length Gini concentration per source (is a source's token
     // budget spread evenly or dominated by a few giant documents —
     // the inequality card next to q174 HHI and q152 Pareto, at DOC

@@ -1964,6 +1964,34 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("max_value") == ev.map(_.getAs[Double]("value")).max)
   }
 
+  test("q219: char profile replays from a brute char scan") {
+    val rows = SparkEntry.queries("q219_char_profile")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._1)
+    assert(rows.keySet == docs.keySet)
+    docs.foreach { case (lang, ds) =>
+      val texts = ds.map(_._2)
+      val nch = texts.map(_.length.toLong).sum
+      // ASCII classes, matching the kernel and the oracle regex
+      def isAl(c: Char) = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9')
+      val nal = texts.map(_.count(isAl).toLong).sum
+      val ndig = texts.map(_.count(c => c >= '0' && c <= '9').toLong).sum
+      val nsp = texts.map(_.count(_ == ' ').toLong).sum
+      val r = rows(lang)
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_chars") == nch)
+      assert(r.getAs[Long]("n_alnum") == nal)
+      assert(r.getAs[Long]("n_digits") == ndig)
+      assert(r.getAs[Long]("n_spaces") == nsp)
+      assert(r.getAs[Long]("digit_milli") == 1000L * ndig / nch)
+      assert(r.getAs[Long]("space_milli") == 1000L * nsp / nch)
+      assert(r.getAs[Long]("alnum_milli") == 1000L * nal / nch)
+    }
+  }
+
   test("q217: delta-encoding card replays from a per-user bit fold") {
     val r = SparkEntry.queries("q217_delta_encoding")(spark, sf).collect().head
     val ev = Tables.t(spark, sf, "events")
