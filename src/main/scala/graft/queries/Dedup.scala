@@ -1136,13 +1136,17 @@ object Dedup {
     """reps AS (SELECT min(doc_id) doc_id FROM documents GROUP BY text),
       tk AS (SELECT d.doc_id, list_filter(string_split(d.text,' '), x->x<>'') tk
              FROM documents d JOIN reps USING (doc_id))"""
-  private val shCte =
-    """sh AS (
+  /** `sh` (distinct 3-shingles per doc) over a source CTE carrying
+    * (doc_id, tk) — parameterized so chains that root tokens at a
+    * rep table (ccCtes' `rtk`) reuse the identical shingle text. */
+  private def shCteFrom(src: String) =
+    s"""sh AS (
       SELECT doc_id,
         CASE WHEN len(tk)>=3 THEN list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]
                                                  for i in generate_series(1,len(tk)-2)])
              ELSE [] END shingles
-      FROM tk)"""
+      FROM $src)"""
+  private val shCte = shCteFrom("tk")
   private val mhCte =
     s"""mh AS (
       SELECT doc_id, shingles,
@@ -1522,19 +1526,30 @@ object Dedup {
     // from a per-bucket self-join (compare count tracks E[bucket],
     // never n²), survivors verified with the same exact int-scaled
     // cosine as q27. The bucket function is data-independent and
-    // deterministic, so the oracle replays it verbatim in SQL —
-    // recall < 1 vs q27 is the LSH contract, and the kept set itself
-    // is exactly reproducible. The 4096 bucket cap can't fire at
-    // gate sf (500 vectors, 64 buckets), so the oracle omits it;
-    // DedupApiSpec covers cap semantics.
+    // deterministic, so the oracle replays the FULL route verbatim
+    // in SQL — clone collapse on the raw embedding, the 4096-member
+    // clone-group cap, the 4096-rep bucket cap (both QUALIFY
+    // keep-lowest vec_id, the cappedPairCtes doctrine — exact at ANY
+    // scale factor, no "cap is a no-op at gate sf" rider), rep
+    // pairs, intra-clone pairs (icosine(v,v), NOT a 1.0 literal),
+    // and least/greatest expansion. Recall < 1 vs q27 is the LSH
+    // contract; CappedOracleSpec pins Spark ≡ this replay on corpora
+    // where each cap genuinely fires.
     Q("q102_cosine_lsh_pairs", (s, d) => {
       cosinePairs(t(s, d, "embeddings"), 0.35)
         .orderBy(col("a_id"), col("b_id"))
     }, Some(s"""
-      WITH iv AS (
+      WITH g AS (
+        SELECT vec_id, embedding,
+          min(vec_id) OVER (PARTITION BY embedding) gid
+        FROM embeddings),
+      mem AS (
+        SELECT gid, vec_id FROM g
+        QUALIFY row_number() OVER (PARTITION BY gid ORDER BY vec_id) <= 4096),
+      iv AS (
         SELECT vec_id,
           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) v
-        FROM embeddings),
+        FROM g WHERE vec_id = gid),
       n AS (SELECT vec_id, v,
               sqrt(CAST(list_sum([x*x for x in v]) AS DOUBLE)) nrm,
               (CASE WHEN v[1]>=0 THEN 1 ELSE 0 END) +
@@ -1543,13 +1558,31 @@ object Dedup {
               (CASE WHEN v[4]>=0 THEN 8 ELSE 0 END) +
               (CASE WHEN v[5]>=0 THEN 16 ELSE 0 END) +
               (CASE WHEN v[6]>=0 THEN 32 ELSE 0 END) bucket
-            FROM iv)
-      SELECT a_id, b_id, cosine FROM (
-        SELECT a.vec_id a_id, b.vec_id b_id,
-          CAST(list_sum(list_transform(generate_series(1,len(a.v)), i -> a.v[i]*b.v[i])) AS DOUBLE)
-            / (a.nrm*b.nrm) cosine
-        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-      WHERE cosine >= 0.35 ORDER BY a_id, b_id""")),
+            FROM iv),
+      bkt AS (
+        SELECT vec_id, v, nrm, bucket FROM n
+        QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 4096),
+      rp AS (
+        SELECT a_id, b_id, cosine FROM (
+          SELECT a.vec_id a_id, b.vec_id b_id,
+            CAST(list_sum(list_transform(generate_series(1,len(a.v)), i -> a.v[i]*b.v[i])) AS DOUBLE)
+              / (a.nrm*b.nrm) cosine
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cosine >= 0.35),
+      intra AS (
+        SELECT ia.vec_id a_id, ib.vec_id b_id,
+          CAST(list_sum(list_transform(generate_series(1,len(n.v)), i -> n.v[i]*n.v[i])) AS DOUBLE)
+            / (n.nrm*n.nrm) cosine
+        FROM mem ia JOIN mem ib ON ia.gid = ib.gid AND ia.vec_id < ib.vec_id
+        JOIN n ON n.vec_id = ia.gid),
+      allp AS (
+        SELECT least(ma.vec_id, mb.vec_id) a_id,
+               greatest(ma.vec_id, mb.vec_id) b_id, rp.cosine
+        FROM rp JOIN mem ma ON rp.a_id = ma.gid
+                JOIN mem mb ON rp.b_id = mb.gid
+        UNION ALL
+        SELECT a_id, b_id, cosine FROM intra WHERE cosine >= 0.35)
+      SELECT a_id, b_id, cosine FROM allp ORDER BY a_id, b_id""")),
 
     // exact n-gram Jaccard pairs via the inverted-index join (no
     // MinHash approximation); stop-shingle DF cap active on both sides
@@ -2496,14 +2529,38 @@ object Dedup {
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup
-    * oracles: near-dup pairs at j ≥ 0.5 → `comp(u, mv)` = min doc id
-    * reachable from u (u omitted for singletons). */
-  private lazy val ccCtes: String = s"""
-      WITH RECURSIVE $tkCte, $shCte, $mhCte,
+    * oracles — a FULL replay of the [[clusters]] route, exact at ANY
+    * scale factor (r12, closing the last ccCtes rider): exact-clone
+    * collapse (`ccg`: gid = min doc_id per shingleable text), LSH
+    * bands over the REPS with the 256-rep band-bucket cap replayed
+    * as a QUALIFY keep-lowest-doc_id window (the cappedPairCtes
+    * doctrine — [[clusters]] feeds rep pairs through `bandTable`'s
+    * `capBuckets`), rep pairs at j ≥ 0.5, rep-level transitive
+    * closure, then expansion of every shingleable doc through its
+    * gid. Ends in `comp(u, mv)` = cluster id (min doc id of the
+    * component, ≤ u) for every shingleable doc; unshingleable docs
+    * are absent — consumers' `COALESCE(LEAST(c.mv, d.doc_id),
+    * d.doc_id)` idiom labels them with themselves, exactly
+    * [[clusters]]' left-join fallback. Also exports `tk` (ALL docs'
+    * tokens — q65/q90-family consumers join it) and `p` (rep-level
+    * kept pairs). CappedOracleSpec pins [[clusters]] ≡ this replay
+    * on a corpus where the band cap genuinely fires. */
+  private lazy val ccCtes: String = {
+    val cap = LshConfig().maxBucketSize
+    s"""
+      WITH RECURSIVE $tkCte,
+      ccg AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY text) gid
+        FROM documents
+        WHERE len(list_filter(string_split(text,' '), x->x<>'')) >= 3),
+      rtk AS (SELECT t.doc_id, t.tk FROM tk t
+              JOIN ccg cg ON t.doc_id = cg.doc_id WHERE cg.doc_id = cg.gid),
+      ${shCteFrom("rtk")}, $mhCte,
       bands AS (
         SELECT doc_id, b, CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
         FROM mh, generate_series(0,${BANDS - 1}) g(b)
-        WHERE len(shingles) > 0),
+        WHERE len(shingles) > 0
+        QUALIFY row_number() OVER (PARTITION BY b, sig ORDER BY doc_id) <= $cap),
       cand AS (
         SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
         FROM bands a JOIN bands b ON a.b=b.b AND a.sig=b.sig AND a.doc_id<b.doc_id),
@@ -2518,7 +2575,10 @@ object Dedup {
       r(u, v) AS (SELECT u, v FROM e
                   UNION
                   SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
-      comp AS (SELECT u, min(v) mv FROM r GROUP BY u)"""
+      compr AS (SELECT u, min(v) mv FROM r GROUP BY u),
+      comp AS (SELECT cg.doc_id u, LEAST(COALESCE(c.mv, cg.gid), cg.gid) mv
+               FROM ccg cg LEFT JOIN compr c ON cg.gid = c.u)"""
+  }
 
   /** q56/q65 oracle: min reachable doc id per component, singletons
     * labeling themselves. */

@@ -42,8 +42,12 @@ object Media {
     * 100 TB shape: per-record render/decode/hash is scan-stage typed
     * map work (O(bytes), no shuffle); the only shuffle is the block
     * equi-join, and every block bucket is capped (`maxBucketSize`,
-    * the LshConfig discipline — a no-op at gate sf, so the oracle
-    * carries no cap term). */
+    * the LshConfig discipline). The q117 oracle replays BOTH caps —
+    * the 256-member clone-group cap and the 256-rep block-bucket cap
+    * — as QUALIFY keep-lowest-doc_id windows (the cappedPairCtes
+    * doctrine, r11), so it is exact at any scale factor;
+    * CappedOracleSpec pins Spark ≡ replay on corpora where each cap
+    * genuinely fires. */
   def imageNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
                         maxBucketSize: Int = 256): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
