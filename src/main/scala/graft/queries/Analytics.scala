@@ -1005,6 +1005,9 @@ object Analytics {
     // ratios with N one driver scalar; deviation = |obs·N − exp·N|
     // scale-free via cross-multiplication... kept simply as
     // |obs_ppm − benford_ppm| on the already-exact integer shares.
+    // r12 BOUND (the q208 audit rule): the only product is the share
+    // numerator 10⁶·n ≤ 10¹⁸ at 10¹² orders — int64-safe outright
+    // (no DECIMAL needed), and dev_ppm ≤ 10⁶ by construction.
     // Scan-stage digit extraction + one 9-row groupBy
     Q("q172_benford_audit", (s, d) => {
       val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
@@ -1098,17 +1101,28 @@ object Analytics {
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
       val nat = t(s, d, "nation")
         .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
-      rev.join(broadcast(sup), "l_suppkey")
+      // r12 OVERFLOW AUDIT (the q179 rule): the distributed moment
+      // sq = Σr² ≤ S² ≤ 10³² at S = 10¹⁶ national cents (10¹² line
+      // items) — inside DECIMAL(38,0) — but the ratio's 10⁶·sq term
+      // sits AT the 10³⁸ boundary, so the ≤|nations| moment rows
+      // collect to the driver (q134 rule) and the division runs in
+      // BigInt; hhi_ppm ≤ 10⁶ and total_cents ≤ 10¹⁶ stay int64-safe
+      val m = rev.join(broadcast(sup), "l_suppkey")
         .join(broadcast(nat), "s_nationkey")
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_suppliers"),
           sum(col("r")).as("total_cents"),
           sum(col("r").cast(dec) * col("r").cast(dec)).as("sq"))
-        .withColumn("hhi_ppm", expr(
-          "CAST((CAST(1000000 AS DECIMAL(38,0)) * sq) div " +
-            "(CAST(total_cents AS DECIMAL(38,0)) * total_cents) AS BIGINT)"))
-        .select(col("n_name"), col("n_suppliers"), col("total_cents"),
-          col("hhi_ppm"))
+        .collect()
+      import s.implicits._
+      m.map { r =>
+        val tc = r.getLong(2)
+        val sq = BigInt(r.getDecimal(3).toBigInteger)
+        val hhi =
+          if (tc == 0L) -1L
+          else (BigInt(1000000) * sq / (BigInt(tc) * tc)).toLong
+        (r.getString(0), r.getLong(1), tc, hhi)
+      }.toSeq.toDF("n_name", "n_suppliers", "total_cents", "hhi_ppm")
         .orderBy(col("n_name"))
     }, Some("""
       WITH rev AS (SELECT l_suppkey,
@@ -1224,7 +1238,15 @@ object Analytics {
     // 3·(2U − n₁n₂)²/(n₁n₂(n+1)) — fully rational (the no-tie
     // variance form, computed identically by both engines), the 5%
     // critical value the fixed literal 38415 (the q177 pattern).
-    // DECIMAL/HUGEINT carries the n²-sized moments
+    // r12 OVERFLOW AUDIT (the q179 rule): the DISTRIBUTED part stops
+    // at the n²-sized moments on DECIMAL(38,0) — 2U ≤ n₁·n₂ ≤
+    // 2.5·10²³ at 10¹² lineitem rows, comfortably inside 38 digits —
+    // but (2U − n₁n₂)² is n⁴-sized (≈10⁴⁷) and bursts, so the 3
+    // moment scalars collect to the driver and z² runs in BigInt.
+    // Outputs bounded: z2_milli ≤ 3000·n₁n₂/(n+1) ≤ 750·n ≈ 10¹⁵
+    // int64-safe; two_u itself is int64-safe to n₁·n₂ ≤ 9.2·10¹⁸
+    // (≈3·10⁹ rows per arm — beyond that read the scale-free
+    // z2_milli, and the Long cast here is the loud overflow guard)
     Q("q178_rank_sum_test", (s, d) => {
       val dec = DecimalType(38, 0)
       val dl = t(s, d, "lineitem")
@@ -1242,20 +1264,24 @@ object Analytics {
       val wnd = Window.orderBy(col("delay"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val cum = g.withColumn("clb", coalesce(sum(col("nl")).over(wnd), lit(0L)))
-      cum.agg(
+      val m = cum.agg(
         sum(col("nu")).as("n1"), sum(col("nl")).as("n2"),
-        sum(col("nu").cast(dec) * (col("clb") * 2L + col("nl")))
-          .cast(LongType).as("two_u"))
-        .withColumn("z2_milli", expr(
-          "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN -1 ELSE " +
-            "(CAST(3000 AS DECIMAL(38,0)) * (two_u - n1*n2) * (two_u - n1*n2)) " +
-            "div (CAST(n1 AS DECIMAL(38,0)) * n2 * (n1 + n2 + 1)) " +
-            "END AS BIGINT)"))
-        .withColumn("significant_5pct", expr(
-          "CASE WHEN z2_milli < 0 THEN false ELSE " +
-            "10L * z2_milli >= 38415L END"))
-        .select(col("n1"), col("n2"), col("two_u"), col("z2_milli"),
-          col("significant_5pct"))
+        sum(col("nu").cast(dec) * (col("clb") * 2L + col("nl"))).as("two_u"))
+        .head()
+      val (n1, n2) =
+        if (m.isNullAt(0)) (0L, 0L) else (m.getLong(0), m.getLong(1))
+      val twoU =
+        if (m.isNullAt(2)) BigInt(0) else BigInt(m.getDecimal(2).toBigInteger)
+      val z2 =
+        if (n1 == 0L || n2 == 0L) -1L
+        else {
+          val dd = twoU - BigInt(n1) * n2
+          (BigInt(3000) * dd * dd /
+            (BigInt(n1) * n2 * (BigInt(n1) + n2 + 1))).toLong
+        }
+      import s.implicits._
+      Seq((n1, n2, twoU.toLong, z2, z2 >= 0L && 10L * z2 >= 38415L))
+        .toDF("n1", "n2", "two_u", "z2_milli", "significant_5pct")
     }, Some("""
       WITH v AS (SELECT o_orderpriority = '1-URGENT' AS urgent,
                CAST(date_diff('day', CAST(o_orderdate AS DATE),
@@ -1294,8 +1320,15 @@ object Analytics {
     // ⇔ 10⁶·d_int² > 1358²·(n₁+n₂)·n₁·n₂ — and 1358² = 1844164 is
     // EXACT, so the classic KS coefficient needs no rounding at all
     // (the cleanest member of the fixed-literal family). Totals ride
-    // an unbounded window over the bounded value table;
-    // DECIMAL/HUGEINT carries the n²-sized squares
+    // an unbounded window over the bounded value table.
+    // r12 OVERFLOW AUDIT (the q179 rule): the distributed part stops
+    // at the n²-sized DECIMAL(38,0) terms — |cu·n₂ − cl·n₁| ≤ n₁·n₂
+    // ≤ 2.5·10²³ at 10¹² rows, inside 38 digits — but the verdict's
+    // d_int² is n⁴-sized (≈10⁴⁷) and bursts, so the 3 scalars
+    // collect to the driver and the cross-multiplication runs in
+    // BigInt. d_ppm ≤ 10⁶ is the bounded statistic; d_int is
+    // int64-safe to n₁·n₂ ≤ 9.2·10¹⁸ (the Long cast is the loud
+    // guard past ≈3·10⁹ rows per arm)
     Q("q180_ks_test", (s, d) => {
       val dec = DecimalType(38, 0)
       val dl = t(s, d, "lineitem")
@@ -1321,18 +1354,23 @@ object Analytics {
         .withColumn("n2", sum(col("nl")).over(all))
         .withColumn("diff",
           abs(col("cu").cast(dec) * col("n2") - col("cl").cast(dec) * col("n1")))
-      cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-          max(col("diff")).cast(LongType).as("d_int"))
-        .withColumn("d_ppm", expr(
-          "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN -1 ELSE " +
-            "(CAST(1000000 AS DECIMAL(38,0)) * d_int) " +
-            "div (CAST(n1 AS DECIMAL(38,0)) * n2) END AS BIGINT)"))
-        .withColumn("significant_5pct", expr(
-          "CASE WHEN n1 = 0 OR n2 = 0 THEN false ELSE " +
-            "CAST(1000000 AS DECIMAL(38,0)) * d_int * d_int > " +
-            "CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2 END"))
-        .select(col("n1"), col("n2"), col("d_int"), col("d_ppm"),
-          col("significant_5pct"))
+      val m = cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(col("diff")).as("d_int"))
+        .head()
+      val (n1, n2) =
+        if (m.isNullAt(0)) (0L, 0L) else (m.getLong(0), m.getLong(1))
+      val dInt =
+        if (m.isNullAt(2)) BigInt(0) else BigInt(m.getDecimal(2).toBigInteger)
+      val degenerate = n1 == 0L || n2 == 0L
+      val dPpm =
+        if (degenerate) -1L
+        else (BigInt(1000000) * dInt / (BigInt(n1) * n2)).toLong
+      val sig = !degenerate &&
+        BigInt(1000000) * dInt * dInt >
+          BigInt(1844164) * (BigInt(n1) + n2) * n1 * n2
+      import s.implicits._
+      Seq((n1, n2, dInt.toLong, dPpm, sig))
+        .toDF("n1", "n2", "d_int", "d_ppm", "significant_5pct")
     }, Some("""
       WITH v AS (SELECT o_orderpriority = '1-URGENT' AS urgent,
                CAST(date_diff('day', CAST(o_orderdate AS DATE),
@@ -1372,9 +1410,10 @@ object Analytics {
     // both engines then summed (the defined-statistic rule — exact
     // rational summation would need a common denominator in the
     // N³-digit range), V² = χ²/(N·(min(r,c)−1)) carried as v2_ppm per
-    // the q169 carry-the-square doctrine. Marginals are two bounded
-    // rollups of the |r×c| cell table; N³-sized products ride
-    // DECIMAL(38,0)/HUGEINT
+    // the q169 carry-the-square doctrine. The N⁴-sized χ² products
+    // burst DECIMAL(38,0) at 10¹² rows, so the |r×c| cell table
+    // collects to the driver and the products run in BigInt (the
+    // q179 finish — see [[cramersV]]'s bound scaladoc)
     Q("q185_cramers_v", (s, d) => {
       cramersV(t(s, d, "orders")
         .select(col("o_orderpriority").as("prio"),
@@ -1486,36 +1525,44 @@ object Analytics {
     * per-cell chi-square contributions ⌊1000·(N·O−r·c)²/(N·r·c)⌋
     * floored IDENTICALLY on both engines then summed (the
     * defined-statistic rule), V² carried as v2_ppm (the q169
-    * carry-the-square doctrine). N³-sized products on DECIMAL(38,0);
-    * the grand-total window runs over the |r×c| cell table only
-    * (PlanSpec-certified bounded shape). */
+    * carry-the-square doctrine).
+    *
+    * r12 OVERFLOW AUDIT (the q179 rule): the χ² term (N·O − r·c)² is
+    * N⁴-sized — 10⁴⁸ at 10¹² input rows, past DECIMAL(38,0)'s 38
+    * digits — so the distributed plan stops at the |r×c| cell rollup
+    * (cells, counts ≤ N: int64-exact), the bounded cell table
+    * collects to the driver (q134/q137 rule: contingency domains are
+    * |priorities×statuses|-sized, never corpus-sized), and the
+    * N⁴-sized products run in BigInt. Every OUTPUT stays bounded:
+    * chi2_milli ≤ 1000·χ² ≤ 1000·N·(k−1) ≈ 10¹⁶ at N = 10¹² —
+    * int64-safe — and v2_ppm ≤ 10⁶ by definition. The oracle keeps
+    * the HUGEINT form (exact at gate sfs). */
   private def cramersV(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val cells = pairs
       .groupBy(col("prio"), col("status"))
       .agg(count(lit(1)).as("o"))
-      .cut() // feeds the marginals and the per-cell contributions
-    val rm = cells.groupBy(col("prio")).agg(sum(col("o")).as("r"))
-    val cm = cells.groupBy(col("status")).agg(sum(col("o")).as("c"))
-    val all = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val contrib = cells.join(rm, "prio").join(cm, "status")
-      .withColumn("n", sum(col("o")).over(all))
-      .withColumn("part", expr(
-        "(CAST(1000 AS DECIMAL(38,0)) * (n*o - r*c) * (n*o - r*c)) " +
-          "div (CAST(n AS DECIMAL(38,0)) * r * c)").cast(LongType))
-    contrib.agg(
-        countDistinct(col("prio")).as("n_rows"),
-        countDistinct(col("status")).as("n_cols"),
-        max(col("n")).as("n"),
-        sum(col("part")).as("chi2_milli"))
-      .withColumn("df", (col("n_rows") - 1L) * (col("n_cols") - 1L))
-      .withColumn("v2_ppm", expr(
-        "CAST(CASE WHEN least(n_rows, n_cols) <= 1 OR n = 0 THEN -1 ELSE " +
-          "(CAST(1000 AS DECIMAL(38,0)) * chi2_milli) " +
-          "div (CAST(n AS DECIMAL(38,0)) * (least(n_rows, n_cols) - 1)) " +
-          "END AS BIGINT)"))
-      .select(col("n_rows"), col("n_cols"), col("n"), col("df"),
-        col("chi2_milli"), col("v2_ppm"))
+      .collect()
+      .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)),
+        r.getLong(2)))
+    val n = cells.map(_._3).sum
+    val rm = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cm = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    // ⌊1000·(N·O − r·c)²/(N·r·c)⌋ per cell: numerator ≥ 0 and
+    // denominator > 0, so BigInt / is the same floor both engines
+    // compute with div///
+    val chi2 = cells.map { case (p0, s0, o) =>
+      val dd = BigInt(n) * BigInt(o) - BigInt(rm(p0)) * BigInt(cm(s0))
+      (BigInt(1000) * dd * dd / (BigInt(n) * rm(p0) * cm(s0))).toLong
+    }.sum
+    val (nRows, nCols) = (rm.size.toLong, cm.size.toLong)
+    val k = math.min(nRows, nCols)
+    val v2 =
+      if (k <= 1 || n == 0) -1L
+      else (BigInt(1000) * chi2 / (BigInt(n) * (k - 1))).toLong
+    Seq((nRows, nCols, n, (nRows - 1L) * (nCols - 1L), chi2, v2))
+      .toDF("n_rows", "n_cols", "n", "df", "chi2_milli", "v2_ppm")
   }
 
   /** Oracle template for [[cramersV]]: `pairSelect` must yield

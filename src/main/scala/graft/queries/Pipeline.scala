@@ -2605,7 +2605,12 @@ object Pipeline {
     // is partitioned by bin), and one final aggregate folds AUC and the
     // threshold-0 confusion counts together (predicted-positive ⇔
     // skey ≥ 10⁹, exactly score_num ≥ 0). n²-sized 2U rides
-    // DECIMAL(38,0)/HUGEINT; every ppm is a nonnegative floor ratio
+    // DECIMAL(38,0)/HUGEINT; every ppm is a nonnegative floor ratio.
+    // r12 BOUND (the q208 audit rule): 2U ≤ n_pos·n_neg ≤ 2.5·10²³
+    // at 10¹² docs — inside DECIMAL(38,0) with 14 digits to spare;
+    // the two_u OUTPUT column is int64-safe to n_pos·n_neg ≤ 9.2·10¹⁸
+    // (≈3·10⁹ docs per class — past that the bounded auc_ppm is the
+    // number to read and the ANSI Long cast is the loud guard)
     Q("q155_classifier_eval", (s, d) => {
       val th = 1000000000L
       val g = classifierEvalScores(s, d)

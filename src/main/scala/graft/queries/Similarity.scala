@@ -241,7 +241,11 @@ object Similarity {
     * comparison 20·dist²·n > 21·Σdist² (distance above 1.05× the
     * label mean — no division crosses the oracle; sums go through
     * DECIMAL(38,0) because Σdist² overflows int64 at replicated
-    * scale). The 21/20 ratio is calibrated to this corpus (TESTDATA
+    * scale). r12 BOUND (the q208 audit rule): unit-norm coords scale
+    * to |vᵢ| ≤ 10⁶+1, so dist² ≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴, Σdist² ≤
+    * 2.6·10²⁶ at 10¹² vectors, and the cross term 20·dist²·n ≤
+    * 5·10²⁷ — inside DECIMAL(38,0) with 10 digits to spare.
+    * The 21/20 ratio is calibrated to this corpus (TESTDATA
     * doctrine): the synthetic embeddings are isotropic, so per-label
     * distances concentrate within ±12% of the mean and the classic
     * 2× rule never fires — on real clustered embeddings the ratio is
@@ -1121,6 +1125,12 @@ object Similarity {
     // mean squared distances, entirely rational: separated ⇔
     // d²(c_a, c_b)·n_a·n_b > w_a·n_b + w_b·n_a (no mean ever divides;
     // sep_ppm = the same ratio floored through DECIMAL(38,0)/HUGEINT).
+    // r12 BOUND (the q208 audit rule): with unit-norm coords any
+    // squared distance ≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴, so w_a·n_b ≤
+    // 2.6·10¹⁴·n_a·n_b ≤ 6.5·10³⁷ at 10¹² vectors — inside
+    // DECIMAL(38,0) by a factor ~1.5 at exactly 10¹²; past that the
+    // ≤K²-row pair table makes the q179 driver-BigInt finish a
+    // drop-in swap.
     // |labels|² bounded output (45 pairs), centroids broadcast; on the
     // isotropic synthetic embeddings labels are UNSEPARATED by
     // construction — the honest measured verdict, exactly q136's

@@ -385,7 +385,12 @@ object Temporal {
     // one integer aggregate. CV² = (n·Σd² − (Σd)²)/(Σd)² compared
     // against 3/4 by cross-multiplication — no division crosses the
     // oracle; products go through DECIMAL(38,0)/HUGEINT so the test
-    // is exact at any gap magnitude. cv2_ppm = ⌊10⁶·num/(Σd)²⌋ rides
+    // is exact at any gap magnitude. r12 BOUND (the q208 audit rule):
+    // per-user gaps TELESCOPE — Σd ≤ the user's time span ≤ 3·10⁹ s
+    // (a century), so Σd² ≤ Σd·max d ≤ 9·10¹⁸ and n·Σd² ≤ 9·10³⁰ at
+    // 10¹² events/user; the 10⁶·num ppm term tops out ≈ 10³⁷ < 10³⁸
+    // — inside DECIMAL(38,0) with no driver finish needed.
+    // cv2_ppm = ⌊10⁶·num/(Σd)²⌋ rides
     // along for ranking (same floor on both engines). Calibration on
     // this corpus: CV² spans [0.60, 1.63], p10 ≈ 0.76 → the 3/4 flag
     // marks ~10% of users as suspiciously regular (non-degenerate,
@@ -530,7 +535,9 @@ object Temporal {
     // 24 hours-of-day — humans sleep; 32/150 users at sf0.01 under
     // ~66 uniform events); suspicious at ≥ 2 of 3. Each signal is one
     // per-entity-timeline pass (bounded partitions), composed by
-    // O(users) equi-joins
+    // O(users) equi-joins. DECIMAL(38,0) bound: the metronome vote is
+    // q132's cross-multiplication, covered by q132's telescoping-gap
+    // bound (n·Σd² ≤ 9·10³⁰ at 10¹² events/user)
     Q("q144_bot_suspicion", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dec = DecimalType(38, 0)
@@ -796,8 +803,14 @@ object Temporal {
     // cross-multiplication: flat when 20·|num| ≤ den (|slope| ≤ 0.05
     // events/day), else the sign decides. Products ride
     // DECIMAL(38,0)/HUGEINT (epoch-day · count sums overflow int64 at
-    // large scale); one keyed shuffle over (type, day), then a
-    // |types|-row rollup
+    // large scale). r12 BOUND (the q208 audit rule): x = epoch-day ≤
+    // 10⁵ (250 years) and y ≤ 10¹² daily events, so Σxy ≤ 10⁵·10⁵·10¹²
+    // = 10²², num = n·Σxy − Σx·Σy bounded by 10²⁷ and den = n·Σx² −
+    // (Σx)² by 10²⁰ — inside DECIMAL(38,0) with 10 digits to spare.
+    // The num/den OUTPUT columns are int64-safe up to ~10⁸ daily
+    // events per type; past that the bounded `trend` verdict is the
+    // number to read and the ANSI Long cast is the loud guard. One
+    // keyed shuffle over (type, day), then a |types|-row rollup
     Q("q158_trend_lines", (s, d) => {
       val dec = DecimalType(38, 0)
       val dc = t(s, d, "events")
@@ -927,7 +940,10 @@ object Temporal {
     // RATIONAL drift measure (PSI/KL are logs, the q57 transcendental
     // rule), carried as |c1·N2 − c2·N1| through DECIMAL/HUGEINT over
     // the common denominator 2·N1·N2, every ppm a nonnegative floor
-    // ratio. Window bounds and totals are driver scalars (the q62
+    // ratio. r12 BOUND (the q208 audit rule): |c·N| ≤ N1·N2 ≤ 10²⁴
+    // at 10¹² events/week and the 10⁶ ppm factor tops out at 10³⁰ —
+    // inside DECIMAL(38,0) with 8 digits to spare.
+    // Window bounds and totals are driver scalars (the q62
     // contract); the total row rides the q121 UNION shape. One
     // map-side-combined groupBy over a scan-stage window tag
     Q("q163_distribution_drift", (s, d) => {
@@ -1064,7 +1080,10 @@ object Temporal {
     // the q168 inner + exclusive-mass identity (inactive hours
     // contribute g_h·n_u), products in DECIMAL/HUGEINT, N one driver
     // scalar, the 24-row global profile a broadcast. Top-20 by
-    // (tvd desc, user asc) via TakeOrderedAndProject
+    // (tvd desc, user asc) via TakeOrderedAndProject. r12 BOUND (the
+    // q208 audit rule): every term ≤ g_h·n_u ≤ N·n_u ≤ 10²⁴ at 10¹²
+    // events and the 10⁶ ppm factor tops out at 10³⁰ — inside
+    // DECIMAL(38,0) with 8 digits to spare
     Q("q171_profile_outliers", (s, d) => {
       val dec = DecimalType(38, 0)
       val ev = t(s, d, "events")
@@ -1128,9 +1147,14 @@ object Temporal {
     // (z²·10⁴ ≥ 38415), so no distribution function is ever
     // evaluated (the Benford-constant pattern). Per-user arm/convert
     // are scan-stage hash/aggregate decisions; the card is one
-    // bounded aggregate. Degenerate pools (C = 0 or C = N) → −1
+    // bounded aggregate. Degenerate pools (C = 0 or C = N) → −1.
+    // r12 OVERFLOW AUDIT (the q179 rule): (c₁n₂−c₂n₁)²·N is
+    // n⁵-sized — ≈10⁶⁰ at 10¹² users, far past DECIMAL(38,0) — so
+    // the distributed part stops at the four int64-exact arm counts,
+    // the one moment row collects to the driver, and z² runs in
+    // BigInt. Output bounded: z2_milli ≤ 1000·N ≈ 10¹⁵ int64-safe
+    // (z² ≤ N by |c₁n₂−c₂n₁| ≤ √(n₁n₂·C(N−C)) Cauchy–Schwarz)
     Q("q177_ab_significance", (s, d) => {
-      val dec = DecimalType(38, 0)
       val u = t(s, d, "events")
         .select(col("user_id"), col("event_type"))
         .groupBy(col("user_id"))
@@ -1138,21 +1162,26 @@ object Temporal {
           .as("conv"))
         .withColumn("arm",
           hmod(concat(lit("arm:"), col("user_id").cast("string"))) % 2)
-      u.agg(
+      val m = u.agg(
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
         sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c1"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
         sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c2"))
-        .withColumn("z2_milli", expr(
-          "CAST(CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN -1 ELSE " +
-            "(CAST(1000 AS DECIMAL(38,0)) * (c1*n2 - c2*n1) * (c1*n2 - c2*n1) " +
-            "* (n1 + n2)) div (CAST(n1 AS DECIMAL(38,0)) * n2 * (c1 + c2) " +
-            "* (n1 + n2 - c1 - c2)) END AS BIGINT)"))
-        .withColumn("significant_5pct", expr(
-          "CASE WHEN z2_milli < 0 THEN false ELSE " +
-            "10L * z2_milli >= 38415L END"))
-        .select(col("n1"), col("c1"), col("n2"), col("c2"),
-          col("z2_milli"), col("significant_5pct"))
+        .head()
+      val (n1, c1, n2, c2) =
+        if (m.isNullAt(0)) (0L, 0L, 0L, 0L)
+        else (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+      val cc = c1 + c2
+      val z2 =
+        if (cc == 0L || cc == n1 + n2 || n1 == 0L || n2 == 0L) -1L
+        else {
+          val dd = BigInt(c1) * n2 - BigInt(c2) * n1
+          (BigInt(1000) * dd * dd * (BigInt(n1) + n2) /
+            (BigInt(n1) * n2 * cc * (BigInt(n1) + n2 - cc))).toLong
+        }
+      import s.implicits._
+      Seq((n1, c1, n2, c2, z2, z2 >= 0L && 10L * z2 >= 38415L))
+        .toDF("n1", "c1", "n2", "c2", "z2_milli", "significant_5pct")
     }, Some(s"""
       WITH u AS (SELECT user_id,
                CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -1231,9 +1260,12 @@ object Temporal {
     // rational over OBSERVED hours: population VMR = (H·Σc² − (Σc)²)
     // / (H·Σc), vmr_ppm the nonneg floor (numerator ≥ 0 by Cauchy–
     // Schwarz), verdict by cross-multiplication — no variance or mean
-    // ever divides. Products ride HUGEINT/DECIMAL(38,0); per-type
-    // hourly pre-aggregation is map-side combined, final table = one
-    // row per event type
+    // ever divides. Products ride HUGEINT/DECIMAL(38,0). r12 BOUND
+    // (the q208 audit rule): Σc = N is fixed, so Σc² ≤ N² and the
+    // numerator H·Σc² ≤ H·N² ≤ 10⁵·10²⁴ = 10²⁹ at 10¹² events over
+    // 10⁵ observed hours; the 10⁶ ppm factor tops out at 10³⁵ < 10³⁸.
+    // Per-type hourly pre-aggregation is map-side combined, final
+    // table = one row per event type
     Q("q188_fano_burstiness", (s, d) => {
       val dec = DecimalType(38, 0)
       t(s, d, "events")

@@ -567,6 +567,11 @@ object Text {
     // (N·(N−1)) — the diversity measure that stays RATIONAL (Shannon
     // entropy is logs, the q57 transcendental rule), reported in ppm
     // by floor division with the Σ n_i² mass riding DECIMAL/HUGEINT.
+    // r12 BOUND (the q208 audit rule): Σn_i(n_i−1) ≤ N² ≤ 10²⁴ at
+    // 10¹² tokens/source and the 10⁶ ppm factor tops out at 10³⁰ —
+    // inside DECIMAL(38,0); the `pairs` OUTPUT column is int64-safe
+    // to N ≈ 3·10⁹ tokens per source (past that read simpson_ppm;
+    // the ANSI Long cast is the loud guard).
     // One map-side-combined (source, token) groupBy + |sources| rollup
     Q("q167_simpson_diversity", (s, d) => {
       val dec = DecimalType(38, 0)
@@ -609,7 +614,9 @@ object Text {
     // equi-join covers the whole matrix, no per-pair rescans, the
     // q115 matrix family shape. Products ride DECIMAL/HUGEINT; pairs
     // sharing zero tokens (TVD exactly 1) are omitted by construction
-    // on both engines. |sources|²-bounded output
+    // on both engines. |sources|²-bounded output. r12 BOUND (the q208
+    // audit rule): |c_a·N_b − c_b·N_a| ≤ N_a·N_b ≤ 10²⁴ at 10¹²
+    // tokens/source; the 10⁶ ppm factor tops out at 10³⁰ < 10³⁸
     Q("q168_source_drift_matrix", (s, d) => {
       val dec = DecimalType(38, 0)
       val tc = t(s, d, "documents")

@@ -447,6 +447,44 @@ object EventStream {
       }
   }
 
+  /** One event's storage-cost sample — [[deltaBitsStream]]'s unit
+    * (q217's per-row bits before the corpus aggregate). */
+  final case class DeltaBitsRow(raw_bits: Long, delta_bits: Long)
+
+  /** `length(bin(v))` for the non-negative longs this stream sees —
+    * the exact Spark SQL semantics (bin(0) = "0" is 1 bit). */
+  private def binBits(v: Long): Long =
+    if (v == 0L) 1L else (64 - java.lang.Long.numberOfLeadingZeros(v)).toLong
+
+  /** Streaming delta-encoding audit — the q217 card as an ingest:
+    * the same O(1) per-user last-second state as [[returnTimeStream]],
+    * each arriving event emitting its (raw_bits, delta_bits) sample
+    * exactly once — raw = bits of the absolute second, delta = bits
+    * of the gap to the previous same-user event (the first event
+    * stores its absolute value, exactly the batch COALESCE). The
+    * card (n_events / Σraw / Σdelta / savings_ppm) is the consumer's
+    * one aggregate over the emissions ≡ the q217 gate row under
+    * per-user ordered ingest (PipelineStreamSpec pins it; in-batch
+    * rows sort by the gate's (sec, event_id) tie-break — gaps are
+    * sec-only, so equal-second ties emit 0 in any order). */
+  def deltaBitsStream(events: Dataset[TypedEvent]): Dataset[DeltaBitsRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSec, DeltaBitsRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, evs, state) =>
+        var st = state.getOption.getOrElse(LastSec(has = false, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[DeltaBitsRow]
+        for (e <- evs.toSeq.sortBy(x => (x.sec, x.event_id))) {
+          val delta = if (st.has) e.sec - st.sec else e.sec
+          out += DeltaBitsRow(binBits(e.sec), binBits(delta))
+          st = LastSec(has = true, e.sec)
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
   /** One scored transition — [[predictionStream]]'s unit. */
   final case class PredRow(from_type: String, to_type: String, hit: Boolean)
 

@@ -20,7 +20,18 @@ import java.nio.file.{Files, Paths}
   *    EITHER anchor held.
   *
   * Usage: runMain graft.tools.BenchDiff <old.json> <new.json>
-  *        [moverThreshold=1.5]
+  *        [moverThreshold=1.5] [--scale=<bigger-sf bench_full.json>]
+  *
+  * `--scale` (r12, the self-adjudication ask): a capture of the NEW
+  * code at a LARGER scale factor (e.g. bench_sf10_*.json). A mover
+  * that looks unexplained at sf0.1 but whose anchor-normalized cost
+  * at 100× the data sits at/below its sf0.1 ratio cannot be a plan
+  * regression — plan cost grows with data, host windows don't — so
+  * it is labeled `host-window (scale-check passed)`. This is exactly
+  * the hand-analysis the r11 judge ran on the 8 UNEXPLAINED movers
+  * (q96/q97/q184/q48/q72/q47/q53/q31), made mechanical. Tolerance
+  * 1.1 on the ratio-of-ratios absorbs per-capture noise.
+  *
   * Plain stdout table; dev/judge tool, not a driver contract. */
 object BenchDiff {
 
@@ -42,10 +53,15 @@ object BenchDiff {
   private def fmt(d: Double): String = f"$d%8.2f"
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BenchDiff <old bench_full.json> <new bench_full.json> [moverThreshold]")
-    val thr = if (args.length > 2) args(2).toDouble else 1.5
-    val oldJ = Files.readString(Paths.get(args(0)))
-    val newJ = Files.readString(Paths.get(args(1)))
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.length >= 2, "usage: BenchDiff <old bench_full.json> <new bench_full.json> [moverThreshold] [--scale=<bigger-sf capture>]")
+    val thr = if (pos.length > 2) pos(2).toDouble else 1.5
+    val oldJ = Files.readString(Paths.get(pos(0)))
+    val newJ = Files.readString(Paths.get(pos(1)))
+    val qScale: Map[String, Double] = args.collectFirst {
+      case s if s.startsWith("--scale=") =>
+        numMap(Files.readString(Paths.get(s.stripPrefix("--scale="))), "queries")
+    }.getOrElse(Map.empty)
     val (qo, qn) = (numMap(oldJ, "queries"), numMap(newJ, "queries"))
     val (bo, bn) = (numMap(oldJ, "shuffle_bytes"), numMap(newJ, "shuffle_bytes"))
     val (ro, rn) = (numMap(oldJ, "shuffle_read_bytes"), numMap(newJ, "shuffle_read_bytes"))
@@ -88,10 +104,33 @@ object BenchDiff {
         } :+ math.max(dx / fleet, fleet / dx) // fleet-median normalizer
         val best = shifts.min
         val bm = bytesMoved(q)
+        // third signal (only consulted when the first two fail): does
+        // the NEW code's cost at a bigger sf hold its anchor ratio?
+        // A plan regression can only GROW with data; a ratio that is
+        // at/below the sf0.1 one certifies a host window.
+        lazy val scaleShift: Option[Double] = {
+          val ss = for {
+            a <- anchors
+            ts <- qScale.get(a) if ts > 0
+            tq <- qScale.get(q) if tq > 0
+          } yield (tq / ts) / (qn(q) / qn(a))
+          if (ss.isEmpty) None else Some(ss.min)
+        }
         val label =
           if (bm) "PLAN-CHANGE (shuffle bytes moved)"
           else if (best <= 1.3) "host-window (anchor-ratio held, bytes identical)"
-          else "UNEXPLAINED (moved vs both anchors AND the fleet median, bytes identical — check plan/compute)"
+          else if (dx < 1.0)
+            // a query that got FASTER with identical bytes cannot be a
+            // plan regression — the OLD capture was the noise victim
+            "host-window (recovery: faster than the old capture, bytes identical)"
+          else scaleShift match {
+            case Some(s) if s <= 1.1 =>
+              f"host-window (scale-check passed: bigger-sf anchor ratio ${s}%.2fx the sf0.1 one, bytes identical)"
+            case Some(s) =>
+              f"SUSPECT (bigger-sf anchor ratio grew ${s}%.2fx — moved vs anchors, fleet AND scale; check plan/compute)"
+            case None =>
+              "UNEXPLAINED (moved vs both anchors AND the fleet median, bytes identical — check plan/compute, or pass --scale=)"
+          }
         Some(Row(q, qo(q), qn(q), dx, best, bm, label))
       }
     }.sortBy(-_.dx)
@@ -104,8 +143,8 @@ object BenchDiff {
       for (r <- rows)
         println(f"${r.q}%-34s ${fmt(r.tOld)} ${fmt(r.tNew)} ${r.dx}%6.2f ${r.bestShift}%8.2f  ${r.label}")
     }
-    val byLabel = rows.groupBy(_.label).view.mapValues(_.size).toMap
+    val byLabel = rows.groupBy(_.label.takeWhile(_ != ' ')).view.mapValues(_.size).toMap
     println("summary: " + (if (byLabel.isEmpty) "no movers"
-      else byLabel.toSeq.sortBy(_._1).map { case (l, n) => s"$n ${l.takeWhile(_ != ' ')}" }.mkString(", ")))
+      else byLabel.toSeq.sortBy(_._1).map { case (l, n) => s"$n $l" }.mkString(", ")))
   }
 }

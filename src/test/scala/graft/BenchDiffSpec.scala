@@ -54,4 +54,61 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(s.contains("q83_x") && s.contains("host-window"), s)
     assert(s.contains("q84_y") && s.contains("PLAN-CHANGE"), s)
   }
+
+  test("--scale self-adjudicates: a mover whose bigger-sf anchor ratio held is a host window") {
+    // q85 moves 3x against BOTH anchors and the fleet with identical
+    // bytes (anchors flat, the rest of the fleet flat) — without
+    // --scale that is UNEXPLAINED; the sf10 capture shows its anchor
+    // ratio SHRANK at 100x the data, which a plan regression cannot
+    // do, so the scale check certifies a host window. q86 moves the
+    // same way at sf0.1 AND grew its sf10 anchor ratio 2x -> SUSPECT.
+    def art(q85: Double, q86: Double): String =
+      s"""{"queries":{"q01_agg_basic":1.0,"q23_minhash_sig":2.0,"q85_w":$q85,"q86_v":$q86,"q87_u":0.5},""" +
+        s""""shuffle_bytes":{"q01_agg_basic":1000,"q23_minhash_sig":2000,"q85_w":5000,"q86_v":5000,"q87_u":100},""" +
+        s""""shuffle_read_bytes":{"q01_agg_basic":900,"q23_minhash_sig":1800,"q85_w":4500,"q86_v":4500,"q87_u":90}}"""
+    // sf10 capture of the NEW code: anchors 5x the sf0.1 values;
+    // q85 only 2x (ratio shrank: 6/5 = 0.4x its sf0.1 ratio 3.0);
+    // q86 10x (ratio grew: 30/5 = 2x its sf0.1 ratio 3.0)
+    val scale =
+      """{"queries":{"q01_agg_basic":5.0,"q23_minhash_sig":10.0,"q85_w":6.0,"q86_v":30.0,"q87_u":2.5}}"""
+    val dir = java.nio.file.Files.createTempDirectory("bdiff2")
+    val o = dir.resolve("old.json"); val n = dir.resolve("new.json")
+    val sc = dir.resolve("sf10.json")
+    java.nio.file.Files.writeString(o, art(1.0, 1.0))
+    java.nio.file.Files.writeString(n, art(3.0, 3.0))
+    java.nio.file.Files.writeString(sc, scale)
+    def run(extra: String*): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        graft.tools.BenchDiff.main(Array(o.toString, n.toString) ++ extra)
+      }
+      out.toString("UTF-8")
+    }
+    val without = run()
+    assert(without.linesIterator.exists(l => l.contains("q85_w") && l.contains("UNEXPLAINED")), without)
+    val withScale = run(s"--scale=$sc")
+    assert(withScale.linesIterator.exists(l =>
+      l.contains("q85_w") && l.contains("host-window (scale-check passed")), withScale)
+    assert(withScale.linesIterator.exists(l =>
+      l.contains("q86_v") && l.contains("SUSPECT")), withScale)
+    assert(!withScale.contains("UNEXPLAINED"), withScale)
+  }
+
+  test("a speedup mover with identical bytes is a recovery, never SUSPECT") {
+    def art(q85: Double): String =
+      s"""{"queries":{"q01_agg_basic":1.0,"q23_minhash_sig":2.0,"q85_w":$q85,"q87_u":0.5},""" +
+        s""""shuffle_bytes":{"q01_agg_basic":1000,"q23_minhash_sig":2000,"q85_w":5000,"q87_u":100},""" +
+        s""""shuffle_read_bytes":{"q01_agg_basic":900,"q23_minhash_sig":1800,"q85_w":4500,"q87_u":90}}"""
+    val dir = java.nio.file.Files.createTempDirectory("bdiff3")
+    val o = dir.resolve("old.json"); val n = dir.resolve("new.json")
+    java.nio.file.Files.writeString(o, art(3.0)) // the OLD capture was the victim
+    java.nio.file.Files.writeString(n, art(1.0))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.tools.BenchDiff.main(Array(o.toString, n.toString))
+    }
+    val s = out.toString("UTF-8")
+    assert(s.linesIterator.exists(l => l.contains("q85_w") && l.contains("recovery")), s)
+    assert(!s.contains("UNEXPLAINED") && !s.contains("SUSPECT"), s)
+  }
 }

@@ -261,16 +261,18 @@ class PlanSpec extends AnyFunSuite {
       "q161_event_trigrams" -> "rank over the TakeOrdered top-trigram list",
       "q162_rank_fusion" -> "RRF fuses two TOP-100 lists (≤200 rows)",
       "q171_profile_outliers" -> "top-20 deviation selection window",
-      "q178_rank_sum_test" -> "cumulative over the grouped |delay|-domain table",
-      "q180_ks_test" -> "CDF cumulative over the grouped |delay|-domain table",
+      // q178/q180 left this list in r12: their |delay|-domain
+      // cumulative windows now execute BEFORE the driver-scalar
+      // collect (the q179 BigInt finish — n⁴-sized verdict products
+      // burst DECIMAL(38,0) at 10¹² rows), so the returned plan is
+      // the 1-row local card; q185/q216 likewise (the cell table
+      // collects, the grand-total window is gone entirely)
       "q181_chi2_tokens" -> "20-row rank window after limit(20)",
-      "q185_cramers_v" -> "grand-total window over the |prio×status| cell table (≤18 rows)",
       "q187_vocab_coverage" -> "rank/cumsum over the TakeOrdered top-1000 list",
       "q192_token_dispersion" -> "20-row rank window after limit(20)",
       "q197_session_paths" -> "10-row rank window after limit(10)",
       "q204_weekly_heatmap" -> "grand-total window over the ≤168-cell dow×hour aggregate",
       "q213_key_skew" -> "20-row rank window after limit(20)",
-      "q216_source_lang_v" -> "grand-total window over the |source×lang| cell table (≤100 rows)",
       "q206_top_duplicated_docs" -> "10-row rank window after limit(10)")
     val uncertified = scala.collection.mutable.ArrayBuffer[String]()
     val unreduced = scala.collection.mutable.ArrayBuffer[String]()

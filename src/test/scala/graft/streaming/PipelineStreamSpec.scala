@@ -954,6 +954,74 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming delta-bits samples roll up to the q217 card row") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_timestamp(ts) as sec",
+        "event_type")
+      .orderBy("sec", "event_id").collect()
+      .map(r => EventStream.TypedEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+    val in = MemoryStream[EventStream.TypedEvent]
+    val q = EventStream.deltaBitsStream(in.toDS())
+      .writeStream.format("memory").queryName("dbits_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val rows = spark.table("dbits_stream").collect()
+        .map(r => (r.getAs[Long]("raw_bits"), r.getAs[Long]("delta_bits")))
+      val (n, raw, delta) =
+        (rows.length.toLong, rows.map(_._1).sum, rows.map(_._2).sum)
+      val savings = if (raw == 0L) -1L else (1000000L * (raw - delta)) / raw
+      val gate = graft.SparkEntry.queries("q217_delta_encoding")(spark, sf)
+        .head()
+      assert(n == gate.getAs[Long]("n_events"))
+      assert(raw == gate.getAs[Long]("raw_bits"))
+      assert(delta == gate.getAs[Long]("delta_bits"))
+      assert(savings == gate.getAs[Long]("savings_ppm"))
+    } finally q.stop()
+  }
+
+  test("streaming session cards roll up to the q218 sessions-per-user spectrum") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_timestamp(ts) as sec")
+      .orderBy("sec").collect()
+      .map(r => EventStream.UserSec(r.getLong(0), r.getLong(1)))
+    val in = MemoryStream[EventStream.UserSec]
+    val q = EventStream.sessionStatsStream(in.toDS())
+      .writeStream.format("memory").queryName("sess_spectrum_stream")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // final card per user (largest n_events — monotone per batch),
+      // then the q218 rollup: bucket = len(bin(c)) - 1 over the
+      // per-user session counts
+      val counts = spark.table("sess_spectrum_stream").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (_, rs) =>
+          rs.maxBy(_.getAs[Long]("n_events")).getAs[Long]("n_sessions") }
+        .toSeq
+      val got = counts
+        .groupBy(c => (63 - java.lang.Long.numberOfLeadingZeros(c)).toLong)
+        .map { case (b, cs) => b -> (cs.length.toLong, cs.min, cs.max) }
+      val gate = graft.SparkEntry.queries("q218_sessions_per_user")(spark, sf)
+        .collect()
+        .map(r => r.getAs[Long]("c_bucket") ->
+          ((r.getAs[Long]("n_users"), r.getAs[Long]("min_sessions"),
+            r.getAs[Long]("max_sessions")))).toMap
+      assert(got == gate)
+    } finally q.stop()
+  }
+
   test("streaming session stats (ordered ingest) equal the q186 gate rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
