@@ -13,15 +13,25 @@ import org.apache.spark.sql.functions.udaf
   * SELF-CERTIFYING ERROR BOUND (the measure-don't-guess doctrine
   * applied to the sketch itself): when the summary would exceed
   * `buffer` distinct values, compaction folds the smallest-count
-  * entry into its left neighbor and adds the folded mass to `moved`.
-  * Every fold displaces exactly that mass downward past one value, so
-  * for ANY rank query the absolute rank error is ≤ the final `moved`
-  * — the summary carries its own certified bound instead of a formula
-  * the caller must trust (QuantileSketchSpec checks the bound against
-  * ground truth on adversarial fixtures). `moved == 0` certifies the
-  * EXACT regime: no fold ever fired, the summary is the true value
-  * histogram, and quantiles are exact order statistics — which is
-  * what makes the q139 gate oracle-checkable (the q66 contract).
+  * entry into its left neighbor. Folds only move attribution DOWN,
+  * so the sketch cumulative C_sk(x) over-counts the truth by exactly
+  * the mass attributed at-or-below x that originated above x — and
+  * that straddling mass is bounded PER ENTRY, not globally: each
+  * entry v carries g(v) ≥ (mass attributed at entries ≤ v
+  * originating above any query point landing on v), maintained by
+  * three local rules — fold e→l sets g(l) = max(g(e), g(l) + c(e))
+  * (c(e) originates entirely ≥ e: folds never move mass up); a fresh
+  * insert between entries inherits its left neighbor's g (that
+  * straddle may now cross it); a merge sums, per combined entry, each
+  * side's g at its largest entry ≤ v (over-counts add). The reported
+  * `moved` = max g — for ANY rank query the absolute rank error is
+  * ≤ `moved` (QuantileSketchSpec checks the bound against ground
+  * truth on adversarial fixtures; the r12 crossover test measured it
+  * ≈ n/buffer on uniform mass where the previous Σ-folded-mass bound
+  * certified 87% of n). `moved == 0` certifies the EXACT regime: no
+  * fold ever fired, the summary is the true value histogram, and
+  * quantiles are exact order statistics — which is what makes the
+  * q139 gate oracle-checkable (the q66 contract).
   *
   * Quantile positions are RATIONALS (num, den): pos = ⌈q·n⌉ computed
   * as (num·n + den − 1) div den in int64 — no float touches rank
@@ -32,6 +42,19 @@ import org.apache.spark.sql.functions.udaf
   * replicated corpora multiply cardinality past the buffer);
   * `autoBuffer` derives the buffer from a distinct-count pre-pass so
   * the gate stays exact at ANY scale factor with the guard armed.
+  *
+  * MEMORY BOUND (the 100 TB story for q173-shaped per-key rank
+  * statistics): sketch-tier state is ≤ `buffer` (value, count) pairs
+  * — O(buffer) longs — PER GROUP, independent of group row count, so
+  * a per-priority p99 over 10¹² lineitem rows holds
+  * |priorities|·buffer entries total across the partial aggregates
+  * (≈ 5·256 pairs for q173 at buffer 256), and the partial/final
+  * merge is the associative `merge` below. Value replication
+  * (ScaleUp) never grows cardinality, so q173's bounded delay domain
+  * keeps the gate in the exact regime at any sf; cardinality GROWTH
+  * is what crosses into the sketch tier, where every answer carries
+  * the certified `moved` bound — QuantileSketchSpec's crossover test
+  * drives the q173 shape through that transition.
   */
 final class QuantileSketch(buffer: Int, quantiles: Seq[(Long, Long)],
                            failOnApprox: Boolean = false)
@@ -49,45 +72,88 @@ final class QuantileSketch(buffer: Int, quantiles: Seq[(Long, Long)],
         "folded mass — raise the buffer above the per-group value " +
         "cardinality (autoBuffer) or use the sketch tier (apply)")
 
-  /** Fold smallest-count entries into their left neighbors until the
-    * summary fits; the folded mass is the certified rank-error bound.
-    * The LOWEST value is never folded (it anchors rank 1), so min and
-    * any quantile resolving below the first fold stay exact. */
-  private def compact(vals: Map[Long, Long], moved: Long): State = {
-    if (vals.size <= buffer) State(vals, moved)
+  /** Fold entries into their left neighbors until the summary fits,
+    * maintaining the per-entry straddle bounds `gs`
+    * (g(l) = max(g(e), g(l) + c(e)) — see the object scaladoc's
+    * invariant). The victim is the entry minimizing the COMBINED pair
+    * count c(l) + c(e) (leftmost on ties): a pure smallest-c(e) rule
+    * chains every uniform-count fold into one ever-growing left
+    * anchor (measured: g hit 68% of n where this rule holds ~n/buffer
+    * — folded-into entries grow and stop being minimal, so folds
+    * spread and each survivor absorbs ≈ its own final count). The
+    * LOWEST value is never folded (it anchors rank 1), so min and any
+    * quantile resolving below the first fold stay exact. `gs` holds
+    * only nonzero bounds: an empty map IS the exact-regime
+    * certificate (and keeps the reduce fast path lookup-free). */
+  private def compact(vals: Map[Long, Long], gs: Map[Long, Long]): State = {
+    if (vals.size <= buffer) State(vals, gs)
     else if (failOnApprox) leftExactRegime()
     else {
       var entries = vals.toArray.sortBy(_._1)
-      var m = moved
+      val g = scala.collection.mutable.Map.empty[Long, Long] ++ gs
       while (entries.length > buffer) {
         var best = 1
+        var bestSum = entries(0)._2 + entries(1)._2
         var i = 2
         while (i < entries.length) {
-          if (entries(i)._2 < entries(best)._2) best = i
+          val s = entries(i - 1)._2 + entries(i)._2
+          if (s < bestSum) { best = i; bestSum = s }
           i += 1
         }
-        val (_, c) = entries(best)
-        entries(best - 1) = (entries(best - 1)._1, entries(best - 1)._2 + c)
+        val (ev, c) = entries(best)
+        val lv = entries(best - 1)._1
+        entries(best - 1) = (lv, entries(best - 1)._2 + c)
         entries = entries.patch(best, Nil, 1)
-        m += c
+        g(lv) = math.max(g.getOrElse(ev, 0L), g.getOrElse(lv, 0L) + c)
+        g.remove(ev)
       }
-      State(entries.toMap, m)
+      State(entries.toMap, g.toMap)
     }
   }
 
-  def zero: State = State(Map.empty, 0L)
+  /** Largest entry ≤ v's bound, 0 when none — the straddle a fresh
+    * or merged entry at v must inherit. */
+  private def below(gs: Map[Long, Long], vals: Map[Long, Long], v: Long): Long =
+    if (gs.isEmpty) 0L
+    else {
+      // gs nonempty ⇒ sketch tier ⇒ vals ≤ buffer entries: linear scan
+      var best = Long.MinValue
+      var out = 0L
+      for ((k, c) <- vals if k <= v && k > best && c > 0L) {
+        best = k
+        out = gs.getOrElse(k, 0L)
+      }
+      out
+    }
+
+  def zero: State = State(Map.empty, Map.empty)
 
   def reduce(b: State, v: Long): State = {
+    val fresh = !b.vals.contains(v)
     val vals = b.vals.updated(v, b.vals.getOrElse(v, 0L) + 1L)
-    compact(vals, b.moved)
+    // a fresh entry between existing ones inherits its left
+    // neighbor's straddle (that mass may originate above v); the
+    // exact regime (gs empty) skips the scan entirely
+    val gs =
+      if (fresh && b.gs.nonEmpty) {
+        val inh = below(b.gs, b.vals, v)
+        if (inh > 0L) b.gs.updated(v, inh) else b.gs
+      } else b.gs
+    compact(vals, gs)
   }
 
   def merge(a: State, b: State): State = {
-    val (small, large) = if (a.vals.size < b.vals.size) (a, b) else (b, a)
-    val summed = small.vals.foldLeft(large.vals) { case (acc, (v, c)) =>
-      acc.updated(v, acc.getOrElse(v, 0L) + c)
-    }
-    compact(summed, a.moved + b.moved)
+    val keys = a.vals.keySet ++ b.vals.keySet
+    val vals = keys.iterator.map(v =>
+      v -> (a.vals.getOrElse(v, 0L) + b.vals.getOrElse(v, 0L))).toMap
+    // per combined entry, the two sides' over-counts add: inherit
+    // each side's g at its largest entry ≤ v
+    val gs =
+      if (a.gs.isEmpty && b.gs.isEmpty) Map.empty[Long, Long]
+      else keys.iterator.map { v =>
+        v -> (below(a.gs, a.vals, v) + below(b.gs, b.vals, v))
+      }.filter(_._2 > 0L).toMap
+    compact(vals, gs)
   }
 
   def finish(st: State): Result = {
@@ -109,7 +175,7 @@ final class QuantileSketch(buffer: Int, quantiles: Seq[(Long, Long)],
         out
       }
     }
-    Result(qs, n, st.moved)
+    Result(qs, n, if (st.gs.isEmpty) 0L else st.gs.values.max)
   }
 
   def bufferEncoder: Encoder[State] =
@@ -119,8 +185,10 @@ final class QuantileSketch(buffer: Int, quantiles: Seq[(Long, Long)],
 }
 
 object QuantileSketch {
-  /** Summary state (public: encoder codegen constructs it). */
-  final case class State(vals: Map[Long, Long], moved: Long)
+  /** Summary state (public: encoder codegen constructs it): the
+    * (value → count) histogram plus the per-entry straddle bounds
+    * (nonzero only — empty `gs` certifies the exact regime). */
+  final case class State(vals: Map[Long, Long], gs: Map[Long, Long])
 
   /** Quantile values in input order, the group count, and the
     * certified rank-error bound (0 ⇒ exact order statistics). */
