@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
@@ -586,9 +586,70 @@ case class CdcChunkHash(child: Expression, mod: Int)
   override def prettyName: String = "cdc_chunk_hash"
 }
 
+/** Common-prefix and common-suffix token counts of two token arrays —
+  * the near-dup-pair anatomy kernel (q222): one forward and one
+  * backward scan per pair, returning struct(prefix, suffix). The
+  * declarative form would zip both arrays twice through interpreted
+  * lambdas (the q31/q57 hot-loop class); this runs two tight
+  * UTF8String-equality loops in one pass over the pair. Null input →
+  * null; a null ELEMENT stops the scan on its side (never equal),
+  * matching the oracle's `a[i] <> b[i]` mismatch semantics on
+  * null-free token lists. */
+case class CommonAffix(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("prefix", LongType, nullable = false),
+    StructField("suffix", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  /** Exposed for generated code. */
+  def compute(a: ArrayData, b: ArrayData): InternalRow = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
+    var p = 0L
+    while (p < n && !a.isNullAt(p.toInt) && !b.isNullAt(p.toInt) &&
+      a.getUTF8String(p.toInt) == b.getUTF8String(p.toInt)) p += 1L
+    var sfx = 0L
+    while (sfx < n && !a.isNullAt((na - 1 - sfx).toInt) &&
+      !b.isNullAt((nb - 1 - sfx).toInt) &&
+      a.getUTF8String((na - 1 - sfx).toInt) ==
+        b.getUTF8String((nb - 1 - sfx).toInt)) sfx += 1L
+    new GenericInternalRow(Array[Any](p, sfx))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val ref = ctx.addReferenceObj("commonAffix", this, classOf[CommonAffix].getName)
+      s"${ev.value} = $ref.compute($xs, $ys);"
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CommonAffix = copy(left = l, right = r)
+  override def prettyName: String = "common_affix"
+}
+
 object TextExprs {
   def setHitCount(toks: Column, words: Seq[String]): Column =
     Shim.column(SetHitCount(Shim.expression(toks), words))
+
+  def commonAffix(a: Column, b: Column): Column =
+    Shim.column(CommonAffix(Shim.expression(a), Shim.expression(b)))
 
   def termCounts(toks: Column, words: Seq[String]): Column =
     Shim.column(TermCounts(Shim.expression(toks), words))

@@ -79,6 +79,60 @@ object PageRank {
     r
   }
 
+  /** Personalized PageRank / random-walk-with-restart (Haveliwala
+    * 2002; the recommendation primitive: proximity to a SEED set
+    * instead of global centrality) — [[ranks]] with the teleport
+    * vector concentrated on `seeds`: r₀ = 10⁶ on seeds and 0
+    * elsewhere, and each round's base mass (1−d) lands only on
+    * seeds:
+    *
+    *   r'(v) = [v ∈ S]·basePpm + ⌊ d · Σ_{u→v} ⌊r(u)/deg(u)⌋ / 10⁶ ⌋
+    *
+    * Same exact int64/DECIMAL floor arithmetic as [[ranks]], so a
+    * fixed trajectory is gate-able bit-for-bit against chained CTEs.
+    *
+    * 100 TB shape: identical per-round shuffle pattern to [[ranks]],
+    * plus the PPR-specific win — zero-mass sources are filtered out
+    * of the contribution join (a 0 contributes 0; dropping it is
+    * exact), so early rounds touch only the expanding FRONTIER
+    * around the seeds instead of the whole graph. `seeds` is a
+    * (node) table; seed membership joins once into the cut() node
+    * universe. */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame,
+                        rounds: Int = 3,
+                        dampingPpm: Long = 850000L): DataFrame = {
+    require(rounds >= 1 && dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"ppr params out of range: rounds=$rounds damping=$dampingPpm")
+    val basePpm = 1000000L - dampingPpm
+    val ed = edges.select(col("src"), col("dst"))
+      .cut() // referenced every round
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .cut() // referenced every round + the node universe
+    val nodes = deg.select(col("src").as("node"))
+      .join(seeds.select(col("node"), lit(1L).as("is_seed")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .cut() // referenced every round
+    var r = nodes.select(col("node"), col("is_seed"),
+      (col("is_seed") * 1000000L).as("r"))
+    for (_ <- 1 to rounds) {
+      val contrib = ed.join(deg, "src")
+        .join(r.filter(col("r") > 0L).select(col("node"), col("r")),
+          col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(expr(s"(CAST($dampingPpm AS DECIMAL(38,0)) * sum(CAST(c AS DECIMAL(38,0)))) div 1000000")
+          .cast("long").as("rc"))
+        .select(col("dst").as("node"), col("rc"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (coalesce(col("rc"), lit(0L)) + col("is_seed") * lit(basePpm))
+            .as("r"))
+        .cut() // the iterative-loop lineage rule
+    }
+    r.select(col("node"), col("r"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED
     * bipartite edge table (src = hub side, dst = authority side) —
     * the mutually-recursive counterpart of [[ranks]]: h(u) = Σ a(v)

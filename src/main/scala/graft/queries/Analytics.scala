@@ -1517,7 +1517,185 @@ object Analytics {
       SELECT CAST(round AS BIGINT) AS round, CAST(n_alive AS BIGINT) AS n_alive,
         CAST(n_removed AS BIGINT) AS n_removed,
         CAST(cs AS BIGINT) AS alive_checksum
-      FROM r ORDER BY round"""))
+      FROM r ORDER BY round""")),
+
+    // local clustering coefficient top-10 (Watts–Strogatz 1998 — the
+    // per-node refinement of q165's global census: which suppliers sit
+    // in tightly-knit cliques vs open hubs?) over the SAME mutual
+    // top-10 projection. Per node: deg from the directed incidence,
+    // triangles by crediting each (a<b<c) triangle to all three
+    // endpoints (explode, never a per-node re-join), coefficient as
+    // the exact floor ratio 2·10⁶·tri div (deg·(deg−1)). 100 TB
+    // shape: mutual top-m bounds deg ≤ 10, so tri ≤ C(10,2) = 45 and
+    // every product is ≤ 9·10⁷ — int64-safe outright; triangle
+    // enumeration is the audited q165 join (linear in suppliers);
+    // the card is a bounded global top-k (TakeOrderedAndProject,
+    // the q134 shape — deterministic total order coef desc, node
+    // asc). Ties at the cut can't flip: node is unique. Degree-1
+    // nodes carry the −1 sentinel (undefined coefficient) instead
+    // of being filtered — the card stays non-empty on the tiny-sf
+    // near-complete projections (the q169 degenerate note).
+    Q("q220_clustering_coeff", (s, d) => {
+      val edges = mutualProjection(s, d)
+      val dir = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val dg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val tri = edges
+        .join(edges.select(col("a").as("b"), col("b").as("cc")), "b")
+        .join(edges.select(col("a").as("a2"), col("b").as("cc2")),
+          col("a") === col("a2") && col("cc") === col("cc2"))
+        .select(explode(array(col("a"), col("b"), col("cc"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      dg.select(col("u").as("node"), col("deg"))
+        .join(tri, Seq("node"), "left")
+        .withColumn("tri", coalesce(col("tri"), lit(0L)))
+        .withColumn("coef_ppm", expr(
+          "CASE WHEN deg < 2 THEN -1L " +
+            "ELSE (2000000L * tri) div (deg * (deg - 1L)) END"))
+        .orderBy(col("coef_ppm").desc, col("node"))
+        .limit(10)
+    }, Some(s"""
+      WITH $projectionCtes,
+      dir AS (SELECT a u, b v FROM ed UNION ALL SELECT b, a FROM ed),
+      dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM dir GROUP BY 1),
+      tr AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+               SELECT unnest([e1.a, e1.b, e2.b]) AS node
+               FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+                    JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b)
+             GROUP BY 1),
+      cc AS (SELECT dg.u AS node, dg.deg AS deg, COALESCE(tr.tri, 0) AS tri
+             FROM dg LEFT JOIN tr ON tr.node = dg.u)
+      SELECT node, deg, tri,
+        CAST(CASE WHEN deg < 2 THEN -1
+             ELSE (2000000 * tri) // (deg * (deg - 1)) END AS BIGINT) AS coef_ppm
+      FROM cc ORDER BY coef_ppm DESC, node LIMIT 10""")),
+
+    // Tukey-fence outlier card (Tukey 1977 box-plot fences — the
+    // robust alternative to q171's distributional outliers: flag
+    // delays beyond p25 − 1.5·IQR / p75 + 1.5·IQR per priority).
+    // Quartiles ride q173's QuantileSketch EXACT regime (autoBuffer
+    // pre-pass, fail-loud guard armed, ⌈q·n⌉ rational positions);
+    // the 1.5× factor never divides — fences live in HALF-UNITS
+    // (lo2 = 2·p25 − 3·IQR, hi2 = 2·p75 + 3·IQR) and every delay
+    // compares as delay·2, so the whole card is integer-exact.
+    // 100 TB shape: the delay table cut() feeds two passes (the
+    // keyed quantile aggregate, then the fence counts); the ≤|prio|
+    // quartile rows broadcast back into the count pass — no second
+    // wide shuffle. Bounds: delays ≤ ~10⁴ days, so 2·p75 + 3·IQR
+    // and delay·2 sit far inside int64.
+    Q("q225_iqr_outliers", (s, d) => {
+      import graft.functions.QuantileSketch
+      val dl = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast(LongType).as("delay"))
+        .cut() // feeds the quantile pass and the fence-count pass
+      val buf = QuantileSketch.autoBuffer(dl, Seq(col("priority")), col("delay"))
+      val qs = dl.groupBy(col("priority"))
+        .agg(QuantileSketch.exact(col("delay"), buf,
+          Seq((1L, 4L), (3L, 4L))).as("r"))
+        .select(col("priority"), col("r.n").as("n"),
+          element_at(col("r.q"), 1).as("p25"),
+          element_at(col("r.q"), 2).as("p75"))
+      dl.join(broadcast(qs), "priority")
+        .withColumn("iqr", col("p75") - col("p25"))
+        .groupBy(col("priority"), col("n"), col("p25"), col("p75"))
+        .agg(
+          sum(when(col("delay") * 2L < col("p25") * 2L - col("iqr") * 3L, 1L)
+            .otherwise(0L)).as("n_low"),
+          sum(when(col("delay") * 2L > col("p75") * 2L + col("iqr") * 3L, 1L)
+            .otherwise(0L)).as("n_high"))
+        .orderBy(col("priority"))
+    }, Some("""
+      WITH v AS (SELECT o_orderpriority AS priority,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT) delay
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      r AS (SELECT priority, delay,
+              row_number() OVER (PARTITION BY priority ORDER BY delay) rn,
+              count(*) OVER (PARTITION BY priority) nn
+            FROM v),
+      qs AS (SELECT priority, CAST(MAX(nn) AS BIGINT) n,
+               CAST(MAX(CASE WHEN rn = greatest(1, (1*nn + 3) // 4)
+                        THEN delay END) AS BIGINT) p25,
+               CAST(MAX(CASE WHEN rn = greatest(1, (3*nn + 3) // 4)
+                        THEN delay END) AS BIGINT) p75
+             FROM r GROUP BY 1)
+      SELECT v.priority, qs.n AS n, qs.p25 AS p25, qs.p75 AS p75,
+        CAST(SUM(CASE WHEN v.delay*2 < qs.p25*2 - (qs.p75-qs.p25)*3
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        CAST(SUM(CASE WHEN v.delay*2 > qs.p75*2 + (qs.p75-qs.p25)*3
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      FROM v JOIN qs ON v.priority = qs.priority
+      GROUP BY 1, 2, 3, 4 ORDER BY 1""")),
+
+    // 3-round personalized PageRank from a 2% customer seed set
+    // (custkey % 50 = 0) over the q138 trade graph — random-walk-
+    // with-restart proximity, the "suppliers/customers near THESE
+    // accounts" recommendation primitive next to q138's global
+    // centrality. Same exact int64/DECIMAL floor arithmetic per
+    // round (graft.operators.PageRank.personalizedRanks); the seed
+    // predicate is pure node arithmetic on the 2c/2s+1 int64 ids
+    // (node % 100 = 0 ⟺ custkey % 50 = 0), mirrored on the oracle's
+    // string labels; zero-mass sources are filtered from each
+    // contribution join (exact — a 0 contributes 0), so early rounds
+    // touch only the seed frontier. Oracle unrolls the 3 rounds as
+    // chained CTEs with the seed CASE.
+    Q("q230_personalized_pagerank", (s, d) => {
+      val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("a"),
+          (col("l_suppkey") * 2L + 1L).as("b"))
+        .distinct()
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 100L === 0L)
+      graft.operators.PageRank.personalizedRanks(edges, seeds, rounds = 3)
+        .select(when(col("node") % 2L === 0L,
+            concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("(node - 1) div 2")))
+          .as("node"), col("r"))
+        .orderBy(col("node"))
+    }, Some("""
+      WITH e0 AS (SELECT DISTINCT 'C'||CAST(o.o_custkey AS VARCHAR) a,
+                    'S'||CAST(l.l_suppkey AS VARCHAR) b
+                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      ed AS (SELECT a src, b dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) deg FROM ed GROUP BY 1),
+      sn AS (SELECT src node,
+               CASE WHEN src LIKE 'C%'
+                     AND CAST(substr(src, 2) AS BIGINT) % 50 = 0
+                    THEN 1 ELSE 0 END is_seed
+             FROM deg),
+      r0 AS (SELECT node, is_seed, CAST(is_seed * 1000000 AS BIGINT) r FROM sn),
+      c1 AS (SELECT e.dst node,
+               CAST((850000 * SUM(r.r // d.deg)) // 1000000 AS BIGINT) rc
+             FROM ed e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
+             GROUP BY 1),
+      r1 AS (SELECT n.node, n.is_seed,
+               CAST(COALESCE(c1.rc, 0) + n.is_seed * 150000 AS BIGINT) r
+             FROM sn n LEFT JOIN c1 ON c1.node = n.node),
+      c2 AS (SELECT e.dst node,
+               CAST((850000 * SUM(r.r // d.deg)) // 1000000 AS BIGINT) rc
+             FROM ed e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node = e.src
+             GROUP BY 1),
+      r2 AS (SELECT n.node, n.is_seed,
+               CAST(COALESCE(c2.rc, 0) + n.is_seed * 150000 AS BIGINT) r
+             FROM sn n LEFT JOIN c2 ON c2.node = n.node),
+      c3 AS (SELECT e.dst node,
+               CAST((850000 * SUM(r.r // d.deg)) // 1000000 AS BIGINT) rc
+             FROM ed e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
+             GROUP BY 1),
+      r3 AS (SELECT n.node, n.is_seed,
+               CAST(COALESCE(c3.rc, 0) + n.is_seed * 150000 AS BIGINT) r
+             FROM sn n LEFT JOIN c3 ON c3.node = n.node)
+      SELECT node, r FROM r3 ORDER BY node"""))
   )
 
   /** Shared Cramér's V pipeline (q185/q216): input = a 2-column

@@ -2525,7 +2525,177 @@ object Dedup {
       SELECT CAST(LEAST(j_ppm // 100000, 9) AS BIGINT) AS bin,
         CAST(count(*) AS BIGINT) AS n_pairs,
         CAST(MAX(j_ppm) AS BIGINT) AS max_j_ppm
-      FROM j GROUP BY 1 ORDER BY 1"""))
+      FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // near-dup pair ANATOMY (the dup-TYPE taxonomy a removal policy
+    // needs: exact clones are safe to drop, head-dups are syndicated
+    // articles with appended boilerplate, tail-dups share trailing
+    // license/footer text, mixed are template families — each wants
+    // a different keep rule): q24's capped pair surface, each pair's
+    // token arrays compared by the CommonAffix kernel (one forward +
+    // one backward equality scan per pair — never a per-pair zip
+    // lambda), classified by integer threshold tests only
+    // (2·prefix ≥ min_len etc.), rolled up per type with a pair
+    // checksum. 100 TB shape: inherits nearDupPairs' whole design
+    // (clone collapse, banded equi-joins, replayed caps); the
+    // anatomy adds two O(pairs) equi-joins on doc_id and per-pair
+    // O(len) kernel work. The oracle replays the FULL capped route
+    // (cappedPairCtes) and rebuilds each endpoint's tokens through
+    // its clone rep — clones share text, so rep tokens ARE member
+    // tokens.
+    Q("q222_dup_pair_anatomy", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = nearDupPairs(docs).select(col("a_id"), col("b_id"))
+      val tks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      pairs
+        .join(tks.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
+        .join(tks.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
+        .withColumn("la", size(col("a_tk")).cast(LongType))
+        .withColumn("lb", size(col("b_tk")).cast(LongType))
+        .withColumn("af",
+          graft.functions.TextExprs.commonAffix(col("a_tk"), col("b_tk")))
+        .withColumn("mn", least(col("la"), col("lb")))
+        .withColumn("dup_type",
+          when(col("la") === col("lb") && col("af.prefix") === col("la"),
+            "1_exact")
+            .when(col("af.prefix") * 2L >= col("mn"), "2_head")
+            .when(col("af.suffix") * 2L >= col("mn"), "3_tail")
+            .otherwise("4_mixed"))
+        .groupBy(col("dup_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("af.prefix")).as("sum_prefix"),
+          sum(col("af.suffix")).as("sum_suffix"),
+          (sum(hmod(concat(col("a_id").cast("string"), lit(":"),
+            col("b_id").cast("string")))) % P).as("pair_checksum"))
+        .orderBy(col("dup_type"))
+    }, Some(s"""
+      WITH $cappedPairCtes,
+      ptk AS (SELECT p.a_id, p.b_id, ta.tk atk, tb.tk btk
+              FROM pairs p
+              JOIN grp ga ON ga.doc_id = p.a_id
+              JOIN tk ta ON ta.doc_id = ga.gid
+              JOIN grp gb ON gb.doc_id = p.b_id
+              JOIN tk tb ON tb.doc_id = gb.gid),
+      an AS (SELECT a_id, b_id,
+               CAST(len(atk) AS BIGINT) la, CAST(len(btk) AS BIGINT) lb,
+               CAST(COALESCE(list_min([i for i in
+                   generate_series(1, least(len(atk), len(btk)))
+                   if atk[i] <> btk[i]]) - 1,
+                 least(len(atk), len(btk))) AS BIGINT) pfx,
+               CAST(COALESCE(list_min([i for i in
+                   generate_series(1, least(len(atk), len(btk)))
+                   if atk[len(atk)+1-i] <> btk[len(btk)+1-i]]) - 1,
+                 least(len(atk), len(btk))) AS BIGINT) sfx
+             FROM ptk),
+      cl AS (SELECT a_id, b_id, pfx, sfx,
+               CASE WHEN la = lb AND pfx = la THEN '1_exact'
+                    WHEN pfx * 2 >= least(la, lb) THEN '2_head'
+                    WHEN sfx * 2 >= least(la, lb) THEN '3_tail'
+                    ELSE '4_mixed' END dup_type
+             FROM an)
+      SELECT dup_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(pfx) AS BIGINT) AS sum_prefix,
+        CAST(SUM(sfx) AS BIGINT) AS sum_suffix,
+        CAST(SUM(${sql.hmod("CAST(a_id AS VARCHAR)||':'||CAST(b_id AS VARCHAR)")})
+          % $P AS BIGINT) AS pair_checksum
+      FROM cl GROUP BY 1 ORDER BY 1""")),
+
+    // pipeline ORDER ablation (the ops question every corpus team
+    // hits: dedup the full corpus THEN sample, or sample first and
+    // dedup the survivors? Sampling first is cheaper but blind —
+    // a cluster whose min-id rep is sampled out re-elects a rep, and
+    // cross-member near-dups whose partners were sampled away stop
+    // being dups at all): both route compositions over the SAME 30%
+    // deterministic hash sample, as a 3-row survivor card (counts +
+    // membership checksums + the intersection). 100 TB shape: two
+    // [[deduplicate]] passes (each the audited q65 design — clone
+    // collapse, capped bands, per-round CC checkpoints) plus one
+    // O(survivors) equi-join; route B's pass runs on the 30%
+    // subcorpus. The ORACLE builds per-doc tk/sh/mh ONCE (minhash and
+    // shingles are pure functions of text, so they're shared across
+    // routes) and replays two symmetric band→verify→closure chains —
+    // each with the 256-rep band cap as QUALIFY keep-lowest doc_id
+    // (the cappedPairCtes doctrine) — with route B's clone groups and
+    // reps re-derived INSIDE the sample, exactly like the engine.
+    Q("q226_dedup_sample_order", (s, d) => {
+      val docs = t(s, d, "documents")
+      val samplePred =
+        (hmod(concat(lit("abl:"), col("doc_id").cast("string"))) % 1000L) < 300L
+      val a = deduplicate(docs).filter(samplePred).select(col("doc_id")).cut()
+      val b = deduplicate(docs.filter(samplePred)).select(col("doc_id")).cut()
+      def card(df: DataFrame, label: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+          (coalesce(sum(hmod(col("doc_id").cast("string"))), lit(0L)) % P)
+            .as("docs_checksum"))
+          .select(lit(label).as("route"), col("n_docs"), col("docs_checksum"))
+      card(a, "1_dedup_then_sample")
+        .unionByName(card(b, "2_sample_then_dedup"))
+        .unionByName(card(a.join(b, "doc_id"), "3_both"))
+        .orderBy(col("route"))
+    }, Some {
+      val cap = LshConfig().maxBucketSize
+      val smpPred = s"${sql.hmod("'abl:'||CAST(doc_id AS VARCHAR)")} % 1000 < 300"
+      // one band→cand→verify→closure→survivor chain, suffixed per route
+      def chain(sfxN: String, grpSrc: String, docSrc: String): String = s"""
+      g$sfxN AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) gid
+             FROM $grpSrc
+             WHERE len(list_filter(string_split(text,' '), x->x<>'')) >= 3),
+      rm$sfxN AS (
+        SELECT m.doc_id, m.mh, m.shingles
+        FROM mh m JOIN g$sfxN gg ON m.doc_id = gg.doc_id AND gg.doc_id = gg.gid
+        WHERE len(m.shingles) > 0),
+      bn$sfxN AS (
+        SELECT doc_id, b,
+          CAST(mh[2*b+1] AS VARCHAR)||'_'||CAST(mh[2*b+2] AS VARCHAR) sig
+        FROM rm$sfxN, generate_series(0,${BANDS - 1}) gs(b)
+        QUALIFY row_number() OVER (PARTITION BY b, sig ORDER BY doc_id) <= $cap),
+      cn$sfxN AS (
+        SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+        FROM bn$sfxN x JOIN bn$sfxN y
+          ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+      pp$sfxN AS (
+        SELECT a_id, b_id FROM (
+          SELECT a_id, b_id,
+            len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+              len(list_distinct(x.shingles||y.shingles)) j
+          FROM cn$sfxN JOIN sh x ON a_id = x.doc_id JOIN sh y ON b_id = y.doc_id)
+        WHERE j >= 0.5),
+      ee$sfxN AS (SELECT a_id u, b_id v FROM pp$sfxN
+              UNION ALL SELECT b_id, a_id FROM pp$sfxN),
+      rr$sfxN(u, v) AS (SELECT u, v FROM ee$sfxN
+                    UNION
+                    SELECT rr$sfxN.u, ee$sfxN.v
+                    FROM rr$sfxN JOIN ee$sfxN ON rr$sfxN.v = ee$sfxN.u),
+      cr$sfxN AS (SELECT u, min(v) mv FROM rr$sfxN GROUP BY u),
+      cp$sfxN AS (SELECT gg.doc_id u, LEAST(COALESCE(c.mv, gg.gid), gg.gid) mv
+              FROM g$sfxN gg LEFT JOIN cr$sfxN c ON gg.gid = c.u),
+      kept$sfxN AS (
+        SELECT d.doc_id FROM $docSrc d LEFT JOIN cp$sfxN c ON d.doc_id = c.u
+        WHERE COALESCE(LEAST(c.mv, d.doc_id), d.doc_id) = d.doc_id)"""
+      s"""
+      WITH RECURSIVE $tkCte, $shCte, $mhCte,
+      smp AS (SELECT doc_id, text FROM documents WHERE $smpPred),
+      ${chain("a", "documents", "documents")},
+      ${chain("b", "smp", "smp")},
+      ka AS (SELECT doc_id FROM kepta WHERE $smpPred),
+      res AS (
+        SELECT '1_dedup_then_sample' AS route,
+          CAST(count(*) AS BIGINT) n_docs,
+          CAST(COALESCE(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}), 0) % $P
+            AS BIGINT) docs_checksum
+        FROM ka
+        UNION ALL
+        SELECT '2_sample_then_dedup', CAST(count(*) AS BIGINT),
+          CAST(COALESCE(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}), 0) % $P
+            AS BIGINT)
+        FROM keptb
+        UNION ALL
+        SELECT '3_both', CAST(count(*) AS BIGINT),
+          CAST(COALESCE(SUM(${sql.hmod("CAST(doc_id AS VARCHAR)")}), 0) % $P
+            AS BIGINT)
+        FROM (SELECT doc_id FROM ka INTERSECT SELECT doc_id FROM keptb))
+      SELECT route, n_docs, docs_checksum FROM res ORDER BY route"""
+    })
   )
 
   /** Transitive-closure CTE chain shared by the clustering/dedup

@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Checkpoints._
 import graft.Tables._
@@ -459,6 +460,95 @@ object Media {
                 CAST(SUM(((ahj % ${P}) * rn) % ${P}) % ${P} AS BIGINT) hash_checksum
               FROM sampled GROUP BY 1)
       SELECT doc_id, n_frames, n_sampled, n_scene_cut, hash_checksum
-      FROM per ORDER BY doc_id"""))
+      FROM per ORDER BY doc_id""")),
+
+    // loudness-normalization card (the audio-prep staple: before
+    // training on speech/audio, every source is gain-normalized to a
+    // common full-scale peak, and the gain table is computed corpus-
+    // wide per source): q118's waveform synth + REAL RIFF/WAVE
+    // round trip per distinct text, per-source rollup of the DECODED
+    // samples — max peak, mean-square amplitude, and the full-scale
+    // gain ⌊8192·10⁶ / peak⌋ ppm a normalizer would apply. Every
+    // number is integer-exact: msq is the floor ratio
+    // ⌊1000·Σs² / Σn⌋, peak/gain pure int64. r12 OVERFLOW AUDIT: s²
+    // ≤ 8192² = 6.7·10⁷ and per-doc energy ≤ 3.5·10¹⁰ at 512 tokens
+    // (int64-safe per doc); the SOURCE sum crosses int64 at ~10⁸
+    // docs/source, so it rides DECIMAL(38,0) (exact to 10³⁰ docs),
+    // the ≤|sources| rows collect (q134/q174 driver-scalar rule) and
+    // the msq division runs in BigInt — outputs are all bounded
+    // (msq ≤ 6.7·10¹⁰, gain ≤ 8.2·10⁹).
+    // 100 TB shape: exact-clone collapsed scan-stage typed-map work
+    // (encode→decode once per distinct text), one O(docs) expansion
+    // join, one |sources|-row aggregate.
+    Q("q224_audio_normalization", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val withGid = docs.withColumn("gid",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      val members = withGid.select(col("gid"), col("doc_id"), col("source"))
+      val reps = withGid.filter(col("doc_id") === col("gid"))
+        .select(col("gid"), col("text"))
+      val perRep = reps.as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          val samples = toks.map(tk =>
+            ((hmodJvm("au:" + tk) % 16384L) - 8192L).toShort)
+          val payload = Codecs.encodeWav(Codecs.Audio(16000, samples))
+          val dec = Codecs.decodeWav(payload)
+            .getOrElse(throw new IllegalStateException(
+              s"WAV round trip failed for $id"))
+          var peak = 0L
+          var energy = 0L
+          var i = 0
+          while (i < dec.samples.length) {
+            val sm = dec.samples(i).toLong
+            if (math.abs(sm) > peak) peak = math.abs(sm)
+            energy += sm * sm
+            i += 1
+          }
+          (id, dec.samples.length.toLong, peak, energy)
+        }
+        .toDF("gid", "n", "peak", "energy")
+      val perSrc = members.join(perRep, "gid")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_samples"),
+          max(col("peak")).as("peak"),
+          sum(col("energy").cast(DecimalType(38, 0))).as("energy"))
+        .collect()
+      perSrc.toSeq.map { r =>
+        val nS = if (r.isNullAt(2)) 0L else r.getLong(2)
+        val pk = if (r.isNullAt(3)) 0L else r.getLong(3)
+        val en = if (r.isNullAt(4)) BigInt(0)
+                 else BigInt(r.getDecimal(4).toBigInteger)
+        val msq = if (nS == 0L) -1L else (BigInt(1000) * en / nS).toLong
+        val gain = if (pk == 0L) -1L else 8192000000L / pk
+        (r.getString(0), r.getLong(1), nS, pk, msq, gain)
+      }.toDF("source", "n_docs", "n_samples", "peak", "msq_milli", "gain_ppm")
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, source,
+                    list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      sl AS (SELECT doc_id, source, CASE WHEN len(tk) >= 1
+               THEN [(${sql.hmod("'au:'||tk[i]")} % 16384) - 8192
+                     for i in generate_series(1, len(tk))]
+               ELSE [] END ss FROM tk),
+      per AS (SELECT doc_id, source,
+                CAST(len(ss) AS BIGINT) n,
+                CAST(COALESCE(list_max([abs(s) for s in ss]), 0) AS BIGINT) peak,
+                CAST(COALESCE(list_sum([s*s for s in ss]), 0) AS BIGINT) energy
+              FROM sl),
+      src AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+                CAST(SUM(n) AS BIGINT) n_samples,
+                CAST(MAX(peak) AS BIGINT) peak,
+                SUM(CAST(energy AS HUGEINT)) energy
+              FROM per GROUP BY 1)
+      SELECT source, n_docs, n_samples, peak,
+        CAST(CASE WHEN n_samples = 0 THEN -1
+             ELSE (1000 * energy) // n_samples END AS BIGINT) AS msq_milli,
+        CAST(CASE WHEN peak = 0 THEN -1
+             ELSE 8192000000 // peak END AS BIGINT) AS gain_ppm
+      FROM src ORDER BY source"""))
   )
 }

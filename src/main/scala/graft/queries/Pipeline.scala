@@ -2882,6 +2882,73 @@ object Pipeline {
         CAST(CASE WHEN total = 0 THEN -1
              ELSE (1000000 * SUM(ntok) * 8) // total END AS BIGINT)
           AS skew_ppm
-      FROM pd, tot GROUP BY shard, total ORDER BY shard"""))
+      FROM pd, tot GROUP BY shard, total ORDER BY shard""")),
+
+    // operating-point selection (the threshold-sweep companion to
+    // q155's AUC: AUC says the ranking is good, this picks WHERE to
+    // cut it): confusion counts at five FIXED skey thresholds (the
+    // q133 calibrated-literal doctrine — score std ≈ 100 milli on
+    // ±1000 bucket weights, so ±100 milli spans the distribution),
+    // winner by Youden's J. The argmax never divides: J = TPR − FPR
+    // has the SAME denominator np·nn at every threshold, so
+    // argmax J = argmax (tp·nn − fp·np) — an integer compare. r12
+    // OVERFLOW AUDIT (the q179 rule): tp·nn ≤ n² = 10²⁴ at 10¹²
+    // docs bursts int64, so the distributed plan stops at the ONE
+    // 12-sum aggregate (counts, all linear), the single row collects
+    // (q134/q137 driver-scalar rule), J products run in BigInt on
+    // the driver, and no unbounded magnitude is ever a column —
+    // the card carries only counts and the is_best flag.
+    Q("q223_operating_point", (s, d) => {
+      val ths = Seq(900000000L, 950000000L, 1000000000L,
+        1050000000L, 1100000000L)
+      val sc = classifierEvalScores(s, d)
+      val aggs = ths.zipWithIndex.flatMap { case (th, i) =>
+        Seq(
+          sum(when(col("skey") >= th && col("pos"), 1L).otherwise(0L))
+            .as(s"tp$i"),
+          sum(when(col("skey") >= th && !col("pos"), 1L).otherwise(0L))
+            .as(s"fp$i"))
+      } ++ Seq(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+      val r = sc.agg(aggs.head, aggs.tail: _*).head()
+      def lv(name: String): Long = {
+        val i = r.fieldIndex(name)
+        if (r.isNullAt(i)) 0L else r.getLong(i)
+      }
+      val np = lv("np")
+      val nn = lv("nn")
+      val rows = ths.zipWithIndex.map { case (th, i) =>
+        val tp = lv(s"tp$i")
+        val fp = lv(s"fp$i")
+        (th, tp, fp, np - tp, nn - fp, BigInt(tp) * nn - BigInt(fp) * np)
+      }
+      val bestJ = rows.map(_._6).max
+      val best = rows.filter(_._6 == bestJ).map(_._1).min
+      import s.implicits._
+      rows.map { case (th, tp, fp, fn, tn, _) =>
+        (th, tp, fp, fn, tn, th == best)
+      }.toDF("threshold", "tp", "fp", "fn", "tn", "is_best")
+        .orderBy(col("threshold"))
+    }, Some(s"""
+      WITH $evalScoresSql,
+      tot AS (SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) np,
+                     CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) nn
+              FROM sc),
+      th(threshold) AS (VALUES (900000000), (950000000), (1000000000),
+                               (1050000000), (1100000000)),
+      cf AS (SELECT th.threshold,
+               CAST(SUM(CASE WHEN skey >= th.threshold AND pos
+                        THEN 1 ELSE 0 END) AS BIGINT) tp,
+               CAST(SUM(CASE WHEN skey >= th.threshold AND NOT pos
+                        THEN 1 ELSE 0 END) AS BIGINT) fp
+             FROM sc, th GROUP BY 1),
+      j AS (SELECT threshold, tp, fp, tot.np - tp fn, tot.nn - fp tn,
+              CAST(tp AS HUGEINT)*tot.nn - CAST(fp AS HUGEINT)*tot.np jnum
+            FROM cf, tot)
+      SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp,
+        CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        row_number() OVER (ORDER BY jnum DESC, threshold) = 1 AS is_best
+      FROM j ORDER BY threshold"""))
   )
 }

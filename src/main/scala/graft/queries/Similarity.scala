@@ -378,6 +378,106 @@ object Similarity {
         (col("n_hit").cast(DoubleType) / k).as("recall"))
   }
 
+  /** IVF-PQ recall audit — [[pqRecallAudit]] composed with a coarse
+    * inverted-file quantizer: THE production ANN shape (FAISS
+    * IVFx,PQy — Jégou et al. 2011): a tiny seeded coarse quantizer
+    * (the `nCells` lowest-id vectors) partitions the corpus into
+    * cells by exact argmin L2 (struct-min, the q113 tie-break); a
+    * query probes its `nprobe` nearest cells and runs PQ-ADC
+    * estimation ONLY over their members — `n_cand` reports exactly
+    * how much of the corpus each query touched (the selectivity the
+    * IVF trades recall for), next to the measured recall@k vs the
+    * exact brute truth.
+    *
+    * 100 TB shape: cell assignment is a crossJoin against the K-row
+    * broadcast centroid table (the PlanSpec broadcastCentroidGates
+    * class) collapsing to one argmin row per vector; the probe table
+    * is ≤ |queries|·nprobe rows; ADC work is bounded by the probed
+    * cells' membership instead of the corpus (the whole point of
+    * IVF); truth is the q136 id-bounded (≤8 queries) linear pass.
+    * Everything is exact int64 arithmetic end to end, so the oracle
+    * replays every stage verbatim. */
+  def ivfpqRecallAudit(vectors: DataFrame, dim: Int = 64, m: Int = 4,
+                       k: Int = 3, nCells: Int = 8,
+                       nprobe: Int = 2): DataFrame = {
+    import graft.functions.VectorExprs.longSqDist
+    val sub = dim / m
+    val iv = vectors.select(col("vec_id"), iscale(col("embedding")).as("v"))
+      .cut() // feeds centroids, codebook, assignment, queries, truth
+    val cents = iv.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val assign = iv.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(longSqDist(col("v"), col("cv")).as("d"), col("cell")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"))
+    val qset = iv.filter(col("vec_id") % 100 === 0 && col("vec_id") < 800)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = graft.plans.TopK.perKey(
+        qset.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("cell"),
+            longSqDist(col("qv"), col("cv")).as("dq")),
+        keys = Seq(col("query_id")),
+        order = Seq(col("dq").asc, col("cell").asc), k = nprobe)
+      .select(col("query_id"), col("cell"))
+    val cb = iv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"),
+        explode(array((0 until m).map(si =>
+          struct(lit(si.toLong).as("sub"),
+            slice(col("v"), si * sub + 1, sub).as("cw"))): _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.cw").as("cw"))
+    val codes = iv
+      .select(col("vec_id"),
+        explode(array((0 until m).map(si =>
+          struct(lit(si.toLong).as("sub"),
+            slice(col("v"), si * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(longSqDist(col("sv"), col("cw")).as("d"), col("code")).as("dc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    val adc = qset
+      .select(col("query_id"),
+        explode(array((0 until m).map(si =>
+          struct(lit(si.toLong).as("sub"),
+            slice(col("qv"), si * sub + 1, sub).as("qs"))): _*)).as("e"))
+      .select(col("query_id"), col("e.sub").as("sub"), col("e.qs").as("qs"))
+      .join(broadcast(cb), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        longSqDist(col("qs"), col("cw")).as("d2"))
+    val nCand = assign.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_cand"))
+    val est = codes.join(assign, "vec_id")
+      .join(broadcast(probes), "cell")
+      .join(broadcast(adc), Seq("query_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("est"))
+    val approx = graft.plans.TopK.perKey(
+        est.select(col("query_id"), col("vec_id").as("neighbor_id"), col("est")),
+        keys = Seq(col("query_id")),
+        order = Seq(col("est").asc, col("neighbor_id").asc), k = k)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    val truth = graft.plans.TopK.perKey(
+        iv.join(broadcast(qset), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            longSqDist(col("qv"), col("v")).as("dist2")),
+        keys = Seq(col("query_id")),
+        order = Seq(col("dist2").asc, col("neighbor_id").asc), k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .join(nCand, Seq("query_id"), "left")
+      .select(col("query_id"), lit("ivfpq_adc").as("method"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / k).as("recall"))
+  }
+
   /** Johnson–Lindenstrauss projection distortion audit — the
     * dimensionality-reduction member of the compression family (q112
     * quantizes VALUES, q136 quantizes SUBSPACES, this SHRINKS the
@@ -1213,6 +1313,79 @@ object Similarity {
           AS separated
       FROM bd JOIN nn x ON x.label = bd.la JOIN nn y ON y.label = bd.lb
         JOIN wd wa ON wa.label = bd.la JOIN wd wb ON wb.label = bd.lb
-      ORDER BY label_a, label_b"""))
+      ORDER BY label_a, label_b""")),
+
+    // IVF-PQ composed ANN (the FAISS production shape): seeded 8-cell
+    // coarse quantizer -> nprobe=2 probe -> PQ-ADC over probed cells
+    // only; recall@3 vs exact truth + n_cand (the corpus fraction the
+    // query actually touched). Exact int64 arithmetic end to end —
+    // the oracle replays assignment, probes, codes, ADC and truth
+    Q("q228_ivfpq_recall", (s, d) => {
+      ivfpqRecallAudit(t(s, d, "embeddings"))
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH $ivCte,
+      cents AS (SELECT vec_id cell, v cv FROM iv WHERE vec_id < 8),
+      asn AS (SELECT vec_id, cell FROM (
+                SELECT i.vec_id, c.cell,
+                  row_number() OVER (PARTITION BY i.vec_id ORDER BY
+                    CAST(list_sum([(i.v[j]-c.cv[j])*(i.v[j]-c.cv[j])
+                                   for j in generate_series(1,64)]) AS BIGINT),
+                    c.cell) rn
+                FROM iv i, cents c) WHERE rn = 1),
+      q0 AS (SELECT vec_id query_id, v qv FROM iv
+             WHERE vec_id % 100 = 0 AND vec_id < 800),
+      prb AS (SELECT query_id, cell FROM (
+                SELECT q.query_id, c.cell,
+                  row_number() OVER (PARTITION BY q.query_id ORDER BY
+                    CAST(list_sum([(q.qv[j]-c.cv[j])*(q.qv[j]-c.cv[j])
+                                   for j in generate_series(1,64)]) AS BIGINT),
+                    c.cell) rn
+                FROM q0 q, cents c) WHERE rn <= 2),
+      nc AS (SELECT p.query_id, CAST(count(*) AS BIGINT) n_cand
+             FROM prb p JOIN asn a USING (cell)
+             WHERE a.vec_id <> p.query_id GROUP BY 1),
+      cb AS (SELECT g.sub sub, vec_id code,
+               v[g.sub*16+1 : g.sub*16+16] cw
+             FROM iv, generate_series(0,3) g(sub) WHERE vec_id < 16),
+      ex AS (SELECT vec_id, g.sub sub, v[g.sub*16+1 : g.sub*16+16] sv
+             FROM iv, generate_series(0,3) g(sub)),
+      enc AS (SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, e.sub, c.code,
+                  row_number() OVER (PARTITION BY e.vec_id, e.sub ORDER BY
+                    CAST(list_sum([(e.sv[i]-c.cw[i])*(e.sv[i]-c.cw[i])
+                                   for i in generate_series(1,16)]) AS BIGINT),
+                    c.code) rn
+                FROM ex e JOIN cb c USING (sub)) WHERE rn = 1),
+      adc AS (SELECT q.query_id, c.sub, c.code,
+                CAST(list_sum([(q.qv[c.sub*16+i]-c.cw[i])*(q.qv[c.sub*16+i]-c.cw[i])
+                               for i in generate_series(1,16)]) AS BIGINT) d2
+              FROM q0 q, cb c),
+      est AS (SELECT a.query_id, e.vec_id, CAST(SUM(a.d2) AS BIGINT) est
+              FROM enc e
+              JOIN asn s ON s.vec_id = e.vec_id
+              JOIN prb p ON p.cell = s.cell
+              JOIN adc a ON a.query_id = p.query_id
+                AND a.sub = e.sub AND a.code = e.code
+              WHERE e.vec_id <> a.query_id GROUP BY 1, 2),
+      pq AS (SELECT query_id, vec_id neighbor_id FROM (
+               SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY est, vec_id) rk FROM est) WHERE rk <= 3),
+      bt AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, n.vec_id neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   CAST(list_sum([(q.qv[i]-n.v[i])*(q.qv[i]-n.v[i])
+                                  for i in generate_series(1,64)]) AS BIGINT),
+                   n.vec_id) rk
+               FROM q0 q, iv n WHERE n.vec_id <> q.query_id) WHERE rk <= 3)
+      SELECT t.query_id, 'ivfpq_adc' AS method,
+        CAST(COALESCE(MAX(nc.n_cand), 0) AS BIGINT) AS n_cand,
+        CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+        CAST(COUNT(l.neighbor_id) AS DOUBLE)/3 AS recall
+      FROM bt t LEFT JOIN pq l
+        ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+      LEFT JOIN nc ON nc.query_id = t.query_id
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

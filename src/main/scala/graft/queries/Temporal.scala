@@ -1857,6 +1857,110 @@ object Temporal {
       SELECT gap_bucket, CAST(count(*) AS BIGINT) AS n_gaps,
         CAST(MIN(gap) AS BIGINT) AS min_gap,
         CAST(MAX(gap) AS BIGINT) AS max_gap
-      FROM b GROUP BY 1 ORDER BY 1"""))
+      FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // same-type run-length spectrum (gaps-and-islands over user
+    // timelines — the behavioral complement of q148's transitions:
+    // q148 measures WHICH type follows which, this measures how long
+    // users STAY on one type before switching; long runs = grinding/
+    // automation, all-1 runs = channel surfing). Islands come from
+    // the change-flag + running-sum form, which needs ONE window spec
+    // (partition user_id, order (sec, event_id) — the q148 unique
+    // tie-break) for both the lag and the cumulative sum: one
+    // exchange + one sort, unlike the two-row_number textbook form
+    // that partitions twice. Run lengths roll into bit-length buckets
+    // (the q199 spectrum shape) so output stays bounded at any sf.
+    // 100 TB shape: per-entity bounded windows only; the rollup is a
+    // map-side-combined |types|·buckets aggregate.
+    Q("q221_run_spectrum", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val prev = lag(col("event_type"), 1).over(w)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("isl",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("event_type"), col("isl"))
+        .agg(count(lit(1)).as("run_len"))
+        .withColumn("len_bucket", (length(bin(col("run_len"))) - 1).cast(LongType))
+        .groupBy(col("event_type"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_runs"), sum(col("run_len")).as("n_events"),
+          max(col("run_len")).as("max_run"))
+        .orderBy(col("event_type"), col("len_bucket"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts)//1000 sec, event_type
+                 FROM events),
+      c AS (SELECT user_id, event_type, sec, event_id,
+              CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY sec, event_id) IS DISTINCT FROM event_type
+                   THEN 1 ELSE 0 END chg
+            FROM e),
+      i AS (SELECT user_id, event_type,
+              SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) isl
+            FROM c),
+      runs AS (SELECT user_id, event_type, isl, CAST(count(*) AS BIGINT) run_len
+               FROM i GROUP BY 1, 2, 3),
+      b AS (SELECT event_type, run_len,
+              CAST(length(bin(run_len)) - 1 AS BIGINT) len_bucket FROM runs)
+      SELECT event_type, len_bucket, CAST(count(*) AS BIGINT) AS n_runs,
+        CAST(SUM(run_len) AS BIGINT) AS n_events,
+        CAST(MAX(run_len) AS BIGINT) AS max_run
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // per-user behavioral-diversity spectrum (q167's rational Simpson
+    // concentration applied per USER over event types, then rolled to
+    // a population histogram — the focused-vs-surfing segmentation a
+    // product team reads next to q218's frequency spectrum): per user
+    // λ_ppm = ⌊10⁶·Σc_i(c_i−1) / (N(N−1))⌋ over the user's type
+    // counts (λ = 200000 ≈ uniform over 5 types; 10⁶ = single-type),
+    // users bucketed by λ div 10⁵ (≤ 11 bands). Rational throughout —
+    // Shannon is logs (the q57 rule), Simpson divides exactly.
+    // r12 BOUND (the q208 audit rule): per-user Σc(c−1) ≤ N² and the
+    // 10⁶ factor top out at 10⁶·N² — bursts int64 at N ≈ 10⁶ events
+    // per user, so the per-user mass rides DECIMAL(38,0) (exact to
+    // N = 10¹⁶) and only the bounded λ_ppm ≤ 10⁶ emerges. Single-
+    // event users carry no pair — λ is undefined, so the spectrum
+    // covers N ≥ 2 users only. Shapes: two map-side-combined
+    // groupBys (user,type → user) + one ≤11-row rollup.
+    Q("q229_user_diversity_spectrum", (s, d) => {
+      val dec = DecimalType(38, 0)
+      val tc = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val per = tc.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c").cast(dec) * (col("c").cast(dec) - lit(1).cast(dec)))
+            .as("mass"))
+        .filter(col("n") >= 2L)
+        .withColumn("lambda_ppm", expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * mass) div " +
+            "(CAST(n AS DECIMAL(38,0)) * (n - 1L)) AS BIGINT)"))
+      per.withColumn("band", expr("lambda_ppm div 100000L"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("lambda_ppm")).as("min_ppm"),
+          max(col("lambda_ppm")).as("max_ppm"),
+          sum(col("n")).as("n_events"))
+        .orderBy(col("band"))
+    }, Some("""
+      WITH tc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) c
+                  FROM events GROUP BY 1, 2),
+      per AS (SELECT user_id, CAST(SUM(c) AS BIGINT) n,
+                SUM(CAST(c AS HUGEINT) * (c - 1)) mass
+              FROM tc GROUP BY 1),
+      lam AS (SELECT user_id, n,
+                CAST((1000000 * mass) // (CAST(n AS HUGEINT) * (n - 1))
+                  AS BIGINT) lambda_ppm
+              FROM per WHERE n >= 2)
+      SELECT CAST(lambda_ppm // 100000 AS BIGINT) AS band,
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(MIN(lambda_ppm) AS BIGINT) AS min_ppm,
+        CAST(MAX(lambda_ppm) AS BIGINT) AS max_ppm,
+        CAST(SUM(n) AS BIGINT) AS n_events
+      FROM lam GROUP BY 1 ORDER BY 1"""))
   )
 }

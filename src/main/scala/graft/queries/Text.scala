@@ -1110,6 +1110,59 @@ object Text {
         CAST(CASE WHEN sum_chars = 0 THEN -1
              ELSE (1000000 * dd) // (CAST(n_docs AS HUGEINT) * sum_chars)
              END AS BIGINT) AS gini_ppm
-      FROM a ORDER BY source"""))
+      FROM a ORDER BY source""")),
+
+    // vocabulary coverage-at-k (the tokenizer-design curve next to
+    // q134's Zipf card and q194's Heaps growth: what fraction of
+    // corpus token VOLUME do the top-k types cover? — the question
+    // that sizes a vocab before BPE training): coverage at three
+    // FIXED ks (2/8/32 — calibrated to the synthetic 31-type vocab so
+    // every gate row carries signal, the q133 literal doctrine; the
+    // k=32 row saturating at 10⁶ ppm is the honest "vocab exhausted"
+    // verdict). Top-k membership has the TOTAL deterministic order
+    // (count desc, token asc — the q90 vocab rule).
+    // 100 TB shape: the type count is a map-side-combined
+    // groupBy(token) (shuffle = O(distinct types)); top-k is a
+    // bounded TakeOrdered (partial heaps, never a corpus sort) whose
+    // ≤ 32 rows collect to the driver (the q194 bounded-top-k scalar
+    // contract); coverage sums and the ppm division run on the
+    // driver — in BigInt, because 10⁶·covered bursts int64 at 10¹⁴
+    // corpus tokens (the q179 rule; covered/total themselves are
+    // linear counts and stay emitted).
+    Q("q227_vocab_coverage", (s, d) => {
+      val ks = Seq(2, 8, 32)
+      val counts = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .cut() // feeds the total scalar and the top-k pass
+      val totRow = counts.agg(sum(col("c"))).head()
+      val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      val top = counts.orderBy(col("c").desc, col("tok"))
+        .limit(ks.max).select(col("c")).collect().map(_.getLong(0))
+      import s.implicits._
+      ks.map { k =>
+        val covered = top.take(k).sum
+        val ppm =
+          if (total == 0L) -1L
+          else (BigInt(1000000) * covered / total).toLong
+        (k.toLong, covered, total, ppm)
+      }.toDF("k", "covered", "total", "coverage_ppm").orderBy(col("k"))
+    }, Some("""
+      WITH tk AS (SELECT list_filter(string_split(text,' '), x->x<>'') tk
+                  FROM documents),
+      ex AS (SELECT unnest(tk) tok FROM tk),
+      c AS (SELECT tok, CAST(count(*) AS BIGINT) c FROM ex GROUP BY 1),
+      tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) total FROM c),
+      rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) rn FROM c),
+      ks(k) AS (VALUES (2), (8), (32)),
+      cov AS (SELECT ks.k,
+                CAST(COALESCE(SUM(CASE WHEN rk.rn <= ks.k THEN rk.c END), 0)
+                  AS BIGINT) covered
+              FROM ks, rk GROUP BY 1)
+      SELECT CAST(k AS BIGINT) AS k, covered, tot.total AS total,
+        CAST(CASE WHEN tot.total = 0 THEN -1
+             ELSE (1000000 * CAST(covered AS HUGEINT)) // tot.total
+             END AS BIGINT) AS coverage_ppm
+      FROM cov, tot ORDER BY k"""))
   )
 }

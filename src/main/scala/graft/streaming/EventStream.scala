@@ -383,6 +383,44 @@ object EventStream {
       }
   }
 
+  /** Open same-type run per user — [[runStream]]'s O(1) state
+    * (public: encoder codegen constructs it). */
+  final case class RunState(tpe: String, len: Long)
+
+  /** One completed same-type run — [[runStream]]'s unit (q221's row
+    * before bucketing). */
+  final case class RunRow(event_type: String, run_len: Long)
+
+  /** Streaming same-type run lengths — the q221 gaps-and-islands
+    * spectrum as an ingest: O(1) per-user state (the current run's
+    * type + length under the (sec, event_id) ordered-ingest
+    * contract); a type CHANGE emits the completed run exactly once
+    * (append-legal — a closed run never reopens). Each user's final
+    * run stays OPEN in state by design (the q186 open-entity
+    * contract), so over a full replay the emitted rows ≡ the batch
+    * runs minus each user's last run — PipelineStreamSpec pins that
+    * identity exactly against the q221 fold. */
+  def runStream(events: Dataset[TypedEvent]): Dataset[RunRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, RunRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, evs, state) =>
+        var cur = state.getOption.orNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[RunRow]
+        for (e <- evs.toSeq.sortBy(x => (x.sec, x.event_id))) {
+          if (cur == null) cur = RunState(e.event_type, 1L)
+          else if (cur.tpe == e.event_type) cur = RunState(cur.tpe, cur.len + 1L)
+          else {
+            out += RunRow(cur.tpe, cur.len)
+            cur = RunState(e.event_type, 1L)
+          }
+        }
+        if (cur != null) state.update(cur)
+        out.iterator
+      }
+  }
+
   /** One dow×hour heatmap cell — [[heatmapCellStream]]'s unit. */
   final case class HeatCell(dow: Long, hour: Long)
 

@@ -2053,4 +2053,325 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(rows(b).getAs[Long]("max_gap") == gs.max)
     }
   }
+
+  test("q220: clustering coefficients replay from the projection edges") {
+    val rows = SparkEntry.queries("q220_clustering_coeff")(spark, sf).collect()
+    // the projection itself is pinned by q165/q169; this replays the
+    // per-node coefficient arithmetic from the SAME edge set
+    val edges = graft.queries.Analytics.mutualProjection(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = nodes.map(v => v ->
+      edges.count(e => e._1 == v || e._2 == v).toLong).toMap
+    val tri = nodes.map(v => v -> edges.toSeq.flatMap { case (a, b) =>
+      Seq(a, b)
+    }.distinct.combinations(2).count { case Seq(x, y) =>
+      val (p, q) = if (x < y) (x, y) else (y, x)
+      edges.contains((p, q)) &&
+        edges.contains(if (v < p) (v, p) else (p, v)) &&
+        edges.contains(if (v < q) (v, q) else (q, v)) && v != p && v != q
+    }.toLong).toMap
+    val expected = nodes.toSeq.map { v =>
+      val d = deg(v)
+      val c = if (d < 2) -1L else (2000000L * tri(v)) / (d * (d - 1L))
+      (v, d, tri(v), c)
+    }.sortBy { case (v, _, _, c) => (-c, v) }.take(10)
+    val got = rows.map(r => (r.getAs[Long]("node"), r.getAs[Long]("deg"),
+      r.getAs[Long]("tri"), r.getAs[Long]("coef_ppm"))).toSeq
+    assert(got == expected)
+  }
+
+  test("q221: run spectrum replays from a per-user streak fold") {
+    val rows = SparkEntry.queries("q221_run_spectrum")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("len_bucket")) -> r)
+      .toMap
+    val runs = eventSeqs().values.flatMap { es =>
+      val types = es.map(_._3)
+      // fold into (type, run_len) streaks
+      types.foldLeft(List.empty[(String, Long)]) {
+        case ((t, n) :: rest, tpe) if t == tpe => (t, n + 1L) :: rest
+        case (acc, tpe) => (tpe, 1L) :: acc
+      }
+    }.toSeq
+    val byBucket = runs.groupBy { case (tpe, len) =>
+      (tpe, (63 - java.lang.Long.numberOfLeadingZeros(len)).toLong)
+    }
+    assert(rows.keySet == byBucket.keySet)
+    byBucket.foreach { case (k, rs) =>
+      assert(rows(k).getAs[Long]("n_runs") == rs.size.toLong)
+      assert(rows(k).getAs[Long]("n_events") == rs.map(_._2).sum)
+      assert(rows(k).getAs[Long]("max_run") == rs.map(_._2).max)
+    }
+  }
+
+  test("q222: dup-pair anatomy replays from the q24-gated pair surface") {
+    val rows = SparkEntry.queries("q222_dup_pair_anatomy")(spark, sf).collect()
+      .map(r => r.getAs[String]("dup_type") -> r).toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).toSeq).toMap
+    val pairs = SparkEntry.queries("q24_dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.nonEmpty)
+    val anat = pairs.map { case (a, b) =>
+      val (ta, tb) = (toks(a), toks(b))
+      val n = math.min(ta.length, tb.length)
+      val p = (0 until n).takeWhile(i => ta(i) == tb(i)).length.toLong
+      val sfx = (0 until n).takeWhile(i =>
+        ta(ta.length - 1 - i) == tb(tb.length - 1 - i)).length.toLong
+      val mn = n.toLong
+      val tpe =
+        if (ta.length == tb.length && p == ta.length) "1_exact"
+        else if (p * 2 >= mn) "2_head"
+        else if (sfx * 2 >= mn) "3_tail"
+        else "4_mixed"
+      (tpe, p, sfx)
+    }
+    val byType = anat.groupBy(_._1)
+    assert(rows.keySet == byType.keySet)
+    byType.foreach { case (tpe, as) =>
+      assert(rows(tpe).getAs[Long]("n_pairs") == as.size.toLong)
+      assert(rows(tpe).getAs[Long]("sum_prefix") == as.map(_._2).sum)
+      assert(rows(tpe).getAs[Long]("sum_suffix") == as.map(_._3).sum)
+    }
+  }
+
+  test("q223: operating point replays from a BigInt Youden argmax") {
+    val rows = SparkEntry.queries("q223_operating_point")(spark, sf).collect()
+    assert(rows.length == 5)
+    val sc = graft.queries.Pipeline.classifierEvalScores(spark, sf).collect()
+      .map(r => (r.getAs[Long]("skey"), r.getAs[Boolean]("pos")))
+    val np = sc.count(_._2).toLong
+    val nn = sc.length.toLong - np
+    val ths = Seq(900000000L, 950000000L, 1000000000L, 1050000000L, 1100000000L)
+    val cf = ths.map { th =>
+      val tp = sc.count { case (k, p) => k >= th && p }.toLong
+      val fp = sc.count { case (k, p) => k >= th && !p }.toLong
+      (th, tp, fp, BigInt(tp) * nn - BigInt(fp) * np)
+    }
+    val best = cf.filter(_._4 == cf.map(_._4).max).map(_._1).min
+    rows.foreach { r =>
+      val th = r.getAs[Long]("threshold")
+      val (_, tp, fp, _) = cf.find(_._1 == th).get
+      assert(r.getAs[Long]("tp") == tp)
+      assert(r.getAs[Long]("fp") == fp)
+      assert(r.getAs[Long]("fn") == np - tp)
+      assert(r.getAs[Long]("tn") == nn - fp)
+      assert(r.getAs[Boolean]("is_best") == (th == best))
+    }
+    assert(rows.count(_.getAs[Boolean]("is_best")) == 1)
+  }
+
+  test("q224: audio normalization replays from the sample formula") {
+    import graft.functions.ExactCols.hmodJvm
+    val rows = SparkEntry.queries("q224_audio_normalization")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val per = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").collect().map { r =>
+        val samples = r.getAs[String]("text").split(" ").filter(_.nonEmpty)
+          .map(tk => (hmodJvm("au:" + tk) % 16384L) - 8192L)
+        (r.getAs[String]("source"), samples.length.toLong,
+          if (samples.isEmpty) 0L else samples.map(math.abs).max,
+          samples.map(s => s * s).sum)
+      }
+    val bySrc = per.groupBy(_._1)
+    assert(rows.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, ds) =>
+      val r = rows(src)
+      val n = ds.map(_._2).sum
+      val peak = ds.map(_._3).max
+      val energy = ds.map(d => BigInt(d._4)).sum
+      assert(r.getAs[Long]("n_docs") == ds.size.toLong)
+      assert(r.getAs[Long]("n_samples") == n)
+      assert(r.getAs[Long]("peak") == peak)
+      assert(r.getAs[Long]("msq_milli") ==
+        (if (n == 0L) -1L else (BigInt(1000) * energy / n).toLong))
+      assert(r.getAs[Long]("gain_ppm") ==
+        (if (peak == 0L) -1L else 8192000000L / peak))
+    }
+  }
+
+  test("q225: IQR fences replay from sorted per-priority delays") {
+    val rows = SparkEntry.queries("q225_iqr_outliers")(spark, sf).collect()
+      .map(r => r.getAs[String]("priority") -> r).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS sd").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"),
+        r.getAs[java.sql.Date]("sd").toLocalDate.toEpochDay))
+    val om = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(o_orderdate AS DATE) AS od").collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[String]("o_orderpriority"),
+          r.getAs[java.sql.Date]("od").toLocalDate.toEpochDay)).toMap
+    val delays = li.flatMap { case (ok, sd) =>
+      om.get(ok).map { case (prio, od) => (prio, sd - od) }
+    }
+    val byPrio = delays.groupBy(_._1)
+    assert(rows.keySet == byPrio.keySet)
+    byPrio.foreach { case (prio, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val n = sorted.length.toLong
+      def q(num: Long, den: Long): Long =
+        sorted((math.max(1L, (num * n + den - 1) / den) - 1).toInt)
+      val (p25, p75) = (q(1, 4), q(3, 4))
+      val iqr = p75 - p25
+      val r = rows(prio)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("p25") == p25)
+      assert(r.getAs[Long]("p75") == p75)
+      assert(r.getAs[Long]("n_low") ==
+        sorted.count(dd => dd * 2 < p25 * 2 - iqr * 3).toLong)
+      assert(r.getAs[Long]("n_high") ==
+        sorted.count(dd => dd * 2 > p75 * 2 + iqr * 3).toLong)
+    }
+  }
+
+  test("q226: order-ablation card matches the operator compositions") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactCols.{hmod, hmodJvm, P}
+    val rows = SparkEntry.queries("q226_dedup_sample_order")(spark, sf)
+      .collect().map(r => r.getAs[String]("route") -> r).toMap
+    assert(rows.keySet ==
+      Set("1_dedup_then_sample", "2_sample_then_dedup", "3_both"))
+    val docs = Tables.t(spark, sf, "documents")
+    val pred = (hmod(concat(lit("abl:"), col("doc_id").cast("string")))
+      % 1000L) < 300L
+    val a = graft.queries.Dedup.deduplicate(docs).filter(pred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.queries.Dedup.deduplicate(docs.filter(pred))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def ck(ids: Set[Long]): Long =
+      ids.toSeq.map(i => BigInt(hmodJvm(i.toString))).sum.mod(P).toLong
+    assert(rows("1_dedup_then_sample").getAs[Long]("n_docs") == a.size.toLong)
+    assert(rows("2_sample_then_dedup").getAs[Long]("n_docs") == b.size.toLong)
+    assert(rows("3_both").getAs[Long]("n_docs") == (a & b).size.toLong)
+    assert(rows("1_dedup_then_sample").getAs[Long]("docs_checksum") == ck(a))
+    assert(rows("2_sample_then_dedup").getAs[Long]("docs_checksum") == ck(b))
+    assert(rows("3_both").getAs[Long]("docs_checksum") == ck(a & b))
+  }
+
+  test("q227: vocab coverage replays from a JVM frequency fold") {
+    val rows = SparkEntry.queries("q227_vocab_coverage")(spark, sf).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(rows.keySet == Set(2L, 8L, 32L))
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (tok, ts) => (tok, ts.length.toLong) }
+      .toSeq.sortBy { case (tok, c) => (-c, tok) }
+    val total = counts.map(_._2).sum
+    for ((k, r) <- rows) {
+      val covered = counts.take(k.toInt).map(_._2).sum
+      assert(r.getAs[Long]("covered") == covered)
+      assert(r.getAs[Long]("total") == total)
+      assert(r.getAs[Long]("coverage_ppm") ==
+        (if (total == 0L) -1L else (BigInt(1000000) * covered / total).toLong))
+    }
+    // the curve is non-degenerate: strictly growing across the ks
+    assert(rows(2L).getAs[Long]("covered") < rows(8L).getAs[Long]("covered"))
+    assert(rows(8L).getAs[Long]("covered") <= rows(32L).getAs[Long]("covered"))
+  }
+
+  test("q229: user diversity spectrum replays from a per-user Simpson fold") {
+    val rows = SparkEntry.queries("q229_user_diversity_spectrum")(spark, sf)
+      .collect().map(r => r.getAs[Long]("band") -> r).toMap
+    val perUser = eventSeqs().toSeq.map { case (_, es) =>
+      val counts = es.map(_._3).groupBy(identity).values.map(_.size.toLong)
+      val n = counts.sum
+      val mass = counts.map(c => BigInt(c) * (c - 1)).sum
+      (n, if (n >= 2) (BigInt(1000000) * mass / (BigInt(n) * (n - 1))).toLong
+          else -1L)
+    }.filter(_._1 >= 2)
+    val byBand = perUser.groupBy(_._2 / 100000L)
+    assert(rows.keySet == byBand.keySet)
+    byBand.foreach { case (band, us) =>
+      val r = rows(band)
+      assert(r.getAs[Long]("n_users") == us.size.toLong)
+      assert(r.getAs[Long]("min_ppm") == us.map(_._2).min)
+      assert(r.getAs[Long]("max_ppm") == us.map(_._2).max)
+      assert(r.getAs[Long]("n_events") == us.map(_._1).sum)
+    }
+  }
+
+  test("q230: personalized pagerank replays from a JVM trajectory fold") {
+    val rows = SparkEntry.queries("q230_personalized_pagerank")(spark, sf)
+      .collect().map(r => (r.getAs[String]("node"), r.getAs[Long]("r")))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ok = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = li.flatMap { case (o, sk) =>
+      ok.get(o).map(c => (s"C$c", s"S$sk"))
+    }.distinct
+    val dir = e0 ++ e0.map(_.swap)
+    val deg = dir.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    def isSeed(n: String) = n.startsWith("C") && n.drop(1).toLong % 50 == 0
+    var r = deg.keys.map(n => n -> (if (isSeed(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = dir.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => BigInt(r(src) / deg(src)) }.sum
+      }
+      r = deg.keys.map { n =>
+        n -> ((if (isSeed(n)) 150000L else 0L) +
+          (BigInt(850000) * contrib.getOrElse(n, BigInt(0)) / 1000000).toLong)
+      }.toMap
+    }
+    assert(rows.toMap == r)
+    // the proximity field is non-trivial: some non-seed mass > 0 and
+    // some node is still unreachable-in-3-hops (r = 0) or seeds exist
+    assert(rows.exists { case (n, v) => !isSeed(n) && v > 0L })
+  }
+
+  test("q228: IVF-PQ recall replays from a JVM replay over iscaled vectors") {
+    val rows = SparkEntry.queries("q228_ivfpq_recall")(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    // read back the SAME int64 vectors the engine scales (iscale is
+    // pinned elsewhere; this replays the IVF-PQ pipeline on top)
+    val iv = graft.Tables.t(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.ExactCols.iscale(
+          org.apache.spark.sql.functions.col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long], lo: Int = 0, n: Int = 64): Long = {
+      var s = 0L; var i = 0
+      while (i < n) { val dd = a(lo + i) - b(lo + i); s += dd * dd; i += 1 }
+      s
+    }
+    val cents = (0L until 8L).map(c => c -> iv(c)).toMap
+    val assign = iv.map { case (id, v) =>
+      id -> cents.toSeq.map { case (c, cv) => (d2(v, cv), c) }.min._2
+    }
+    val queries = iv.keys.filter(id => id % 100 == 0 && id < 800).toSeq.sorted
+    val cb = (0L until 16L).map(c => c -> iv(c)).toMap
+    def encode(v: Array[Long]): Seq[(Int, Long)] = (0 until 4).map { s0 =>
+      s0 -> cb.toSeq.map { case (c, cw) => (d2(v, cw, s0 * 16, 16), c) }.min._2
+    }
+    val codes = iv.map { case (id, v) => id -> encode(v) }
+    assert(rows.keySet == queries.toSet)
+    for (q <- queries) {
+      val qv = iv(q)
+      val probed = cents.toSeq.map { case (c, cv) => (d2(qv, cv), c) }
+        .sorted.take(2).map(_._2).toSet
+      val cand = iv.keys.filter(id =>
+        id != q && probed.contains(assign(id))).toSeq
+      val adc = (0 until 4).map { s0 =>
+        s0 -> cb.map { case (c, cw) => c -> d2(qv, cw, s0 * 16, 16) }
+      }.toMap
+      val approx = cand.map { id =>
+        (codes(id).map { case (s0, c) => adc(s0)(c) }.sum, id)
+      }.sorted.take(3).map(_._2).toSet
+      val truth = iv.keys.filter(_ != q).toSeq
+        .map(id => (d2(qv, iv(id)), id)).sorted.take(3).map(_._2)
+      val hits = truth.count(approx.contains).toLong
+      val r = rows(q)
+      assert(r.getAs[Long]("n_cand") == cand.size.toLong)
+      assert(r.getAs[Long]("n_hit") == hits)
+      assert(r.getAs[Double]("recall") == hits.toDouble / 3)
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.{Dedup, Similarity}
@@ -988,5 +989,27 @@ class DedupApiSpec extends AnyFunSuite {
     // the corpus has real multi-doc families — the report is not
     // degenerate all-singletons
     assert(hist.exists(r => r.getAs[Long]("cluster_size") > 1))
+  }
+
+  test("dedup∘sample order matters exactly as q226 models it") {
+    import spark.implicits._
+    // two exact clones; the sample keeps only the HIGHER id. Route A
+    // (dedup→sample) elects doc 1 and then samples it out — the text
+    // vanishes; route B (sample→dedup) re-elects doc 2 inside the
+    // sample — the text survives. Plus one unsampled singleton and
+    // one sampled singleton as controls.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six"),
+      (4L, "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val sample = col("doc_id").isin(2L, 3L)
+    val a = Dedup.deduplicate(docs).filter(sample)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Dedup.deduplicate(docs.filter(sample))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == Set(3L))        // doc 1 won dedup, then sampled out
+    assert(b == Set(2L, 3L))    // doc 2 re-elected inside the sample
   }
 }

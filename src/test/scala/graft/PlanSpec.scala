@@ -89,7 +89,10 @@ class PlanSpec extends AnyFunSuite {
       "q77_kmeans_iterated", "q81_semdedup",
       // label-pair join of two |labels|-row (10) centroid tables —
       // the K-row × K-row tiny-broadcast class
-      "q193_label_separation")
+      "q193_label_separation",
+      // 8-cell coarse-quantizer assignment crossJoin + the q136
+      // id-bounded (≤8) broadcast query side
+      "q228_ivfpq_recall")
     val expectedNested = broadcastCentroidGates ++ Set(
       "q27_dedup_embedding", "q28_ann_brute_topk",
       "q108_ann_recall", // labeled diagnostic: brute truth ∩ each route

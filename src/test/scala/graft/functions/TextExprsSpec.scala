@@ -153,4 +153,39 @@ class TextExprsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](0))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("CommonAffix == scala reference on edge-case pairs") {
+    import spark.implicits._
+    def ref(a: Seq[String], b: Seq[String]): (Long, Long) = {
+      val n = math.min(a.length, b.length)
+      val p = (0 until n).takeWhile(i => a(i) == b(i)).length.toLong
+      val sfx = (0 until n)
+        .takeWhile(i => a(a.length - 1 - i) == b(b.length - 1 - i)).length.toLong
+      (p, sfx)
+    }
+    val cases: Seq[(Seq[String], Seq[String])] = Seq(
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),       // identical → (3,3)
+      (Seq("a", "b", "c"), Seq("a", "b")),            // prefix containment
+      (Seq("x", "b", "c"), Seq("a", "b", "c")),       // shared tail only
+      (Seq("a", "b", "c", "d"), Seq("a", "x", "c", "d")),
+      (Seq.empty[String], Seq("a")),                  // empty side → (0,0)
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a"), Seq("b")),
+      (Seq("thé", "θ"), Seq("thé", "x")),             // unicode tokens
+      (Seq("a", "a", "a"), Seq("a", "a"))             // overlap both ends
+    )
+    val df = cases.toDF("a", "b")
+    val got = df.select(TextExprs.commonAffix(col("a"), col("b")).as("af"))
+      .select(col("af.prefix"), col("af.suffix"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == cases.map { case (a, b) => ref(a, b) })
+  }
+
+  test("CommonAffix: null input is null") {
+    import spark.implicits._
+    val df = Seq((Some(Seq("a")), None: Option[Seq[String]]))
+      .toDF("a", "b")
+    val rows = df.select(TextExprs.commonAffix(col("a"), col("b"))).collect()
+    assert(rows(0).isNullAt(0))
+  }
 }

@@ -102,4 +102,50 @@ class PageRankSpec extends AnyFunSuite {
       .orderBy(col("node")).collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  /** PPR replay: base mass lands only on seeds, r₀ = 10⁶ on seeds. */
+  private def replayPpr(seeds: Set[String], rounds: Int,
+                        dampingPpm: Long): Map[String, Long] = {
+    val dir = und ++ und.map(_.swap)
+    val deg = dir.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var r = deg.keys.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to rounds) {
+      val contrib = dir.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => BigInt(r(src) / deg(src)) }.sum
+      }
+      r = deg.keys.map { n =>
+        n -> ((if (seeds(n)) 1000000L - dampingPpm else 0L) +
+          (BigInt(dampingPpm) * contrib.getOrElse(n, BigInt(0)) / 1000000)
+            .toLong)
+      }.toMap
+    }
+    r
+  }
+
+  test("personalized ranks: exact seed-teleport trajectory, mass localizes") {
+    import spark.implicits._
+    val seeds = Seq("c").toDF("node")
+    val got = PageRank.personalizedRanks(edgesDf, seeds, rounds = 3)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("r")).toMap
+    assert(got == replayPpr(Set("c"), 3, 850000L))
+    // proximity ordering: the seed and its hub neighbor outrank the
+    // 2-hop nodes; nothing is negative; non-seeds carry no base mass
+    assert(got("c") > got("a") && got("c") > got("b"))
+    assert(got("h") > got("a") && got("h") > got("b"))
+    assert(got.values.forall(_ >= 0L))
+  }
+
+  test("personalized ranks: partition-invariant and seed-set sensitive") {
+    import spark.implicits._
+    val seeds = Seq("a").toDF("node")
+    val p7 = PageRank.personalizedRanks(edgesDf.repartition(7), seeds, 3)
+      .orderBy(col("node")).collect().map(_.toString).toSeq
+    val p2 = PageRank.personalizedRanks(edgesDf.repartition(2), seeds, 3)
+      .orderBy(col("node")).collect().map(_.toString).toSeq
+    assert(p7 == p2)
+    // a different seed produces a different proximity field
+    val other = PageRank.personalizedRanks(edgesDf, Seq("c").toDF("node"), 3)
+      .orderBy(col("node")).collect().map(_.toString).toSeq
+    assert(p7 != other)
+  }
 }

@@ -829,6 +829,45 @@ class PipelineStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming runs (ordered ingest) = q221 runs minus each user's open run") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_timestamp(ts) as sec",
+        "event_type")
+      .orderBy("sec", "event_id").collect()
+      .map(r => EventStream.TypedEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+    val in = MemoryStream[EventStream.TypedEvent]
+    val q = EventStream.runStream(in.toDS())
+      .writeStream.format("memory").queryName("run_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("run_stream").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("run_len")))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // batch runs from the same ordered fold, dropping each user's
+      // final (still-open) run — the exact append-mode contract
+      val expected = ev.groupBy(_.user_id).values.flatMap { es =>
+        val runs = es.sortBy(e => (e.sec, e.event_id))
+          .foldLeft(List.empty[(String, Long)]) {
+            case ((t, n) :: rest, e) if t == e.event_type => (t, n + 1L) :: rest
+            case (acc, e) => (e.event_type, 1L) :: acc
+          }
+        runs match {
+          case Nil => Nil
+          case _ :: closed => closed // head IS the user's last run
+        }
+      }.toSeq.groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming heatmap cells roll up to the q204 card rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
