@@ -1181,7 +1181,7 @@ object Dedup {
     * windows, so no gate query rides a "cap is a no-op at gate sf"
     * assumption (the r10 sf0.1 lesson). CappedOracleSpec pins Spark ≡
     * this replay on corpora where BOTH caps genuinely fire. */
-  private lazy val cappedPairCtes: String = {
+  private[queries] lazy val cappedPairCtes: String = {
     val cap = LshConfig().maxBucketSize
     s"""grp AS (
         SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) gid
@@ -2695,6 +2695,65 @@ object Dedup {
             AS BIGINT)
         FROM (SELECT doc_id FROM ka INTERSECT SELECT doc_id FROM keptb))
       SELECT route, n_docs, docs_checksum FROM res ORDER BY route"""
+    }),
+
+    // dedup THRESHOLD sensitivity (the calibration question upstream
+    // of every near-dedup deployment: how much does the pair surface
+    // — and the affected-document set — shrink as the jaccard cut
+    // rises from permissive 0.5 to conservative 0.9?): ONE q24 capped
+    // pair pass, then per fixed threshold (0.5/0.7/0.9 — DOUBLE
+    // literals written identically on both engines, and jaccard is an
+    // exact int-ratio division, so every compare is deterministic)
+    // the pair count, distinct affected docs, and the pair-set
+    // checksum — nine one-row aggregates in the q121 UNION shape
+    // (never a 1-row crossJoin). 100 TB shape: the pair table is the
+    // audited capped route, cut() once and referenced nine times;
+    // each rollup is O(pairs) over that bounded narrow table.
+    Q("q231_dedup_threshold_sensitivity", (s, d) => {
+      val pairs = nearDupPairs(t(s, d, "documents"))
+        .cut() // nine bounded rollups reference it
+      // literal doubles written as the same text both sides (0.5/0.7/
+      // 0.9 — the shared-literal rule; never derive them arithmetically)
+      val ths = Seq((0.5, 500000L), (0.7, 700000L), (0.9, 900000L))
+      val rows = ths.flatMap { case (th, ppm) =>
+        val p = pairs.filter(col("jaccard") >= lit(th))
+        val pc = p.agg(count(lit(1)).as("n_pairs"),
+          (coalesce(sum(hmod(concat(col("a_id").cast("string"), lit(":"),
+            col("b_id").cast("string")))), lit(0L)) % P).as("ck"))
+        val dc = p.select(explode(array(col("a_id"), col("b_id"))).as("x"))
+          .distinct().agg(count(lit(1)).as("n_docs"))
+        Seq(
+          pc.select(lit(ppm).as("threshold_ppm"), lit("1_pairs").as("metric"),
+            col("n_pairs").as("value")),
+          dc.select(lit(ppm).as("threshold_ppm"), lit("2_docs").as("metric"),
+            col("n_docs").as("value")),
+          pc.select(lit(ppm).as("threshold_ppm"), lit("3_checksum").as("metric"),
+            col("ck").as("value")))
+      }
+      rows.reduce(_ unionByName _)
+        .orderBy(col("threshold_ppm"), col("metric"))
+    }, Some {
+      val ck = sql.hmod("CAST(a_id AS VARCHAR)||':'||CAST(b_id AS VARCHAR)")
+      def thRows(th: String, ppm: Long): String = s"""
+        SELECT $ppm AS threshold_ppm, '1_pairs' AS metric,
+          CAST(count(*) AS BIGINT) AS value
+        FROM pairs WHERE jaccard >= $th
+        UNION ALL
+        SELECT $ppm, '2_docs', CAST(count(*) AS BIGINT) FROM (
+          SELECT DISTINCT x FROM (
+            SELECT a_id x FROM pairs WHERE jaccard >= $th
+            UNION ALL SELECT b_id FROM pairs WHERE jaccard >= $th))
+        UNION ALL
+        SELECT $ppm, '3_checksum',
+          CAST(COALESCE(SUM($ck), 0) % $P AS BIGINT)
+        FROM pairs WHERE jaccard >= $th"""
+      s"""
+      WITH $cappedPairCtes
+      SELECT threshold_ppm, metric, value FROM (
+        ${thRows("0.5::DOUBLE", 500000L)}
+        UNION ALL ${thRows("0.7::DOUBLE", 700000L)}
+        UNION ALL ${thRows("0.9::DOUBLE", 900000L)})
+      ORDER BY threshold_ppm, metric"""
     })
   )
 

@@ -20,6 +20,61 @@ import graft.multimodal.Codecs
   * hash arithmetic. */
 object Media {
 
+  /** Oracle-side replay of the [[imageNearDupPairs]] route — clone
+    * collapse, 256-member clone cap, shingle-histogram raster aHash,
+    * 4-block pigeonhole with the 256-rep block-bucket cap (QUALIFY
+    * keep-lowest doc_id), hamming ≤ 3 verify, expansion — ending in
+    * `ipairs(a_id, b_id, hamming)`. CTE names carry an `i` prefix so
+    * the chain composes with Dedup.cappedPairCtes in one statement
+    * (q232 cross-modality agreement); q117 gates it alone. */
+  private[queries] lazy val imagePairCtes: String = s"""
+      igrp AS (SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY text) gid
+             FROM documents),
+      imem AS (SELECT gid, doc_id FROM igrp
+              QUALIFY row_number() OVER (PARTITION BY gid ORDER BY doc_id) <= 256),
+      itk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
+             FROM igrp WHERE doc_id = gid),
+      ish AS (SELECT doc_id, list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                                           for i in generate_series(1,len(tk)-2)])
+               shingles
+             FROM itk WHERE len(tk) >= 3),
+      iex AS (SELECT doc_id, ${sql.hmod("s")} % 63 k
+             FROM (SELECT doc_id, unnest(shingles) s FROM ish)),
+      icnt AS (SELECT doc_id, k, CAST(count(*) AS BIGINT) c FROM iex GROUP BY 1, 2),
+      ipx AS (SELECT doc_id, k, least(255, 16*c) p FROM icnt),
+      ifl AS (SELECT dg.doc_id, dg.k, COALESCE(p.p, 0) p
+             FROM (SELECT d.doc_id, g.k
+                   FROM (SELECT DISTINCT doc_id FROM ipx) d
+                   CROSS JOIN generate_series(0,62) g(k)) dg
+             LEFT JOIN ipx p ON p.doc_id = dg.doc_id AND p.k = dg.k),
+      itot AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) sp FROM ifl GROUP BY 1),
+      ibits AS (SELECT f.doc_id,
+                 CAST(SUM(CASE WHEN 63*f.p > t.sp THEN (1::BIGINT << f.k)
+                          ELSE 0 END) AS BIGINT) ah
+               FROM ifl f JOIN itot t USING (doc_id) GROUP BY 1),
+      iblocks AS (SELECT doc_id, ah, bi, bv FROM (
+                   SELECT doc_id, ah, bi,
+                     CASE WHEN bi = 3 THEN (ah >> 48) & 32767
+                          ELSE (ah >> (bi*16)) & 65535 END bv
+                   FROM ibits, generate_series(0,3) g(bi))
+                 QUALIFY row_number() OVER (PARTITION BY bi, bv
+                                            ORDER BY doc_id) <= 256),
+      irp AS (SELECT a_id, b_id, hamming FROM (
+               SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
+                 CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) hamming
+               FROM iblocks a JOIN iblocks b
+                 ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             WHERE hamming <= 3),
+      ipairs AS (
+        SELECT least(ma.doc_id, mb.doc_id) a_id,
+               greatest(ma.doc_id, mb.doc_id) b_id, irp.hamming
+        FROM irp JOIN imem ma ON irp.a_id = ma.gid
+                JOIN imem mb ON irp.b_id = mb.gid
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
+        FROM imem a JOIN imem b ON a.gid = b.gid AND a.doc_id < b.doc_id)"""
+
   /** Perceptual-hash (aHash) image near-dup pairs — the image-side
     * member of the dedup family (pHash/aHash dedup is how image
     * corpora are near-deduplicated at scale; LAION's pipeline is the
@@ -324,53 +379,8 @@ object Media {
       imageNearDupPairs(t(s, d, "documents"))
         .orderBy(col("a_id"), col("b_id"))
     }, Some(s"""
-      WITH grp AS (SELECT doc_id, text,
-               min(doc_id) OVER (PARTITION BY text) gid
-             FROM documents),
-      mem AS (SELECT gid, doc_id FROM grp
-              QUALIFY row_number() OVER (PARTITION BY gid ORDER BY doc_id) <= 256),
-      tk AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') tk
-             FROM grp WHERE doc_id = gid),
-      sh AS (SELECT doc_id, list_distinct([tk[i]||' '||tk[i+1]||' '||tk[i+2]
-                                           for i in generate_series(1,len(tk)-2)])
-               shingles
-             FROM tk WHERE len(tk) >= 3),
-      ex AS (SELECT doc_id, ${sql.hmod("s")} % 63 k
-             FROM (SELECT doc_id, unnest(shingles) s FROM sh)),
-      cnt AS (SELECT doc_id, k, CAST(count(*) AS BIGINT) c FROM ex GROUP BY 1, 2),
-      px AS (SELECT doc_id, k, least(255, 16*c) p FROM cnt),
-      fl AS (SELECT dg.doc_id, dg.k, COALESCE(p.p, 0) p
-             FROM (SELECT d.doc_id, g.k
-                   FROM (SELECT DISTINCT doc_id FROM px) d
-                   CROSS JOIN generate_series(0,62) g(k)) dg
-             LEFT JOIN px p ON p.doc_id = dg.doc_id AND p.k = dg.k),
-      tot AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) sp FROM fl GROUP BY 1),
-      bits AS (SELECT f.doc_id,
-                 CAST(SUM(CASE WHEN 63*f.p > t.sp THEN (1::BIGINT << f.k)
-                          ELSE 0 END) AS BIGINT) ah
-               FROM fl f JOIN tot t USING (doc_id) GROUP BY 1),
-      blocks AS (SELECT doc_id, ah, bi, bv FROM (
-                   SELECT doc_id, ah, bi,
-                     CASE WHEN bi = 3 THEN (ah >> 48) & 32767
-                          ELSE (ah >> (bi*16)) & 65535 END bv
-                   FROM bits, generate_series(0,3) g(bi))
-                 QUALIFY row_number() OVER (PARTITION BY bi, bv
-                                            ORDER BY doc_id) <= 256),
-      rp AS (SELECT a_id, b_id, hamming FROM (
-               SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
-                 CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) hamming
-               FROM blocks a JOIN blocks b
-                 ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
-             WHERE hamming <= 3),
-      pairs AS (
-        SELECT least(ma.doc_id, mb.doc_id) a_id,
-               greatest(ma.doc_id, mb.doc_id) b_id, rp.hamming
-        FROM rp JOIN mem ma ON rp.a_id = ma.gid
-                JOIN mem mb ON rp.b_id = mb.gid
-        UNION ALL
-        SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
-        FROM mem a JOIN mem b ON a.gid = b.gid AND a.doc_id < b.doc_id)
-      SELECT a_id, b_id, hamming FROM pairs ORDER BY a_id, b_id""")),
+      WITH $imagePairCtes
+      SELECT a_id, b_id, hamming FROM ipairs ORDER BY a_id, b_id""")),
 
     // WAV round-trip audit: token sequence → PCM16 → real RIFF/WAVE
     // encode → chunk-walking decode → exact integer stats of the
@@ -549,6 +559,57 @@ object Media {
              ELSE (1000 * energy) // n_samples END AS BIGINT) AS msq_milli,
         CAST(CASE WHEN peak = 0 THEN -1
              ELSE 8192000000 // peak END AS BIGINT) AS gain_ppm
-      FROM src ORDER BY source"""))
+      FROM src ORDER BY source""")),
+
+    // cross-MODALITY dedup-route agreement (q123's route matrix
+    // extended across modalities: does the image-side aHash route see
+    // the same duplicate structure as the text-side MinHash route? —
+    // the consistency check a multimodal corpus pipeline publishes
+    // before trusting either side alone): q24's capped text pairs vs
+    // q117's capped image pairs as a 3-row text-only / image-only /
+    // both card with counts + pair checksums. Pair sets are unique by
+    // construction on both routes (one gid per doc), so anti/inner
+    // joins here ≡ the oracle's EXCEPT/INTERSECT. 100 TB shape: both
+    // pair surfaces are the audited capped routes, cut() once each;
+    // the agreement is two anti joins + one inner join on the narrow
+    // (a_id, b_id) tables. The oracle composes BOTH full replay
+    // chains (cappedPairCtes + imagePairCtes) in one statement.
+    Q("q232_modality_route_agreement", (s, d) => {
+      val docs = t(s, d, "documents")
+      val tp = graft.queries.Dedup.nearDupPairs(docs)
+        .select(col("a_id"), col("b_id")).cut()
+      val ip = imageNearDupPairs(docs)
+        .select(col("a_id"), col("b_id")).cut()
+      def card(df: DataFrame, label: String): DataFrame =
+        df.agg(count(lit(1)).as("n_pairs"),
+          (coalesce(sum(hmod(concat(col("a_id").cast("string"), lit(":"),
+            col("b_id").cast("string")))), lit(0L)) % P).as("pair_checksum"))
+          .select(lit(label).as("route"), col("n_pairs"), col("pair_checksum"))
+      card(tp.join(ip, Seq("a_id", "b_id"), "left_anti"), "1_text_only")
+        .unionByName(
+          card(ip.join(tp, Seq("a_id", "b_id"), "left_anti"), "2_image_only"))
+        .unionByName(card(tp.join(ip, Seq("a_id", "b_id")), "3_both"))
+        .orderBy(col("route"))
+    }, Some {
+      val ck = sql.hmod("CAST(a_id AS VARCHAR)||':'||CAST(b_id AS VARCHAR)")
+      s"""
+      WITH ${graft.queries.Dedup.cappedPairCtes},
+      $imagePairCtes,
+      tp AS (SELECT a_id, b_id FROM pairs),
+      ip AS (SELECT a_id, b_id FROM ipairs),
+      res AS (
+        SELECT '1_text_only' AS route, CAST(count(*) AS BIGINT) n_pairs,
+          CAST(COALESCE(SUM($ck), 0) % $P AS BIGINT) pair_checksum
+        FROM (SELECT * FROM tp EXCEPT SELECT * FROM ip)
+        UNION ALL
+        SELECT '2_image_only', CAST(count(*) AS BIGINT),
+          CAST(COALESCE(SUM($ck), 0) % $P AS BIGINT)
+        FROM (SELECT * FROM ip EXCEPT SELECT * FROM tp)
+        UNION ALL
+        SELECT '3_both', CAST(count(*) AS BIGINT),
+          CAST(COALESCE(SUM($ck), 0) % $P AS BIGINT)
+        FROM (SELECT * FROM tp INTERSECT SELECT * FROM ip))
+      SELECT route, n_pairs, pair_checksum FROM res ORDER BY route"""
+    })
   )
 }

@@ -2295,6 +2295,49 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q231: threshold sensitivity replays from the q24 pair surface") {
+    import graft.functions.ExactCols.{hmodJvm, P}
+    val rows = SparkEntry.queries("q231_dedup_threshold_sensitivity")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("threshold_ppm"), r.getAs[String]("metric")) ->
+        r.getAs[Long]("value")).toMap
+    assert(rows.size == 9)
+    val pairs = SparkEntry.queries("q24_dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard")))
+    for ((th, ppm) <- Seq((0.5, 500000L), (0.7, 700000L), (0.9, 900000L))) {
+      val p = pairs.filter(_._3 >= th)
+      val docs = p.flatMap(x => Seq(x._1, x._2)).distinct
+      val ck = p.map { case (a, b, _) => BigInt(hmodJvm(s"$a:$b")) }
+        .sum.mod(P).toLong
+      assert(rows((ppm, "1_pairs")) == p.length.toLong)
+      assert(rows((ppm, "2_docs")) == docs.length.toLong)
+      assert(rows((ppm, "3_checksum")) == ck)
+    }
+    // sensitivity is real on this corpus: the surface shrinks with th
+    assert(rows((500000L, "1_pairs")) > rows((900000L, "1_pairs")))
+  }
+
+  test("q232: modality agreement replays from the q24 and q117 surfaces") {
+    import graft.functions.ExactCols.{hmodJvm, P}
+    val rows = SparkEntry.queries("q232_modality_route_agreement")(spark, sf)
+      .collect().map(r => r.getAs[String]("route") -> r).toMap
+    val tp = SparkEntry.queries("q24_dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val ip = SparkEntry.queries("q117_image_phash_pairs")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    def ck(s0: Set[(Long, Long)]): Long =
+      s0.toSeq.map { case (a, b) => BigInt(hmodJvm(s"$a:$b")) }.sum.mod(P).toLong
+    val expected = Map(
+      "1_text_only" -> (tp -- ip), "2_image_only" -> (ip -- tp),
+      "3_both" -> (tp & ip))
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (k, s0) =>
+      assert(rows(k).getAs[Long]("n_pairs") == s0.size.toLong, k)
+      assert(rows(k).getAs[Long]("pair_checksum") == ck(s0), k)
+    }
+  }
+
   test("q230: personalized pagerank replays from a JVM trajectory fold") {
     val rows = SparkEntry.queries("q230_personalized_pagerank")(spark, sf)
       .collect().map(r => (r.getAs[String]("node"), r.getAs[Long]("r")))
