@@ -1578,11 +1578,16 @@ object Analytics {
     // the 1.5× factor never divides — fences live in HALF-UNITS
     // (lo2 = 2·p25 − 3·IQR, hi2 = 2·p75 + 3·IQR) and every delay
     // compares as delay·2, so the whole card is integer-exact.
-    // 100 TB shape: the delay table cut() feeds two passes (the
-    // keyed quantile aggregate, then the fence counts); the ≤|prio|
-    // quartile rows broadcast back into the count pass — no second
-    // wide shuffle. Bounds: delays ≤ ~10⁴ days, so 2·p75 + 3·IQR
-    // and delay·2 sit far inside int64.
+    // 100 TB shape: the delay table is REBUILT per pass (autoBuffer,
+    // quantiles, fence counts — three scan+broadcast-join passes)
+    // instead of checkpointed: a cut() here materializes the full
+    // corpus-sized delay table, which measured 46 s / 8.1× anchor at
+    // sf10 vs ~14 s for q173's recompute shape — the scan+broadcast
+    // join is cheaper than writing it out (the q165 recompute rule:
+    // self-join subtree recompute is fine when it's scan+kernel).
+    // The ≤|prio| quartile rows broadcast back into the count pass —
+    // no second wide shuffle. Bounds: delays ≤ ~10⁴ days, so
+    // 2·p75 + 3·IQR and delay·2 sit far inside int64.
     Q("q225_iqr_outliers", (s, d) => {
       import graft.functions.QuantileSketch
       val dl = t(s, d, "lineitem")
@@ -1593,7 +1598,6 @@ object Analytics {
         .select(col("o_orderpriority").as("priority"),
           datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
             .cast(LongType).as("delay"))
-        .cut() // feeds the quantile pass and the fence-count pass
       val buf = QuantileSketch.autoBuffer(dl, Seq(col("priority")), col("delay"))
       val qs = dl.groupBy(col("priority"))
         .agg(QuantileSketch.exact(col("delay"), buf,

@@ -2533,23 +2533,43 @@ object Dedup {
     // license/footer text, mixed are template families — each wants
     // a different keep rule): q24's capped pair surface, each pair's
     // token arrays compared by the CommonAffix kernel (one forward +
-    // one backward equality scan per pair — never a per-pair zip
-    // lambda), classified by integer threshold tests only
-    // (2·prefix ≥ min_len etc.), rolled up per type with a pair
-    // checksum. 100 TB shape: inherits nearDupPairs' whole design
-    // (clone collapse, banded equi-joins, replayed caps); the
-    // anatomy adds two O(pairs) equi-joins on doc_id and per-pair
-    // O(len) kernel work. The oracle replays the FULL capped route
-    // (cappedPairCtes) and rebuilds each endpoint's tokens through
-    // its clone rep — clones share text, so rep tokens ARE member
-    // tokens.
+    // one backward equality scan — never a per-pair zip lambda),
+    // classified by integer threshold tests only (2·prefix ≥ min_len
+    // etc.), rolled up per type with a pair checksum.
+    // 100 TB shape — REP-LEVEL stat inheritance (r14: the first
+    // formulation joined token ARRAYS onto the expanded pair table
+    // and was the fleet's only spill at sf10, 20 GB / 24.6 s; at
+    // 100× replication the expansion is 25 M member pairs and texts
+    // must never ride it): anatomy values are functions of the two
+    // TEXTS, so the kernel runs once per DISTINCT REP PAIR
+    // (nearDupPairsDistinct over the reps — the exact surface
+    // nearDupPairs expands), cross member pairs inherit their rep
+    // pair's (pfx, sfx, type) through the same capped member
+    // expansion, and intra clone pairs are '1_exact' at the rep's
+    // token count by construction. The fat path carries five narrow
+    // columns; no token array ever shuffles with it. Pair surface ≡
+    // nearDupPairs verbatim (same collapse, caps, expansion). The
+    // oracle replays the FULL capped route (cappedPairCtes) and
+    // rebuilds each endpoint's tokens through its clone rep — clones
+    // share text, so rep tokens ARE member tokens.
     Q("q222_dup_pair_anatomy", (s, d) => {
-      val docs = t(s, d, "documents")
-      val pairs = nearDupPairs(docs).select(col("a_id"), col("b_id"))
-      val tks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      pairs
-        .join(tks.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
-        .join(tks.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
+      val cfg = LshConfig()
+      val hasShingles = size(tokens(col("text"))) >= cfg.shingleSize
+      val shingled = t(s, d, "documents").filter(hasShingles)
+        .withColumn("gid",
+          min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      val members = capBuckets(shingled.select(col("gid"), col("doc_id")),
+          Seq("gid"), "doc_id", cfg.maxBucketSize)
+        .cut() // intra self-join sides + the cross expansion joins
+      val reps = shingled.filter(col("doc_id") === col("gid"))
+        .select(col("doc_id"), col("text"))
+        .cut() // band self-join sides + shingle verify + rep tokens
+      val repTk = reps
+        .select(col("doc_id").as("gid"), tokens(col("text")).as("tk"))
+      val anat = nearDupPairsDistinct(reps, cfg, brute = false)
+        .select(col("a_id").as("ga"), col("b_id").as("gb"))
+        .join(repTk.select(col("gid").as("ga"), col("tk").as("a_tk")), "ga")
+        .join(repTk.select(col("gid").as("gb"), col("tk").as("b_tk")), "gb")
         .withColumn("la", size(col("a_tk")).cast(LongType))
         .withColumn("lb", size(col("b_tk")).cast(LongType))
         .withColumn("af",
@@ -2561,10 +2581,28 @@ object Dedup {
             .when(col("af.prefix") * 2L >= col("mn"), "2_head")
             .when(col("af.suffix") * 2L >= col("mn"), "3_tail")
             .otherwise("4_mixed"))
+        .select(col("ga"), col("gb"), col("af.prefix").as("pfx"),
+          col("af.suffix").as("sfx"), col("dup_type"))
+      val cross = anat
+        .join(members.select(col("gid").as("ga"), col("doc_id").as("xa")), "ga")
+        .join(members.select(col("gid").as("gb"), col("doc_id").as("xb")), "gb")
+        .select(least(col("xa"), col("xb")).as("a_id"),
+          greatest(col("xa"), col("xb")).as("b_id"),
+          col("pfx"), col("sfx"), col("dup_type"))
+      val intra = members.as("a")
+        .join(members.as("b"),
+          col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.gid").as("gid"), col("a.doc_id").as("a_id"),
+          col("b.doc_id").as("b_id"))
+        .join(repTk.select(col("gid"),
+          size(col("tk")).cast(LongType).as("ln")), "gid")
+        .select(col("a_id"), col("b_id"), col("ln").as("pfx"),
+          col("ln").as("sfx"), lit("1_exact").as("dup_type"))
+      cross.unionByName(intra)
         .groupBy(col("dup_type"))
         .agg(count(lit(1)).as("n_pairs"),
-          sum(col("af.prefix")).as("sum_prefix"),
-          sum(col("af.suffix")).as("sum_suffix"),
+          sum(col("pfx")).as("sum_prefix"),
+          sum(col("sfx")).as("sum_suffix"),
           (sum(hmod(concat(col("a_id").cast("string"), lit(":"),
             col("b_id").cast("string")))) % P).as("pair_checksum"))
         .orderBy(col("dup_type"))
