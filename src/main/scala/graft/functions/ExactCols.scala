@@ -38,14 +38,33 @@ object ExactCols {
   /** h60 folded into [0, P). */
   def hmod(c: Column): Column = h60(c) % P
 
+  // MessageDigest is not thread-safe and getInstance per call is a
+  // measured hot-path cost (q118/q119/q224 call hmodJvm once per
+  // TOKEN); one instance per task thread, reset between calls
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** JVM-side mirror of [[hmod]] (md5 first-15-hex → int64, % P) for
     * per-row imperative paths (typed streaming maps) that must agree
-    * bit-for-bit with the columnar expression. */
-  def hmodJvm(s: String): Long =
-    java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).take(8)
-        .map("%02x".format(_)).mkString.take(15), 16) % P
+    * bit-for-bit with the columnar expression. The first 15 hex chars
+    * of the digest are the top 60 bits of the first 8 bytes read
+    * big-endian, so the value is computed directly from the bytes —
+    * no hex formatting/parsing round trip (was ~1 µs/call, dominating
+    * the per-token codec paths); ExactColsSpec pins JVM ≡ column. */
+  def hmodJvm(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val be =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    (be >>> 4) % P
+  }
 
   /** Whitespace tokens, empties dropped (same as the wordcount path).
     * array_remove, NOT filter(_ =!= "") — ArrayRemove is codegen while

@@ -63,31 +63,54 @@ object BpeOp {
       concat(lit(Sep2),
         array_join(regexp_extract_all(col("word"), lit("(?s)(.)"), lit(1)), Sep2),
         lit(Sep2)).as("t"))
-      .cut(eager = true)
-    val out = Seq.newBuilder[Merge]
-    for (r <- 1 to rounds) {
-      val sy = array_remove(split(col("t"), Sep), "")
-      val best = seg
+      .cut()
+    val sy = array_remove(split(col("t"), Sep), "")
+    // round r's argmax and round r−1's post-merge symbol count both
+    // scan seg_{r−1}, so they ride ONE union + ONE collect (the lazy
+    // checkpoint materializes in the same job): rounds+1 jobs total
+    // where the eager-cut + two-collect shape paid 3 per round.
+    def bothAggs(s: DataFrame) = {
+      val mx = s
         .select(col("n"), sy.as("sy"))
         .select(col("n"), explode(arrays_zip(
           slice(col("sy"), lit(1), size(col("sy")) - 1),
           slice(col("sy"), lit(2), size(col("sy")) - 1))).as("p"))
         .select(col("n"), col("p.0").as("pa"), col("p.1").as("pb"))
         .groupBy("pa", "pb").agg(sum("n").as("cnt"))
-        .orderBy(desc("cnt"), asc("pa"), asc("pb")).limit(1).collect()
+        .orderBy(desc("cnt"), asc("pa"), asc("pb")).limit(1)
+        .select(lit("mx").as("k"), col("pa"), col("pb"), col("cnt"))
+      val ns = s.select(explode(sy).as("s"))
+        .agg(count_distinct(col("s")).as("cnt"))
+        .select(lit("ns").as("k"), lit(null).cast("string").as("pa"),
+          lit(null).cast("string").as("pb"), col("cnt"))
+      mx.unionByName(ns).collect()
+        .map(r => r.getString(0) -> r).toMap
+    }
+    def nSymsOnly(s: DataFrame): Long = s.select(explode(sy).as("s"))
+      .agg(count_distinct(col("s"))).collect()(0).getLong(0)
+    val out = Seq.newBuilder[Merge]
+    // the merge picked in round r completes (gets its nSyms) one
+    // action later — round r+1's fused collect, or the final one
+    var lastMerge: Option[(Int, String, String, Long)] = None
+    for (r <- 1 to rounds) {
+      val aggs = bothAggs(seg)
+      lastMerge.foreach { case (r0, pa0, pb0, cnt0) =>
+        out += Merge(r0, pa0, pb0, cnt0, aggs("ns").getLong(3))
+      }
+      val best = aggs.get("mx")
       require(best.nonEmpty,
         s"BPE round $r: no adjacent pairs left — corpus fully merged; " +
           s"lower `rounds` below $rounds")
       val (pa, pb, cnt) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        (best.get.getString(1), best.get.getString(2), best.get.getLong(3))
       seg = seg.withColumn("t",
         replace(col("t"), lit(Sep + pa + Sep2 + pb + Sep),
           lit(Sep + pa + pb + Sep)))
-        .cut(eager = true)
-      val nSyms = seg
-        .select(explode(array_remove(split(col("t"), Sep), "")).as("s"))
-        .agg(count_distinct(col("s"))).collect()(0).getLong(0)
-      out += Merge(r, pa, pb, cnt, nSyms)
+        .cut()
+      lastMerge = Some((r, pa, pb, cnt))
+    }
+    lastMerge.foreach { case (r0, pa0, pb0, cnt0) =>
+      out += Merge(r0, pa0, pb0, cnt0, nSymsOnly(seg))
     }
     out.result()
   }

@@ -42,7 +42,9 @@ object ConnectedComponents {
 
   /** Component label for every vertex: `id` → `cid` = min id reachable
     * through `edges` (undirected; `vertices` supplies singletons,
-    * which label themselves).
+    * which label themselves). Precondition (all callers satisfy it):
+    * `vertices` is distinct and covers every edge endpoint — output is
+    * one row per distinct vertex id.
     *
     * @param edges    two-column DataFrame (endpoints of one edge)
     * @param vertices one-column DataFrame of all vertex ids
@@ -68,23 +70,35 @@ object ConnectedComponents {
   private def minLabel(edges: DataFrame, vertices: DataFrame): (DataFrame, Int) = {
     val Seq(ea, eb) = edges.columns.toSeq.take(2)
     val vid = vertices.columns.head
-    val sym = edges.select(col(ea).as("src"), col(eb).as("dst"))
-      .union(edges.select(col(eb).as("src"), col(ea).as("dst")))
-      .cut(eager = true)
+    // cut the edge table ONCE before symmetrizing: the union references
+    // edges twice, and callers pass expensive derived pair tables
+    // (banded LSH join + jaccard verify) — without this cut the whole
+    // pair subtree evaluates once per union branch
+    val e0 = edges.select(col(ea).as("src"), col(eb).as("dst")).cut()
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = vertices.select(col(vid).as("id"), col(vid).as("cid"))
-      .cut(eager = true)
-    var changed = 1L
+    // fixpoint = label multiset unchanged (labels only ever decrease,
+    // so any change moves the order-independent xor checksum — the
+    // same detector the star variant uses); ONE action per round: the
+    // checksum aggregate materializes the round's lazy checkpoint and
+    // returns the scalar, where the previous shape paid an eager
+    // checkpoint job PLUS a count job per round
+    var prevCk: Option[(Long, Long)] = None
     var rounds = 0
-    while (changed > 0) {
+    var done = false
+    while (!done) {
       rounds += 1
-      val nbrMin = sym.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("cid")).as("ncid"))
-      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), col("cid"),
-          least(col("cid"), coalesce(col("ncid"), col("cid"))).as("next"))
-        .cut(eager = true)
-      changed = updated.filter(col("next") < col("cid")).count()
-      labels = updated.select(col("id"), col("next").as("cid"))
+      val nbr = sym.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("cid"))
+      val next = nbr.union(labels)
+        .groupBy(col("id")).agg(min(col("cid")).as("cid"))
+        .cut()
+      val r = next.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(id, cid))"), lit(0L))).collect().head
+      val ck = (r.getLong(0), r.getLong(1))
+      done = prevCk.contains(ck)
+      prevCk = Some(ck)
+      labels = next
     }
     (labels, rounds)
   }
@@ -130,15 +144,22 @@ object ConnectedComponents {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect().head
       (r.getLong(0), r.getLong(1))
     }
+    // lazy cuts throughout: each round's checksum aggregate is the ONE
+    // action — it materializes that round's checkpoint and returns the
+    // fixpoint scalar in the same job (the eager-cut + collect shape
+    // paid two jobs per round). largeStar's output is cut too because
+    // smallStar references it three times (join side, min aggregate,
+    // union) and would otherwise re-run the large-star join per
+    // reference.
     var e = edges
       .select(greatest(col(ea), col(eb)).as("u"), least(col(ea), col(eb)).as("v"))
-      .filter(col("u") =!= col("v")).distinct().cut(eager = true)
+      .filter(col("u") =!= col("v")).distinct().cut()
     var prev = checksum(e)
     var rounds = 0
     var done = false
     while (!done) {
       rounds += 1
-      val next = smallStar(largeStar(e)).cut(eager = true)
+      val next = smallStar(largeStar(e).cut()).cut()
       val cur = checksum(next)
       done = cur == prev
       prev = cur
