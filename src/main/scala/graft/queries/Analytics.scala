@@ -38,6 +38,31 @@ object Analytics {
       ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
                o_orderpriority NULLS FIRST"""
 
+  /** Distinct (customer, supplier) trade edges, capped at 256
+    * suppliers per customer, in ONE window pass: over
+    * `partitionBy(c).orderBy(sk)` the duplicates of an sk are
+    * adjacent — `lag(sk) ≠ sk` keeps exactly one row per distinct
+    * (c, sk) — and `dense_rank ≤ 256` is the same keep-the-256-
+    * smallest-sk cap `capBuckets` applied after a distinct. The
+    * previous `distinct()` + capBuckets form paid TWO exchanges of the
+    * corpus-sized edge list (hash by (c, sk), then hash by c) for the
+    * same rows (guide §2.4: two operations keyed the same way share
+    * one exchange). Result is byte-identical; shared by q151/q160 and
+    * [[mutualProjection]] (q165/q169/q220). */
+  private[queries] def cappedBaskets(s: org.apache.spark.sql.SparkSession,
+                                     d: String): org.apache.spark.sql.DataFrame = {
+    val raw = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+    val w = Window.partitionBy(col("c")).orderBy(col("sk"))
+    raw.withColumn("__lg", lag(col("sk"), 1).over(w))
+      .withColumn("__dr", dense_rank().over(w))
+      .filter((col("__lg").isNull || col("__lg") =!= col("sk")) &&
+        col("__dr") <= 256)
+      .drop("__lg", "__dr")
+  }
+
   /** Mutual top-10 supplier projection (see q165's scaladoc for the
     * scale argument: mutual top-m bounds every degree ≤ m, so motif
     * work is linear in suppliers) — shared by the q165 census and the
@@ -45,12 +70,7 @@ object Analytics {
     * lazily checkpointed (multiple plan references downstream). */
   def mutualProjection(s: org.apache.spark.sql.SparkSession,
                        d: String): org.apache.spark.sql.DataFrame = {
-    val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-    val capped = graft.queries.Dedup.capBuckets(e0, Seq("c"), "sk", 256)
+    val capped = cappedBaskets(s, d)
       .cut() // feeds the pair join
     val pairs = capped
       .join(capped.select(col("c"), col("sk").as("sk2")), Seq("c"))
@@ -472,6 +492,7 @@ object Analytics {
         .select((col("o_custkey") * 2L).as("a"),
           (col("l_suppkey") * 2L + 1L).as("b"))
         .distinct()
+        .cut() // the symmetrizing union reads it twice (the CC rule)
       val edges = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
       graft.operators.PageRank.ranks(edges, rounds = 3)
@@ -654,12 +675,7 @@ object Analytics {
     // selection is TakeOrderedAndProject top-20, never a pair-space
     // sort. Deterministic (n desc, pair asc) ordering
     Q("q151_copurchase_topk", (s, d) => {
-      val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-        .distinct()
-      val capped = graft.queries.Dedup.capBuckets(e0, Seq("c"), "sk", 256)
+      val capped = cappedBaskets(s, d)
         .cut() // both sides of the basket self-join
       val pairs = capped
         .join(capped.select(col("c"), col("sk").as("sk2")), Seq("c"))
@@ -823,12 +839,7 @@ object Analytics {
     // shape — never a 1-row cross join). C(n,2) = (n·(n−1)) div 2 is
     // exact: n·(n−1) is even, everything nonnegative
     Q("q160_butterfly_card", (s, d) => {
-      val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-        .distinct()
-      val capped = graft.queries.Dedup.capBuckets(e0, Seq("c"), "sk", 256)
+      val capped = cappedBaskets(s, d)
         .cut() // feeds degrees, the edge count, and the pair join
       val edges = capped.agg(count(lit(1)).as("cnt"))
         .select(lit("1_edges").as("metric"), col("cnt"))
@@ -1457,6 +1468,7 @@ object Analytics {
         .select((col("o_custkey") * 2L).as("a"),
           (col("l_suppkey") * 2L + 1L).as("b"))
         .distinct()
+        .cut() // the symmetrizing union reads it twice (the CC rule)
       val edges = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
         .cut() // referenced by every peel round
@@ -1656,6 +1668,7 @@ object Analytics {
         .select((col("o_custkey") * 2L).as("a"),
           (col("l_suppkey") * 2L + 1L).as("b"))
         .distinct()
+        .cut() // union + seeds read it three times (the CC rule)
       val edges = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
       val seeds = edges.select(col("src").as("node")).distinct()

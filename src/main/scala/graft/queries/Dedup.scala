@@ -294,9 +294,16 @@ object Dedup {
           .join(broadcast(shTbl.select(col("doc_id").as("b_id"))),
             col("a_id") < col("b_id"))
       else {
+        // cut: the self-join inside collidingPairs reads the capped
+        // band table twice — without a materialization the whole
+        // signature subtree (shingle explode + md5 + 8-way min
+        // aggregate + cap window) evaluates once per side (guide
+        // §2.4/§5; the narrow 3-column table is cheap to store, and
+        // the checkpoint preserves the cap window's (band, sig)
+        // partitioning so the join needs no exchange at all)
         val bands = bandTable(minhashSignaturesDistinct(docs, cfg), cfg)
         collidingPairs(
-          if (cfg.persistSignatures) bands.persist() else bands,
+          (if (cfg.persistSignatures) bands.persist() else bands.cut()),
           Seq("band", "sig"))
       }
     cand
@@ -436,7 +443,9 @@ object Dedup {
       sim.select(col("doc_id"), col("simhash"), explode(array(blockStructs: _*)).as("bk"))
         .select(col("doc_id"), col("simhash"), col("bk.bi").as("bi"), col("bk.bv").as("bv")),
       Seq("bi", "bv"), "doc_id", cfg.maxBucketSize)
-    val mat = if (cfg.persistSignatures) blocks.persist() else blocks
+    // cut (same rationale as the minhash band table): the block
+    // self-join would otherwise re-run the signature expansion per side
+    val mat = if (cfg.persistSignatures) blocks.persist() else blocks.cut()
     val cond = col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
       col("a.doc_id") < col("b.doc_id")
     mat.as("a").join(mat.as("b"), cond)
