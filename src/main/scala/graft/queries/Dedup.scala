@@ -347,7 +347,10 @@ object Dedup {
         shingles(tokens(col("text")), cfg.shingleSize, distinct = true).as("sh"))
       .filter(size(col("sh")) > 0)
     val sigs = minhashSignaturesDistinct(reps, cfg).cut() // band table + both pair sides
-    val cand = collidingPairs(bandTable(sigs, cfg), Seq("band", "sig"))
+    // cut: the colliding self-join reads the capped band table twice —
+    // without it the band explode + cap window (one exchange) re-run
+    // per side even over the checkpointed sigs
+    val cand = collidingPairs(bandTable(sigs, cfg).cut(), Seq("band", "sig"))
     val aSig = sigs.select(col("doc_id").as("a_id") +:
       (0 until cfg.numHashes).map(j => col(s"mh$j").as(s"amh$j")): _*)
     val bSig = sigs.select(col("doc_id").as("b_id") +:
@@ -383,7 +386,10 @@ object Dedup {
       .select(col("doc_id"),
         shingles(tokens(col("text")), cfg.shingleSize, distinct = true).as("sh"))
       .filter(size(col("sh")) > 0)
-    val cand = collidingPairs(bandTable(minhashSignaturesDistinct(reps, cfg), cfg),
+    // cut: one signature + cap pass instead of one per self-join side
+    // (the nearDupPairsDistinct band-table rule)
+    val cand = collidingPairs(
+      bandTable(minhashSignaturesDistinct(reps, cfg), cfg).cut(),
       Seq("band", "sig"))
     val pairs = cand
       .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("ash")), "a_id")
@@ -611,11 +617,14 @@ object Dedup {
                                          mode: String): DataFrame = {
     val members = members0
       .cut() // referenced 4x (intra self-join + expansion)
+    // cut: hset feeds the df profile AND the posting join (kept) — the
+    // shingling + distinct pass otherwise runs once per reference
     val hset = reps
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
       .select(col("doc_id"), hmod(col("sg")).as("h"))
       .distinct()
+      .cut()
     val dfs0 = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     // auto mode runs a stats job over the df table anyway — checkpoint
@@ -745,11 +754,14 @@ object Dedup {
       .cut() // referenced 4x (intra self-join + expansion)
     val reps = shingled.filter(col("doc_id") === col("gid"))
       .select(col("doc_id"), col("text"))
+    // cut: hset feeds the df profile AND the posting join (kept) — the
+    // shingling + distinct pass otherwise runs once per reference
     val hset = reps
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
       .select(col("doc_id"), hmod(col("sg")).as("h"))
       .distinct()
+      .cut()
     val rare = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("h"))
     // lazy checkpoint: kept feeds sizes, both self-join sides and the
