@@ -14,21 +14,46 @@ package graft
   * again.
   *
   * Tier chain, first rendering that fits wins:
-  *   2 → 1 → 0      decimals on per-query seconds (full ms precision
-  *                  always lives in bench_full.json);
-  *   zeros-omitted  0 decimals, entries that render "0" are dropped
-  *                  and ride as a "q_zero" count (at 0 decimals most
-  *                  sub-half-second queries carry no information the
-  *                  headline doesn't);
-  *   no-queries     the queries map is dropped entirely ("q_count"
-  *                  rides instead), failed/flaky lists are truncated
-  *                  with _count fields — this tier is O(1)-bounded,
-  *                  so the chain terminates under ANY input.
+  *   (2 dec, all)       full 2-decimal map (full ms precision always
+  *                      lives in bench_full.json);
+  *   (1 dec, all)       full 1-decimal map;
+  *   (1 dec, ≥ thr)     1-decimal map with entries BELOW an
+  *                      escalating threshold (0.05 → 0.45 s) omitted;
+  *                      the omitted count rides as "q_zero" and the
+  *                      threshold as "q_lt". Added in r13: at 232
+  *                      queries the old chain fell through to the
+  *                      0-decimal tiers, whose integer seconds made
+  *                      every 1 s↔2 s host wobble read as a 2×/0.5×
+  *                      step in the driver's round-over-round diff
+  *                      (8 of r12's 12 flagged regressions were this
+  *                      quantization). Sub-second resolution on every
+  *                      kept entry is worth omitting the tail that the
+  *                      0-decimal tier rendered as "0" anyway.
+  *   (0 dec, all)       full 0-decimal map;
+  *   (0 dec, ≥ thr)     0-decimal, entries below 0.5 / 1.5 / 2.5 /
+  *                      4.5 s omitted (the 0.5 step is the old
+  *                      zeros-omitted tier: at 0 decimals they
+  *                      rendered "0");
+  *   no-queries         the queries map is dropped entirely
+  *                      ("q_count" rides instead), failed/flaky lists
+  *                      are truncated with _count fields — this tier
+  *                      is O(1)-bounded, so the chain terminates under
+  *                      ANY input.
   */
 object BenchFormat {
   /** Hard cap for the compact stdout line (driver tail 2000 minus
     * sbt's trailing success line). */
   val MaxLen = 1800
+
+  /** (decimals, omitBelow): entries with 0 ≤ value < omitBelow are
+    * omitted from the map and counted in "q_zero" (failed entries,
+    * value < 0, are never omitted — they render "-1"). The final
+    * sentinel (-1, 0.0) is the no-queries-map tier. */
+  private val tiers: Seq[(Int, Double)] = Seq(
+    (2, 0.0), (1, 0.0),
+    (1, 0.05), (1, 0.15), (1, 0.25), (1, 0.35), (1, 0.45),
+    (0, 0.0), (0, 0.5), (0, 1.5), (0, 2.5), (0, 4.5),
+    (-1, 0.0))
 
   private def fmt(v: Double, decimals: Int): String =
     if (v < 0) "-1"
@@ -42,32 +67,32 @@ object BenchFormat {
     else identity
   }
 
-  /** One tier. `tier` ≥ 0 = decimals; -1 = zeros omitted; -2 = no
-    * queries map. `totalStr`/`mode`/... are pre-rendered scalars. */
-  private def render(tier: Int,
+  /** One tier. `decimals` ≥ 0 renders the map (omitting entries below
+    * `omitBelow`); decimals = -1 drops the map entirely. */
+  private def render(decimals: Int, omitBelow: Double,
                      results: Seq[(String, Double)],
                      failed: Seq[String],
                      flaky: Seq[(String, Int)],
                      totalStr: String, mode: String, passes: Int,
                      full: String, sf: String): String = {
     val sid = sidFn(results.map(_._1))
-    val decimals = math.max(tier, 0)
-    val (entries, dropped) = {
-      val all = results.map { case (n, v) => (sid(n), fmt(v, decimals)) }
-      if (tier == -1) all.partition(_._2 != "0")
-      else if (tier == -2) (Nil, all)
-      else (all, Nil)
-    }
+    val noMap = decimals < 0
     val qPart =
-      if (tier == -2) s""""q_count":${results.size}"""
+      if (noMap) s""""q_count":${results.size}"""
       else {
-        val m = entries.map { case (k, v) => "\"" + k + "\":" + v }
+        val (kept, dropped) = results.partition {
+          case (_, v) => v < 0 || v >= omitBelow
+        }
+        val m = kept.map { case (n, v) => "\"" + sid(n) + "\":" + fmt(v, decimals) }
           .mkString("{", ",", "}")
-        val zeros = if (tier == -1) s""","q_zero":${dropped.size}""" else ""
+        val zeros =
+          if (omitBelow > 0)
+            s""","q_zero":${dropped.size},"q_lt":${fmt(omitBelow, 2)}"""
+          else ""
         s""""queries":$m$zeros"""
       }
     val (failedPart, flakyPart) =
-      if (tier == -2) {
+      if (noMap) {
         val f = failed.take(20).map("\"" + sid(_) + "\"").mkString("[", ",", "]")
         (s""""failed":$f,"failed_count":${failed.size}""",
           s""""flaky_count":${flaky.size}""")
@@ -80,16 +105,17 @@ object BenchFormat {
     s"""{"metric":"total","value":$totalStr,"unit":"sec",$qPart,$failedPart,$flakyPart,"mode":"$mode","passes":$passes,"full":"$full","sf":"$sf"}"""
   }
 
-  /** The compact line: first tier that fits [[MaxLen]]. The -2 tier
-    * is constant-bounded, so the result always fits for any sane
+  /** The compact line: first tier that fits [[MaxLen]]. The final
+    * tier is constant-bounded, so the result always fits for any sane
     * `full`/`sf` paths (both are env-controlled short paths). */
   def compactLine(results: Seq[(String, Double)],
                   failed: Seq[String],
                   flaky: Seq[(String, Int)],
                   totalStr: String, mode: String, passes: Int,
                   full: String, sf: String): String =
-    Iterator(2, 1, 0, -1, -2)
-      .map(render(_, results, failed, flaky, totalStr, mode, passes, full, sf))
+    tiers.iterator
+      .map { case (d, t) =>
+        render(d, t, results, failed, flaky, totalStr, mode, passes, full, sf) }
       .find(_.length <= MaxLen)
-      .getOrElse(render(-2, results, failed, flaky, totalStr, mode, passes, full, sf))
+      .getOrElse(render(-1, 0.0, results, failed, flaky, totalStr, mode, passes, full, sf))
 }

@@ -77,25 +77,39 @@ object ConnectedComponents {
     val e0 = edges.select(col(ea).as("src"), col(eb).as("dst")).cut()
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = vertices.select(col(vid).as("id"), col(vid).as("cid"))
-    // fixpoint = label multiset unchanged (labels only ever decrease,
-    // so any change moves the order-independent xor checksum — the
-    // same detector the star variant uses); ONE action per round: the
-    // checksum aggregate materializes the round's lazy checkpoint and
-    // returns the scalar, where the previous shape paid an eager
-    // checkpoint job PLUS a count job per round
-    var prevCk: Option[(Long, Long)] = None
+    // fixpoint = label multiset unchanged. Detector (r13, EXACT): the
+    // vertex count is round-invariant and labels only ever DECREASE,
+    // so any change strictly decreases Σcid — summed exactly through
+    // DECIMAL(38,0) (room for ~10¹⁹ max-long labels; ANSI faults
+    // loudly on overflow instead of wrapping), (count, Σcid) equality
+    // IS multiset equality for this monotone process, no hash
+    // involved. The xor-of-hashes rides along as a sanity scalar (it
+    // detects the impossible count+sum-preserving change). ONE action
+    // per round: the checksum aggregate materializes the round's lazy
+    // checkpoint and returns the scalars, where the pre-r12 shape paid
+    // an eager checkpoint job PLUS a count job per round.
+    var prevCk: Option[(Long, Long, java.math.BigDecimal)] = None
     var rounds = 0
     var done = false
     while (!done) {
       rounds += 1
-      val nbr = sym.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("cid"))
+      // round 1's labels are the identity (cid = id), so the join
+      // against them is a pure projection of sym: cid = dst. Skipping
+      // it removes one join (two exchanges) from every CC call —
+      // legal because `vertices` covers every edge endpoint (the
+      // documented precondition), so no dst is filtered by the join.
+      val nbr =
+        if (rounds == 1) sym.select(col("src").as("id"), col("dst").as("cid"))
+        else sym.join(labels, col("dst") === col("id"))
+          .select(col("src").as("id"), col("cid"))
       val next = nbr.union(labels)
         .groupBy(col("id")).agg(min(col("cid")).as("cid"))
         .cut()
       val r = next.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(id, cid))"), lit(0L))).collect().head
-      val ck = (r.getLong(0), r.getLong(1))
+        coalesce(expr("bit_xor(xxhash64(id, cid))"), lit(0L)),
+        coalesce(sum(col("cid").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO))).collect().head
+      val ck = (r.getLong(0), r.getLong(1), r.getDecimal(2))
       done = prevCk.contains(ck)
       prevCk = Some(ck)
       labels = next
@@ -134,15 +148,24 @@ object ConnectedComponents {
   private def largeSmallStar(edges: DataFrame, vertices: DataFrame): (DataFrame, Int) = {
     val Seq(ea, eb) = edges.columns.toSeq.take(2)
     val vid = vertices.columns.head
-    // checksum = (edge count, XOR-fold of per-edge hashes): order- and
-    // partitioning-independent fixpoint detector, scalar-only driver
-    // traffic (xor, not sum — ANSI mode faults a sum-of-hashes
-    // overflow; edges are distinct so xor cancellation needs a hash
-    // collision)
-    def checksum(e: DataFrame): (Long, Long) = {
+    // checksum = (edge count, XOR-fold of per-edge hashes, Σ per-edge
+    // hash mod P): order- and partitioning-independent fixpoint
+    // detector, scalar-only driver traffic. The xor alone needed only
+    // ONE 64-bit collision to terminate early (edges are distinct so
+    // cancellation needs a hash collision); the independent sum-mod-P
+    // (the q189 membership-checksum pattern, summed through
+    // DECIMAL(38,0) — ANSI faults a raw int64 sum-of-hashes overflow)
+    // makes a false fixpoint require a simultaneous two-detector
+    // collision (~2⁻⁹⁴/round).
+    val P = 1000000007L
+    def checksum(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect().head
-      (r.getLong(0), r.getLong(1))
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)),
+        coalesce(
+          sum((expr("xxhash64(u, v)") % P)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))) % P,
+          lit(java.math.BigDecimal.ZERO))).collect().head
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).longValueExact())
     }
     // lazy cuts throughout: each round's checksum aggregate is the ONE
     // action — it materializes that round's checkpoint and returns the

@@ -152,15 +152,24 @@ object PageRank {
     require(rounds >= 1, s"hits rounds out of range: $rounds")
     val ed = edges.select(col("src"), col("dst")).cut()
     def normalized(scores: DataFrame): DataFrame = {
+      // ONE action per half-round (the r12 minLabel pattern): cut the
+      // RAW score table lazily and let the max aggregate both
+      // materialize the checkpoint and return the normalizer scalar —
+      // the old shape ran the max on the UNCUT join+groupBy subtree
+      // and then lazily cut a projection of the SAME subtree, so every
+      // half-round's join+groupBy evaluated twice (once for the max,
+      // once when the next action materialized the cut)
+      val raw = scores.cut()
       // empty edge table → the max aggregate returns one NULL row;
       // clamp to ≥1 so the normalizer division is always defined
       // (the downstream tables are empty anyway in that case)
-      val row = scores.agg(max(col("s"))).head
+      val row = raw.agg(max(col("s"))).head
       val m = if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
-      scores.select(col("node"),
+      // lazy projection over the materialized RDD — re-referencing it
+      // re-runs only the division, never the join+groupBy
+      raw.select(col("node"),
         expr(s"(CAST(1000000 AS DECIMAL(38,0)) * s) div ${m}L")
           .cast("long").as("s"))
-        .cut()
     }
     var a = ed.select(col("dst").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("s"))

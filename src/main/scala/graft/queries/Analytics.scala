@@ -76,11 +76,15 @@ object Analytics {
       .join(capped.select(col("c"), col("sk").as("sk2")), Seq("c"))
       .filter(col("sk") < col("sk2"))
       .groupBy(col("sk"), col("sk2")).agg(count(lit(1)).as("ns"))
+      .cut() // the symmetrizing union reads it twice (the CC edge rule,
+             // r12) — without this the capped self-join + groupBy, the
+             // expensive stage of the projection, evaluates per branch
     val sym = pairs.select(col("sk").as("a"), col("sk2").as("b"), col("ns"))
       .union(pairs.select(col("sk2").as("a"), col("sk").as("b"), col("ns")))
     val wTop = Window.partitionBy(col("a")).orderBy(col("ns").desc, col("b"))
     val topm = sym.withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 10).select(col("a"), col("b"))
+      .cut() // the mutuality self-join reads it twice (narrow ≤10·|S| rows)
     topm
       .join(topm.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
       .filter(col("a") < col("b"))

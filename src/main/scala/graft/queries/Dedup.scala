@@ -157,30 +157,68 @@ object Dedup {
 
   /** [[simhashSignatures]] without the collapse: bit-sums as plain
     * codegen'd sum() aggregates over one row per shingle occurrence. */
-  private def simhashSignaturesDistinct(docs: DataFrame, cfg: LshConfig): DataFrame = {
+  private def simhashSignaturesDistinct(docs: DataFrame, cfg: LshConfig): DataFrame =
+    simhashSigsFromOcc(shingleHashes(docs, cfg.shingleSize, distinct = false),
+      docs.select(col("doc_id")), cfg)
+
+  /** [[simhashSignaturesDistinct]] from a pre-built per-OCCURRENCE
+    * shingle-hash table `occ` = (doc_id, h), one row per shingle
+    * occurrence; `docIds` supplies the universe (empty-shingle docs →
+    * simhash 0). Shared-feature-pass callers ([[dedupRouteMatrix]])
+    * hand in one checkpointed occ that also derives the jaccard/
+    * minhash hash set. */
+  private def simhashSigsFromOcc(occ: DataFrame, docIds: DataFrame,
+                                 cfg: LshConfig): DataFrame = {
     val bitSums = (0 until cfg.simBits).map { k =>
       sum(shiftright(col("h"), k).bitwiseAND(lit(1L))).as(s"c$k")
     }
-    val bits = shingleHashes(docs, cfg.shingleSize, distinct = false)
+    val bits = occ
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
     val sim = bits.select(col("doc_id"),
       (0 until cfg.simBits).map { k =>
         when(lit(2) * col(s"c$k") - col("n") > 0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _).as("simhash"))
-    docs.select(col("doc_id")).join(sim, Seq("doc_id"), "left")
+    docIds.join(sim, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
-  /** [[simhashSignatures]] from a pre-built clone collapse (shared-
-    * subtree callers): expand per-rep signatures through the FULL
-    * (gid, doc_id) group table — empty-shingle reps already carry
-    * simhash 0 from [[simhashSignaturesDistinct]]'s left join. */
-  private def simhashSignaturesCollapsed(members: DataFrame, reps: DataFrame,
-                                         cfg: LshConfig): DataFrame =
-    members.join(simhashSignaturesDistinct(reps, cfg)
-        .withColumnRenamed("doc_id", "gid"), "gid")
-      .select(col("doc_id"), col("simhash"))
+  /** MinHash signatures from a pre-built DISTINCT (doc_id, h) hash-set
+    * table: the min-aggregates are insensitive to the duplicate rows
+    * the per-doc distinct-shingle explode could carry after an hmod
+    * collision, so min over the distinct set ≡
+    * [[minhashSignaturesDistinct]] bit-for-bit (each mh_j expression
+    * is a pure function of h). Docs with zero shingles have no rows in
+    * either form. */
+  private def minhashSigsFromHashes(hashes: DataFrame, cfg: LshConfig): DataFrame = {
+    val aggs = mhAggs(cfg.numHashes)
+    hashes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Spec-only window into the checkpoint-hidden subtrees (r13,
+    * advisor ask): cut() turns a subtree into `Scan ExistingRDD` in
+    * every downstream plan, so PlanSpec's lambda/nested-loop sweeps
+    * cannot see under it — a reintroduced HOF or uncapped join inside
+    * the signature stages would go unswept. This returns the PRE-cut
+    * derived tables the dedup routes materialize (minhash band table
+    * from both signature forms, simhash block table, the shingle
+    * occurrence table and its distinct hash set) so the sweeps assert
+    * on them directly. Never called from query paths. */
+  private[graft] def preCutSubtrees(docs: DataFrame,
+                                    cfg: LshConfig = LshConfig()): Seq[(String, DataFrame)] = {
+    val (_, reps) = cloneGroups(docs)
+    val occ = reps
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = false)).as("sg"))
+      .select(col("doc_id"), hmod(col("sg")).as("h"))
+    val hset = occ.distinct()
+    Seq(
+      "minhash_band_table" -> bandTable(minhashSignaturesDistinct(reps, cfg), cfg),
+      "minhash_band_table_from_hset" -> bandTable(minhashSigsFromHashes(hset, cfg), cfg),
+      "simhash_block_table" -> blockTable(simhashSignaturesDistinct(reps, cfg), cfg),
+      "jaccard_hset" -> hset,
+      "shingle_occ" -> occ)
+  }
 
   /** Skew guard: deterministically keep at most `cap` members per
     * bucket (ordered by `idCol`), so a degenerate bucket bounds at
@@ -259,10 +297,11 @@ object Dedup {
     * ([[dedupRouteMatrix]]) feed several routes from ONE corpus
     * window pass; the standalone wrapper above builds its own. */
   private def nearDupPairsCollapsed(members0: DataFrame, reps: DataFrame,
-                                    cfg: LshConfig): DataFrame = {
+                                    cfg: LshConfig,
+                                    sigs0: Option[DataFrame] = None): DataFrame = {
       val members = capBuckets(members0, Seq("gid"), "doc_id", cfg.maxBucketSize)
         .cut() // referenced 4x (intra self-join + expansion)
-      val repPairs = nearDupPairsDistinct(reps, cfg, brute = false)
+      val repPairs = nearDupPairsDistinct(reps, cfg, brute = false, sigs0)
       val intra = members.as("a")
         .join(members.as("b"),
           col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
@@ -280,7 +319,8 @@ object Dedup {
     * collapse-owning callers ([[deduplicate]], [[clusters]], the
     * public wrapper) run over an already-distinct corpus. */
   private def nearDupPairsDistinct(docs: DataFrame, cfg: LshConfig,
-                                   brute: Boolean): DataFrame = {
+                                   brute: Boolean,
+                                   sigs0: Option[DataFrame] = None): DataFrame = {
     val shTbl = docs
       .select(col("doc_id"),
         shingles(tokens(col("text")), cfg.shingleSize, distinct = true).as("sh"))
@@ -298,10 +338,25 @@ object Dedup {
         // band table twice — without a materialization the whole
         // signature subtree (shingle explode + md5 + 8-way min
         // aggregate + cap window) evaluates once per side (guide
-        // §2.4/§5; the narrow 3-column table is cheap to store, and
-        // the checkpoint preserves the cap window's (band, sig)
-        // partitioning so the join needs no exchange at all)
-        val bands = bandTable(minhashSignaturesDistinct(docs, cfg), cfg)
+        // §2.4/§5; the narrow 3-column table is cheap to store).
+        // Known cost (r13, measured in the after-plans): a
+        // localCheckpoint discards outputPartitioning
+        // (UnknownPartitioning), so the self-join re-exchanges BOTH
+        // sides of the materialized table — two shuffles of a narrow
+        // (doc_id, band, sig) table, ~2.5 MB at sf0.1, vs re-running
+        // the signature subtree per side (md5 over every shingle).
+        // On a cluster where those shuffles bite,
+        // persistSignatures=true swaps the cut for persist(): the
+        // InMemoryRelation sits directly on the cap window's
+        // Exchange hashpartitioning(band, sig) (verified in the
+        // executed plan at r13) and InMemoryTableScan exposes that
+        // partitioning, so a sort-merge self-join on (band, sig)
+        // reuses it instead of re-exchanging — at the price of cache
+        // lifecycle ownership and uncut lineage (see
+        // LshConfig.persistSignatures). At gate sfs AQE broadcasts
+        // one side anyway, which is why the cut stays the default.
+        val bands = bandTable(
+          sigs0.getOrElse(minhashSignaturesDistinct(docs, cfg)), cfg)
         collidingPairs(
           (if (cfg.persistSignatures) bands.persist() else bands.cut()),
           Seq("band", "sig"))
@@ -436,7 +491,10 @@ object Dedup {
     * (doc_id, simhash): the route blocks and pairs DOCS directly
     * (clones share a signature; buckets capped), so a shared collapse
     * only needs to hand in the expanded signatures. */
-  private def simhashPairsFromSigs(sim: DataFrame, cfg: LshConfig): DataFrame = {
+  /** One row per (doc, pigeonhole block), oversized buckets truncated
+    * to cfg.maxBucketSize members (the simhash counterpart of
+    * [[bandTable]]). */
+  private def blockTable(sim: DataFrame, cfg: LshConfig): DataFrame = {
     val nb = cfg.maxHamming + 1
     val w = (cfg.simBits + nb - 1) / nb // block width (last may be narrower)
     val blockStructs = (0 until nb).map { bi =>
@@ -445,10 +503,14 @@ object Dedup {
       struct(lit(bi).as("bi"),
         shiftright(col("simhash"), bi * w).bitwiseAND(lit(mask)).as("bv"))
     }
-    val blocks = capBuckets(
+    capBuckets(
       sim.select(col("doc_id"), col("simhash"), explode(array(blockStructs: _*)).as("bk"))
         .select(col("doc_id"), col("simhash"), col("bk.bi").as("bi"), col("bk.bv").as("bv")),
       Seq("bi", "bv"), "doc_id", cfg.maxBucketSize)
+  }
+
+  private def simhashPairsFromSigs(sim: DataFrame, cfg: LshConfig): DataFrame = {
+    val blocks = blockTable(sim, cfg)
     // cut (same rationale as the minhash band table): the block
     // self-join would otherwise re-run the signature expansion per side
     val mat = if (cfg.persistSignatures) blocks.persist() else blocks.cut()
@@ -614,17 +676,20 @@ object Dedup {
   private def ngramJaccardPairsCollapsed(members0: DataFrame, reps: DataFrame,
                                          threshold: Double, cfg: LshConfig,
                                          maxDocFreq: Int,
-                                         mode: String): DataFrame = {
+                                         mode: String,
+                                         hset0: Option[DataFrame] = None): DataFrame = {
     val members = members0
       .cut() // referenced 4x (intra self-join + expansion)
     // cut: hset feeds the df profile AND the posting join (kept) — the
-    // shingling + distinct pass otherwise runs once per reference
-    val hset = reps
+    // shingling + distinct pass otherwise runs once per reference.
+    // Shared-feature-pass callers ([[dedupRouteMatrix]]) hand in an
+    // ALREADY-CUT distinct (doc_id, h) table instead.
+    val hset = hset0.getOrElse(reps
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
       .select(col("doc_id"), hmod(col("sg")).as("h"))
       .distinct()
-      .cut()
+      .cut())
     val dfs0 = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     // auto mode runs a stats job over the df table anyway — checkpoint
@@ -1339,14 +1404,41 @@ object Dedup {
     // whose rep text shingles
     val membersSh = membersAll
       .join(repSh.select(col("doc_id").as("gid")), "gid")
+    // ONE shingle-hash explode feeds all three routes (r13): `occ` =
+    // per-OCCURRENCE (doc_id, hmod(shingle)) computed once (simhash
+    // bit-sums consume occurrences); `hset` = its distinct set (the
+    // jaccard df profile + posting join AND the minhash
+    // min-aggregates — min over the distinct set ≡ min over the
+    // per-doc distinct-shingle explode, see minhashSigsFromHashes).
+    // Previously each route ran its own corpus-rep tokenize + shingle
+    // + md5 pass: three explodes, three md5 sweeps over the rep
+    // corpus. The minhash route's exact-jaccard VERIFY stage still
+    // shingles the candidate reps (raw shingle arrays, not hashes —
+    // verify semantics unchanged; scan+kernel recompute, no explode).
+    // Empty-shingle reps explode to zero rows, so occ over repText ≡
+    // occ over repSh and hset restricted to shingle-able docs is a
+    // no-op — both facts keep each route's input bit-identical to its
+    // standalone form (ABRoutes asserts matrix identity).
+    val occ = repText
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = false)).as("sg"))
+      .select(col("doc_id"), hmod(col("sg")).as("h"))
+      .cut() // feeds simhash bit-sums + the distinct hash set
+    val hset = occ.distinct()
+      .cut() // feeds jaccard df/postings + minhash signatures
     val routes = Seq(
       "jaccard" -> ngramJaccardPairsCollapsed(membersSh, repSh,
-          jaccardThreshold, cfg, maxDocFreq = 100, mode = "auto")
+          jaccardThreshold, cfg, maxDocFreq = 100, mode = "auto",
+          hset0 = Some(hset))
         .select(col("a_id"), col("b_id")).cut(),
-      "minhash" -> nearDupPairsCollapsed(membersSh, repSh, cfg)
+      "minhash" -> nearDupPairsCollapsed(membersSh, repSh, cfg,
+          sigs0 = Some(minhashSigsFromHashes(hset, cfg)))
         .select(col("a_id"), col("b_id")).cut(),
       "simhash" -> simhashPairsFromSigs(
-          simhashSignaturesCollapsed(membersAll, repText, cfg), cfg)
+          membersAll.join(
+            simhashSigsFromOcc(occ, repText.select(col("doc_id")), cfg)
+              .withColumnRenamed("doc_id", "gid"), "gid")
+            .select(col("doc_id"), col("simhash")), cfg)
         .select(col("a_id"), col("b_id")).cut())
     routeMatrixCells(routes)
   }

@@ -36,6 +36,9 @@ object Plans {
     Files.createDirectories(Paths.get(outDir))
     val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+    // failures are counted and exit nonzero (r13, advisor ask): a
+    // scripted capture must not silently produce an empty plans/ dir
+    var failures = 0
     for ((name, fn) <- selected) {
       try {
         val df = fn(spark, sfDir)
@@ -45,10 +48,13 @@ object Plans {
         Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
           txt.getBytes("UTF-8"))
         println(s"[plans] wrote $name")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        failures += 1
         System.err.println(s"[plans] $name FAILED: ${e.getMessage}")
       }
     }
+    println(s"[plans] ${selected.size - failures}/${selected.size} written, $failures failed")
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

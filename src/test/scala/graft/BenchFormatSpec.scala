@@ -63,6 +63,27 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(parse(l).has("q_count") || parse(l).has("queries"))
   }
 
+  test("r13: live count with an r12-like profile keeps 1-decimal resolution") {
+    // r12 fleet profile: roughly half the fleet sub-0.45 s, the rest
+    // 0.5–9 s. The chain must land on a 1-decimal omission tier (the
+    // r12 0-decimal tier quantized the driver's round-over-round diff:
+    // every 1 s↔2 s host wobble read as a 2×/0.5× step).
+    val vals = liveNames.zipWithIndex.map { case (_, i) =>
+      if (i % 2 == 0) 0.31 else if (i % 13 == 0) 7.06 else 1.27
+    }
+    val l = line(vals)
+    assert(l.length <= BenchFormat.MaxLen, s"len ${l.length}")
+    val j = parse(l)
+    assert(j.get("queries").size + j.path("q_zero").asInt(0) == liveNames.size)
+    // kept entries carry 1 decimal, and the omission threshold rides
+    // along as q_lt (strictly below the 0-decimal tier's 0.5 s cut)
+    assert(j.has("q_lt") && j.get("q_lt").asDouble < 0.5)
+    val vs = j.get("queries").elements()
+    var saw13 = false
+    while (vs.hasNext) { if (vs.next().asDouble == 1.3) saw13 = true }
+    assert(saw13, "expected a 1.27 s query to render as 1.3")
+  }
+
   test("tier choice preserves per-query values when there is room") {
     // 10 queries → 2-decimal tier must win and carry exact centiseconds
     val names = (1 to 10).map(i => f"q$i%02d_small")

@@ -132,6 +132,21 @@ class PlanSpec extends AnyFunSuite {
       s"interpreted higher-order functions in gate plans: $offenders")
   }
 
+  test("plan sweep: pre-cut dedup band/block/hset subtrees stay lambda- and nested-loop-free") {
+    // cut() hides everything below a checkpoint behind Scan ExistingRDD
+    // (CLAUDE.md checkpoint caveat), so the two sweeps above never see
+    // the dedup routes' signature subtrees. Build them UNCUT via the
+    // spec-only accessor and run the same assertions directly
+    // (r13, advisor ask).
+    val docs = Tables.t(spark, sf, "documents")
+    for ((n, df) <- graft.queries.Dedup.preCutSubtrees(docs)) {
+      val p = df.queryExecution.sparkPlan.toString
+      assert(!p.contains("lambdafunction"), s"$n has an interpreted lambda:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested loop:\n$p")
+    }
+  }
+
   test("q62: quantize pass is the only embeddings scan (stats pass is separate)") {
     val p = plan("q62_quantize_int8")
     assert("FileScan".r.findAllIn(p).size == 1, s"q62 scans embeddings twice:\n$p")
