@@ -18,7 +18,7 @@ package graft
   *                      lives in bench_full.json);
   *   (1 dec, all)       full 1-decimal map;
   *   (1 dec, ≥ thr)     1-decimal map with entries BELOW an
-  *                      escalating threshold (0.05 → 0.45 s) omitted;
+  *                      escalating threshold (0.05 → 0.75 s) omitted;
   *                      the omitted count rides as "q_zero" and the
   *                      threshold as "q_lt". Added in r13: at 232
   *                      queries the old chain fell through to the
@@ -52,6 +52,7 @@ object BenchFormat {
   private val tiers: Seq[(Int, Double)] = Seq(
     (2, 0.0), (1, 0.0),
     (1, 0.05), (1, 0.15), (1, 0.25), (1, 0.35), (1, 0.45),
+    (1, 0.55), (1, 0.65), (1, 0.75),
     (0, 0.0), (0, 0.5), (0, 1.5), (0, 2.5), (0, 4.5),
     (-1, 0.0))
 

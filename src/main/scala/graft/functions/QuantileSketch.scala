@@ -128,9 +128,17 @@ final class QuantileSketch(buffer: Int, quantiles: Seq[(Long, Long)],
 
   def zero: State = State(Map.empty, Map.empty)
 
-  def reduce(b: State, v: Long): State = {
+  def reduce(b: State, v: Long): State = reduceWeighted(b, v, 1L)
+
+  /** [[reduce]] generalized to a (value, count) increment — inserting
+    * v with count c is state-identical to c consecutive unweighted
+    * inserts in the exact regime (the histogram is the same either
+    * way), and in the sketch tier it is one mini-merge obeying the
+    * same straddle rules (a fresh entry inherits its left neighbor's
+    * g regardless of count). Precondition: c ≥ 1 (histogram counts). */
+  private[functions] def reduceWeighted(b: State, v: Long, c: Long): State = {
     val fresh = !b.vals.contains(v)
-    val vals = b.vals.updated(v, b.vals.getOrElse(v, 0L) + 1L)
+    val vals = b.vals.updated(v, b.vals.getOrElse(v, 0L) + c)
     // a fresh entry between existing ones inherits its left
     // neighbor's straddle (that mass may originate above v); the
     // exact regime (gs empty) skips the scan entirely
@@ -184,6 +192,35 @@ final class QuantileSketch(buffer: Int, quantiles: Seq[(Long, Long)],
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** [[QuantileSketch]] over pre-aggregated (value, count) rows — the
+  * gate-side fast path (r13): a codegen groupBy((keys, value)).count()
+  * reduces the corpus to one row per distinct (group, value) BEFORE
+  * the row-at-a-time JVM aggregator runs, so the typed Aggregator's
+  * per-row cost (immutable-Map update + State allocation per reduce
+  * call — profiled as the q225/q173 hot loop) is paid once per
+  * DISTINCT value instead of once per raw event. In the exact regime
+  * the state is the same full histogram either way (reduceWeighted is
+  * c unweighted inserts fused), so exact-tier results are IDENTICAL;
+  * in the sketch tier the per-entry straddle bounds hold under the
+  * same rules (a weighted insert is a mini-merge). Precondition:
+  * counts ≥ 1. QuantileSketchSpec pins weighted ≡ unweighted on the
+  * exact tier and the `moved` bound on the sketch tier. */
+final class QuantileSketchWeighted(buffer: Int, quantiles: Seq[(Long, Long)],
+                                   failOnApprox: Boolean = false)
+    extends Aggregator[(Long, Long), QuantileSketch.State, QuantileSketch.Result] {
+  private val inner = new QuantileSketch(buffer, quantiles, failOnApprox)
+  def zero: QuantileSketch.State = inner.zero
+  def reduce(b: QuantileSketch.State, vc: (Long, Long)): QuantileSketch.State =
+    inner.reduceWeighted(b, vc._1, vc._2)
+  def merge(a: QuantileSketch.State, b: QuantileSketch.State): QuantileSketch.State =
+    inner.merge(a, b)
+  def finish(st: QuantileSketch.State): QuantileSketch.Result = inner.finish(st)
+  def bufferEncoder: Encoder[QuantileSketch.State] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: Encoder[QuantileSketch.Result] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object QuantileSketch {
   /** Summary state (public: encoder codegen constructs it): the
     * (value → count) histogram plus the per-entry straddle bounds
@@ -204,6 +241,21 @@ object QuantileSketch {
     * fire (the q66 fail-loud contract). */
   def exact(c: Column, buffer: Int, quantiles: Seq[(Long, Long)]): Column =
     udaf(new QuantileSketch(buffer, quantiles, failOnApprox = true)).apply(c)
+
+  /** Sketch tier over pre-aggregated (value, count) rows — see
+    * [[QuantileSketchWeighted]]. */
+  def applyWeighted(v: Column, cnt: Column, buffer: Int,
+                    quantiles: Seq[(Long, Long)]): Column =
+    udaf(new QuantileSketchWeighted(buffer, quantiles)).apply(v, cnt)
+
+  /** [[exact]] over pre-aggregated (value, count) rows — exact-tier
+    * state (and so results, and the fail-loud guard) identical to
+    * feeding the raw rows; the aggregator runs over one row per
+    * distinct (group, value). */
+  def exactWeighted(v: Column, cnt: Column, buffer: Int,
+                    quantiles: Seq[(Long, Long)]): Column =
+    udaf(new QuantileSketchWeighted(buffer, quantiles, failOnApprox = true))
+      .apply(v, cnt)
 
   /** Data-derived exact-regime buffer: max per-group distinct values
     * + 1 (one scalar to the driver — the autoK pattern), so `exact`

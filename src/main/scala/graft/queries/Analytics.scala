@@ -754,11 +754,18 @@ object Analytics {
     // property-tested in QuantileSketchSpec
     Q("q139_quantile_sketch", (s, d) => {
       import graft.functions.QuantileSketch
-      val li = t(s, d, "lineitem")
+      // r13 histogram form: one codegen groupBy((flag, qty)) pass
+      // feeds the autoBuffer scalar and the WEIGHTED exact sketch
+      // (state ≡ raw rows — see QuantileSketchWeighted) instead of
+      // two corpus passes + a per-raw-row JVM aggregator
+      val hist = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("qty"))
-      val buf = QuantileSketch.autoBuffer(li, Seq(col("l_returnflag")), col("qty"))
-      li.groupBy(col("l_returnflag"))
-        .agg(QuantileSketch.exact(col("qty"), buf,
+        .groupBy(col("l_returnflag"), col("qty"))
+        .agg(count(lit(1)).as("cnt"))
+        .cut() // feeds the autoBuffer pre-pass and the sketch
+      val buf = QuantileSketch.autoBuffer(hist, Seq(col("l_returnflag")), col("qty"))
+      hist.groupBy(col("l_returnflag"))
+        .agg(QuantileSketch.exactWeighted(col("qty"), col("cnt"), buf,
           Seq((1L, 2L), (9L, 10L), (99L, 100L))).as("r"))
         .select(col("l_returnflag"), col("r.n").as("n"),
           element_at(col("r.q"), 1).as("p50"),
@@ -1055,11 +1062,15 @@ object Analytics {
     // priority, ship-delay percentiles + the share shipped within 30
     // days): exact integer day diffs through the q139 QuantileSketch
     // exact regime (autoBuffer pre-pass, fail-loud guard armed), SLA
-    // share as a nonnegative floor ratio. One equi-join + one keyed
-    // aggregate; the row_number oracle replays the ⌈q·n⌉ positions
+    // share as a nonnegative floor ratio. r13 histogram form: ONE
+    // corpus pass into a codegen groupBy((priority, delay)) histogram
+    // cut() once; autoBuffer, the WEIGHTED exact sketch (state ≡ raw
+    // rows) and the n30 sum all run over the tiny histogram instead
+    // of re-joining the corpus per pass. The row_number oracle
+    // replays the ⌈q·n⌉ positions unchanged.
     Q("q173_ship_delay_sla", (s, d) => {
       import graft.functions.QuantileSketch
-      val dl = t(s, d, "lineitem")
+      val hist = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_shipdate"))
         .join(t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
@@ -1067,11 +1078,14 @@ object Analytics {
         .select(col("o_orderpriority").as("priority"),
           datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
             .cast(LongType).as("delay"))
-      val buf = QuantileSketch.autoBuffer(dl, Seq(col("priority")), col("delay"))
-      dl.groupBy(col("priority"))
-        .agg(QuantileSketch.exact(col("delay"), buf,
+        .groupBy(col("priority"), col("delay"))
+        .agg(count(lit(1)).as("cnt"))
+        .cut() // feeds the autoBuffer pre-pass and the sketch
+      val buf = QuantileSketch.autoBuffer(hist, Seq(col("priority")), col("delay"))
+      hist.groupBy(col("priority"))
+        .agg(QuantileSketch.exactWeighted(col("delay"), col("cnt"), buf,
           Seq((1L, 2L), (9L, 10L), (99L, 100L))).as("r"),
-          sum(when(col("delay") <= 30L, 1L).otherwise(0L)).as("n30"))
+          sum(when(col("delay") <= 30L, col("cnt")).otherwise(0L)).as("n30"))
         .select(col("priority"), col("r.n").as("n"),
           element_at(col("r.q"), 1).as("p50"),
           element_at(col("r.q"), 2).as("p90"),
@@ -1594,19 +1608,22 @@ object Analytics {
     // the 1.5× factor never divides — fences live in HALF-UNITS
     // (lo2 = 2·p25 − 3·IQR, hi2 = 2·p75 + 3·IQR) and every delay
     // compares as delay·2, so the whole card is integer-exact.
-    // 100 TB shape: the delay table is REBUILT per pass (autoBuffer,
-    // quantiles, fence counts — three scan+broadcast-join passes)
-    // instead of checkpointed: a cut() here materializes the full
-    // corpus-sized delay table, which measured 46 s / 8.1× anchor at
-    // sf10 vs ~14 s for q173's recompute shape — the scan+broadcast
-    // join is cheaper than writing it out (the q165 recompute rule:
-    // self-join subtree recompute is fine when it's scan+kernel).
-    // The ≤|prio| quartile rows broadcast back into the count pass —
-    // no second wide shuffle. Bounds: delays ≤ ~10⁴ days, so
-    // 2·p75 + 3·IQR and delay·2 sit far inside int64.
+    // 100 TB shape (r13, the histogram form — measured 2.1× over the
+    // r12 shape in ABQuantile): ONE corpus pass reduces the delays to
+    // a codegen groupBy((priority, delay)) histogram, which is cut()
+    // and feeds the autoBuffer scalar, the WEIGHTED exact sketch
+    // (state-identical to raw rows — q139's contract) and the fence
+    // counts (Σ cnt). The r12 shape rebuilt the corpus delay table
+    // per pass (3 scan+broadcast-join passes — a cut() of the RAW
+    // delay table measured 46 s / 8.1× anchor at sf10, so the corpus
+    // table is never checkpointed; the histogram is |prio|·|distinct
+    // delays| rows, trivially storable). The ≤|prio| quartile rows
+    // broadcast back into the fence rollup — no second wide shuffle.
+    // Bounds: delays ≤ ~10⁴ days, so 2·p75 + 3·IQR and delay·2 sit
+    // far inside int64.
     Q("q225_iqr_outliers", (s, d) => {
       import graft.functions.QuantileSketch
-      val dl = t(s, d, "lineitem")
+      val hist = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_shipdate"))
         .join(t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
@@ -1614,20 +1631,23 @@ object Analytics {
         .select(col("o_orderpriority").as("priority"),
           datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
             .cast(LongType).as("delay"))
-      val buf = QuantileSketch.autoBuffer(dl, Seq(col("priority")), col("delay"))
-      val qs = dl.groupBy(col("priority"))
-        .agg(QuantileSketch.exact(col("delay"), buf,
+        .groupBy(col("priority"), col("delay"))
+        .agg(count(lit(1)).as("cnt"))
+        .cut() // feeds autoBuffer, the weighted sketch, and the fences
+      val buf = QuantileSketch.autoBuffer(hist, Seq(col("priority")), col("delay"))
+      val qs = hist.groupBy(col("priority"))
+        .agg(QuantileSketch.exactWeighted(col("delay"), col("cnt"), buf,
           Seq((1L, 4L), (3L, 4L))).as("r"))
         .select(col("priority"), col("r.n").as("n"),
           element_at(col("r.q"), 1).as("p25"),
           element_at(col("r.q"), 2).as("p75"))
-      dl.join(broadcast(qs), "priority")
+      hist.join(broadcast(qs), "priority")
         .withColumn("iqr", col("p75") - col("p25"))
         .groupBy(col("priority"), col("n"), col("p25"), col("p75"))
         .agg(
-          sum(when(col("delay") * 2L < col("p25") * 2L - col("iqr") * 3L, 1L)
+          sum(when(col("delay") * 2L < col("p25") * 2L - col("iqr") * 3L, col("cnt"))
             .otherwise(0L)).as("n_low"),
-          sum(when(col("delay") * 2L > col("p75") * 2L + col("iqr") * 3L, 1L)
+          sum(when(col("delay") * 2L > col("p75") * 2L + col("iqr") * 3L, col("cnt"))
             .otherwise(0L)).as("n_high"))
         .orderBy(col("priority"))
     }, Some("""

@@ -69,6 +69,59 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("r13: weighted exact tier ≡ unweighted over the raw rows, any partitioning") {
+    import spark.implicits._
+    val data: Seq[Long] =
+      Seq.fill(40)(5L) ++ (1L to 25L) ++ Seq(-7L, -7L, 1000L, 999L)
+    val buf = data.distinct.size + 1
+    val want = data.toDF("v").coalesce(1)
+      .agg(QuantileSketch.exact(col("v"), buf, qs).as("r"))
+      .select(col("r.q"), col("r.n"), col("r.moved")).head()
+    val hist = data.groupBy(identity).map { case (v, vs) => (v, vs.size.toLong) }.toSeq
+    for (parts <- Seq(1, 3, 8)) {
+      val got = hist.toDF("v", "cnt").repartition(parts)
+        .agg(QuantileSketch.exactWeighted(col("v"), col("cnt"), buf, qs).as("r"))
+        .select(col("r.q"), col("r.n"), col("r.moved")).head()
+      assert(got.getSeq[Long](0).toList == want.getSeq[Long](0).toList)
+      assert(got.getLong(1) == want.getLong(1) && got.getLong(2) == 0L)
+    }
+  }
+
+  test("r13: weighted exact tier fails loudly the moment a fold would fire") {
+    import spark.implicits._
+    val df = (1L to 100L).map(v => (v, 2L)).toDF("v", "cnt").coalesce(1)
+    val ex = intercept[Exception] {
+      df.agg(QuantileSketch.exactWeighted(col("v"), col("cnt"), 10, qs).as("r"))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("r13: weighted sketch tier still certifies its rank-error bound") {
+    import spark.implicits._
+    val data: Seq[Long] = (0 until 200).flatMap { i =>
+      Seq.fill(1 + (i % 7))(i.toLong)
+    }
+    val hist = data.groupBy(identity).map { case (v, vs) => (v, vs.size.toLong) }.toSeq
+    for (buffer <- Seq(4, 8, 16, 64); parts <- Seq(1, 5)) {
+      val r = hist.toDF("v", "cnt").repartition(parts)
+        .agg(QuantileSketch.applyWeighted(col("v"), col("cnt"), buffer, qs).as("r"))
+        .select(col("r.q"), col("r.n"), col("r.moved")).head()
+      val got = r.getSeq[Long](0).toList
+      val n = r.getLong(1)
+      val moved = r.getLong(2)
+      assert(n == data.length)
+      val sorted = data.sorted
+      for (((num, den), v) <- qs.zip(got)) {
+        val pos = math.max(1L, (num * n + den - 1) / den)
+        val lo = sorted.count(_ < v).toLong + 1
+        val hi = sorted.count(_ <= v).toLong
+        assert(lo - moved <= pos && pos <= hi + moved,
+          s"weighted buffer=$buffer q=$num/$den: v=$v rank[$lo,$hi] ± $moved ∌ $pos")
+      }
+    }
+  }
+
   test("tighter buffers never certify a smaller bound than they earned") {
     import spark.implicits._
     val data: Seq[Long] = (1L to 500L)
