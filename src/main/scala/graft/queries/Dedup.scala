@@ -183,25 +183,23 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
-  /** MinHash signatures from a pre-built DISTINCT (doc_id, h) hash-set
-    * table: the min-aggregates are insensitive to the duplicate rows
-    * the per-doc distinct-shingle explode could carry after an hmod
-    * collision, so min over the distinct set ≡
-    * [[minhashSignaturesDistinct]] bit-for-bit (each mh_j expression
-    * is a pure function of h). Docs with zero shingles have no rows in
-    * either form. */
-  private def minhashSigsFromHashes(hashes: DataFrame, cfg: LshConfig): DataFrame = {
-    val aggs = mhAggs(cfg.numHashes)
-    hashes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  /** [[simhashSignatures]] from a pre-built clone collapse (shared-
+    * subtree callers): expand per-rep signatures through the FULL
+    * (gid, doc_id) group table — empty-shingle reps already carry
+    * simhash 0 from [[simhashSignaturesDistinct]]'s left join. */
+  private def simhashSignaturesCollapsed(members: DataFrame, reps: DataFrame,
+                                         cfg: LshConfig): DataFrame =
+    members.join(simhashSignaturesDistinct(reps, cfg)
+        .withColumnRenamed("doc_id", "gid"), "gid")
+      .select(col("doc_id"), col("simhash"))
 
   /** Spec-only window into the checkpoint-hidden subtrees (r13,
     * advisor ask): cut() turns a subtree into `Scan ExistingRDD` in
     * every downstream plan, so PlanSpec's lambda/nested-loop sweeps
     * cannot see under it — a reintroduced HOF or uncapped join inside
     * the signature stages would go unswept. This returns the PRE-cut
-    * derived tables the dedup routes materialize (minhash band table
-    * from both signature forms, simhash block table, the shingle
+    * derived tables the dedup routes materialize (minhash band table,
+    * simhash block table, the shingle
     * occurrence table and its distinct hash set) so the sweeps assert
     * on them directly. Never called from query paths. */
   private[graft] def preCutSubtrees(docs: DataFrame,
@@ -214,7 +212,6 @@ object Dedup {
     val hset = occ.distinct()
     Seq(
       "minhash_band_table" -> bandTable(minhashSignaturesDistinct(reps, cfg), cfg),
-      "minhash_band_table_from_hset" -> bandTable(minhashSigsFromHashes(hset, cfg), cfg),
       "simhash_block_table" -> blockTable(simhashSignaturesDistinct(reps, cfg), cfg),
       "jaccard_hset" -> hset,
       "shingle_occ" -> occ)
@@ -297,11 +294,10 @@ object Dedup {
     * ([[dedupRouteMatrix]]) feed several routes from ONE corpus
     * window pass; the standalone wrapper above builds its own. */
   private def nearDupPairsCollapsed(members0: DataFrame, reps: DataFrame,
-                                    cfg: LshConfig,
-                                    sigs0: Option[DataFrame] = None): DataFrame = {
+                                    cfg: LshConfig): DataFrame = {
       val members = capBuckets(members0, Seq("gid"), "doc_id", cfg.maxBucketSize)
         .cut() // referenced 4x (intra self-join + expansion)
-      val repPairs = nearDupPairsDistinct(reps, cfg, brute = false, sigs0)
+      val repPairs = nearDupPairsDistinct(reps, cfg, brute = false)
       val intra = members.as("a")
         .join(members.as("b"),
           col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
@@ -319,8 +315,7 @@ object Dedup {
     * collapse-owning callers ([[deduplicate]], [[clusters]], the
     * public wrapper) run over an already-distinct corpus. */
   private def nearDupPairsDistinct(docs: DataFrame, cfg: LshConfig,
-                                   brute: Boolean,
-                                   sigs0: Option[DataFrame] = None): DataFrame = {
+                                   brute: Boolean): DataFrame = {
     val shTbl = docs
       .select(col("doc_id"),
         shingles(tokens(col("text")), cfg.shingleSize, distinct = true).as("sh"))
@@ -355,8 +350,7 @@ object Dedup {
         // lifecycle ownership and uncut lineage (see
         // LshConfig.persistSignatures). At gate sfs AQE broadcasts
         // one side anyway, which is why the cut stays the default.
-        val bands = bandTable(
-          sigs0.getOrElse(minhashSignaturesDistinct(docs, cfg)), cfg)
+        val bands = bandTable(minhashSignaturesDistinct(docs, cfg), cfg)
         collidingPairs(
           (if (cfg.persistSignatures) bands.persist() else bands.cut()),
           Seq("band", "sig"))
@@ -676,20 +670,17 @@ object Dedup {
   private def ngramJaccardPairsCollapsed(members0: DataFrame, reps: DataFrame,
                                          threshold: Double, cfg: LshConfig,
                                          maxDocFreq: Int,
-                                         mode: String,
-                                         hset0: Option[DataFrame] = None): DataFrame = {
+                                         mode: String): DataFrame = {
     val members = members0
       .cut() // referenced 4x (intra self-join + expansion)
     // cut: hset feeds the df profile AND the posting join (kept) — the
-    // shingling + distinct pass otherwise runs once per reference.
-    // Shared-feature-pass callers ([[dedupRouteMatrix]]) hand in an
-    // ALREADY-CUT distinct (doc_id, h) table instead.
-    val hset = hset0.getOrElse(reps
+    // shingling + distinct pass otherwise runs once per reference
+    val hset = reps
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = true)).as("sg"))
       .select(col("doc_id"), hmod(col("sg")).as("h"))
       .distinct()
-      .cut())
+      .cut()
     val dfs0 = hset.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     // auto mode runs a stats job over the df table anyway — checkpoint
@@ -1404,41 +1395,33 @@ object Dedup {
     // whose rep text shingles
     val membersSh = membersAll
       .join(repSh.select(col("doc_id").as("gid")), "gid")
-    // ONE shingle-hash explode feeds all three routes (r13): `occ` =
-    // per-OCCURRENCE (doc_id, hmod(shingle)) computed once (simhash
-    // bit-sums consume occurrences); `hset` = its distinct set (the
-    // jaccard df profile + posting join AND the minhash
-    // min-aggregates — min over the distinct set ≡ min over the
-    // per-doc distinct-shingle explode, see minhashSigsFromHashes).
-    // Previously each route ran its own corpus-rep tokenize + shingle
-    // + md5 pass: three explodes, three md5 sweeps over the rep
-    // corpus. The minhash route's exact-jaccard VERIFY stage still
-    // shingles the candidate reps (raw shingle arrays, not hashes —
-    // verify semantics unchanged; scan+kernel recompute, no explode).
-    // Empty-shingle reps explode to zero rows, so occ over repText ≡
-    // occ over repSh and hset restricted to shingle-able docs is a
-    // no-op — both facts keep each route's input bit-identical to its
-    // standalone form (ABRoutes asserts matrix identity).
-    val occ = repText
-      .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), cfg.shingleSize, distinct = false)).as("sg"))
-      .select(col("doc_id"), hmod(col("sg")).as("h"))
-      .cut() // feeds simhash bit-sums + the distinct hash set
-    val hset = occ.distinct()
-      .cut() // feeds jaccard df/postings + minhash signatures
+    // Tried and REVERTED (r13): sharing the shingle-hash feature pass
+    // across the three routes. Three variants, each measured at sf10
+    // (interleaved min-of-passes, adjacent pristine pairs 20.8–26.9 s
+    // under a drifting host): (a) one per-OCCURRENCE (doc_id, hmod)
+    // table cut() feeding simhash bit-sums + a distinct hash set for
+    // jaccard/minhash — 1.07–1.21× SLOWER (materializing ~10⁸
+    // un-reduced occurrence rows costs more block I/O than the two
+    // saved md5 sweeps); (b) the same without the occurrence cut —
+    // 27.0 vs 22.2 s (re-running the explode per reference is worse
+    // still); (c) hset-only sharing (minhash min-aggs reading the
+    // jaccard route's existing checkpointed distinct hash set) —
+    // 30.3 vs 25.1 s adjacent (reading ~800 MB of hset blocks loses
+    // to the explode+md5+map-side-combine recompute, the q225
+    // recompute rule). The same sharing measured 0.84× at sf0.1 —
+    // a win only where the corpus is 100× smaller, i.e. a local-mode
+    // win, which is not a win (guide §1.2/§2). Each route therefore
+    // keeps its own map-side-combined feature pass; the shared parts
+    // remain the clone collapse + rep text above (r10, 1.20× at
+    // sf0.1 / 1.10× at sf10, still standing).
     val routes = Seq(
       "jaccard" -> ngramJaccardPairsCollapsed(membersSh, repSh,
-          jaccardThreshold, cfg, maxDocFreq = 100, mode = "auto",
-          hset0 = Some(hset))
+          jaccardThreshold, cfg, maxDocFreq = 100, mode = "auto")
         .select(col("a_id"), col("b_id")).cut(),
-      "minhash" -> nearDupPairsCollapsed(membersSh, repSh, cfg,
-          sigs0 = Some(minhashSigsFromHashes(hset, cfg)))
+      "minhash" -> nearDupPairsCollapsed(membersSh, repSh, cfg)
         .select(col("a_id"), col("b_id")).cut(),
       "simhash" -> simhashPairsFromSigs(
-          membersAll.join(
-            simhashSigsFromOcc(occ, repText.select(col("doc_id")), cfg)
-              .withColumnRenamed("doc_id", "gid"), "gid")
-            .select(col("doc_id"), col("simhash")), cfg)
+          simhashSignaturesCollapsed(membersAll, repText, cfg), cfg)
         .select(col("a_id"), col("b_id")).cut())
     routeMatrixCells(routes)
   }
